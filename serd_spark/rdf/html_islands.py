@@ -1,0 +1,144 @@
+"""Locate embedded RDF islands in an HTML page.
+
+Per ``BASELINE.json:north_star`` a page may embed Turtle / TriG /
+N-Triples / N-Quads / JSON-LD in MIME-typed ``<script>`` tags plus
+microdata attributes. Script content is CDATA-like in HTML, so a
+compiled-regex scan (C speed) is both correct and fast for the
+script islands; microdata goes through the DOM-based extractor
+(:mod:`serd_spark.rdf.microdata`), gated on a substring pre-filter.
+
+Also resolves the per-document base IRI: ``<base href>`` wins over
+the page URL (HTML semantics), matching how a browser-equivalent
+reference harness would resolve relative IRIs per document.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from serd_spark.rdf.jsonld import parse_jsonld
+from serd_spark.rdf.microdata import parse_microdata
+from serd_spark.rdf.model import ParseError, Statement
+from serd_spark.rdf.ntriples import parse_nquads, parse_ntriples
+from serd_spark.rdf.turtle import parse_trig, parse_turtle
+
+__all__ = ["MIME_SYNTAX", "PARSERS", "find_islands", "extract_document"]
+
+MIME_SYNTAX = {
+    "text/turtle": "turtle",
+    "application/trig": "trig",
+    "application/n-triples": "ntriples",
+    "application/n-quads": "nquads",
+    "application/ld+json": "jsonld",
+}
+
+ParserFn = Callable[..., tuple[list[Statement], list[tuple[int, int, str]]]]
+
+PARSERS: dict[str, ParserFn] = {
+    "turtle": parse_turtle,
+    "trig": parse_trig,
+    "ntriples": parse_ntriples,
+    "nquads": parse_nquads,
+    "jsonld": parse_jsonld,
+}
+
+_SCRIPT = re.compile(
+    r"<script\b([^>]*)>(.*?)</script\s*>", re.IGNORECASE | re.DOTALL
+)
+_TYPE_ATTR = re.compile(
+    r"""\btype\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+_BASE_TAG = re.compile(r"<base\b([^>]*)>", re.IGNORECASE)
+_HREF_ATTR = re.compile(
+    r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
+
+def find_islands(html_text: str) -> list[tuple[str, str]]:
+    """→ [(syntax, raw_content)] for every MIME-typed script island,
+    in document order."""
+    out: list[tuple[str, str]] = []
+    for m in _SCRIPT.finditer(html_text):
+        ta = _TYPE_ATTR.search(m.group(1))
+        if not ta:
+            continue
+        mime = (ta.group(1) or ta.group(2) or ta.group(3) or "").strip().lower()
+        mime = mime.split(";")[0].strip()
+        syntax = MIME_SYNTAX.get(mime)
+        if syntax is not None:
+            out.append((syntax, m.group(2)))
+    return out
+
+
+def document_base(html_text: str, url: str) -> str:
+    """Per-document base IRI: first ``<base href>`` resolved against
+    the page URL, else the page URL."""
+    m = _BASE_TAG.search(html_text)
+    if m:
+        h = _HREF_ATTR.search(m.group(1))
+        if h:
+            href = (h.group(1) or h.group(2) or h.group(3) or "").strip()
+            if href:
+                from serd_spark.rdf import uri as urimod
+
+                return urimod.resolve(url, href) if url else href
+    return url
+
+
+def extract_document(
+    html_text: str, url: str, lax: bool = True
+) -> tuple[
+    list[tuple[int, str, Statement]],
+    list[tuple[int, str, int, int, str]],
+]:
+    """Extract all RDF from one HTML document.
+
+    Returns ``(triples, errors)`` where triples are
+    ``(island_ord, syntax, Statement)`` in document/streaming order
+    and errors are ``(island_ord, syntax, line, col, message)``.
+
+    Blank-node labels are made island-unique by prefixing the island
+    ordinal (``{ord}~{label}`` — '~' is not in PN_CHARS); URL-level
+    namespacing happens in the Spark extract stage so this function
+    stays pure per-document.
+    """
+    triples: list[tuple[int, str, Statement]] = []
+    errors: list[tuple[int, str, int, int, str]] = []
+    base = document_base(html_text, url)
+
+    islands = find_islands(html_text)
+    for ord_, (syntax, content) in enumerate(islands):
+        parser = PARSERS[syntax]
+        try:
+            stmts, errs = parser(content, base, lax=lax)
+        except ParseError as e:
+            if not lax:
+                raise  # strict mode aborts the document (≙ serdi default)
+            errors.append((ord_, syntax, e.line, e.col, e.message))
+            continue
+        except RecursionError:
+            # adversarially nested JSON-LD can exhaust the Python
+            # stack inside json.loads/_node before any depth guard —
+            # contain it to this island, never kill the batch
+            if not lax:
+                raise
+            errors.append((ord_, syntax, 0, 0, "nesting depth exceeded"))
+            continue
+        for le in errs:
+            errors.append((ord_, syntax, le[0], le[1], le[2]))
+        triples.extend((ord_, syntax, st) for st in stmts)
+
+    md_ord = len(islands)
+    try:
+        md_stmts, md_errs = parse_microdata(html_text, base, lax=lax)
+    except ParseError as e:  # pragma: no cover - defensive
+        md_stmts, md_errs = [], [(e.line, e.col, e.message)]
+    except RecursionError:  # pragma: no cover - adversarial DOM depth
+        if not lax:
+            raise
+        md_stmts, md_errs = [], [(0, 0, "DOM nesting depth exceeded")]
+    for le in md_errs:
+        errors.append((md_ord, "microdata", le[0], le[1], le[2]))
+    triples.extend((md_ord, "microdata", st) for st in md_stmts)
+    return triples, errors

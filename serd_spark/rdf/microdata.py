@@ -1,0 +1,195 @@
+"""HTML microdata → RDF statements.
+
+Implements the W3C "Microdata to RDF" mapping (public Note) over a
+light DOM built with the stdlib ``html.parser`` (lxml is not
+available offline — SURVEY.md §7 M3):
+
+- top-level items: elements with ``itemscope`` and no ``itemprop``;
+- subject: resolved ``itemid`` if present, else a fresh blank node
+  (labels ``m=1, m=2, …``, collision-free with explicit labels);
+- ``itemtype`` values → rdf:type; the first type's vocabulary
+  (itemtype up to and including the last ``#`` or ``/``) prefixes
+  non-IRI property names;
+- property values per element kind: ``meta`` → @content;
+  ``audio/embed/iframe/img/source/track/video`` → @src;
+  ``a/area/link`` → @href; ``object`` → @data; ``data/meter`` →
+  @value; ``time`` → @datetime else text; anything else → its text
+  content. URL-valued attributes resolve against the document base.
+- nested ``itemscope`` elements become the value of their
+  ``itemprop`` and their own properties do not leak outward.
+
+``itemref`` is intentionally unsupported (rare in the wild; noted
+here so the gap is explicit).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from serd_spark.rdf import uri as urimod
+from serd_spark.rdf.model import BLANK, IRI, LITERAL, RDF_TYPE, Statement, Term
+
+__all__ = ["parse_microdata"]
+
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+_URL_ATTR = {
+    "a": "href", "area": "href", "link": "href",
+    "audio": "src", "embed": "src", "iframe": "src", "img": "src",
+    "source": "src", "track": "src", "video": "src",
+    "object": "data",
+}
+
+
+class _El:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # _El | str
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _El("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        el = _El(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].children.append(el)
+        if tag not in _VOID:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        el = _El(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open element (tolerant of
+        # misnesting, like browsers)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _text_content(el: _El) -> str:
+    out: list[str] = []
+    stack = list(reversed(el.children))
+    while stack:
+        c = stack.pop()
+        if isinstance(c, str):
+            out.append(c)
+        elif c.tag not in ("script", "style"):
+            stack.extend(reversed(c.children))
+    return "".join(out)
+
+
+class _MicrodataToRdf:
+    def __init__(self, base_iri: str):
+        self.base = base_iri
+        self.blank_n = 0
+        self.statements: list[Statement] = []
+
+    def _new_blank(self) -> Term:
+        self.blank_n += 1
+        return Term(BLANK, f"m={self.blank_n}")
+
+    def _resolve(self, ref: str) -> str:
+        return urimod.resolve(self.base, ref) if self.base else ref
+
+    def run(self, root: _El) -> list[Statement]:
+        for el in self._find_items(root, top_level=True):
+            self._item(el)
+        return self.statements
+
+    def _find_items(self, el: _El, top_level: bool) -> list[_El]:
+        """Elements with itemscope (top_level: and no itemprop),
+        without descending into nested itemscopes."""
+        found: list[_El] = []
+        for c in el.children:
+            if isinstance(c, str):
+                continue
+            is_item = "itemscope" in c.attrs
+            if is_item and (not top_level or "itemprop" not in c.attrs):
+                found.append(c)
+            if not is_item or top_level:
+                found.extend(self._find_items(c, top_level))
+        return found
+
+    def _item(self, el: _El) -> Term:
+        itemid = el.attrs.get("itemid", "").strip()
+        subj = Term(IRI, self._resolve(itemid)) if itemid else self._new_blank()
+        types = [t for t in el.attrs.get("itemtype", "").split() if t]
+        vocab = ""
+        if types:
+            first = types[0]
+            cut = max(first.rfind("#"), first.rfind("/"))
+            vocab = first[: cut + 1] if cut >= 0 else first
+            for t in types:
+                self.statements.append(
+                    Statement(subj, Term(IRI, RDF_TYPE), Term(IRI, t))
+                )
+        self._props(el, subj, vocab)
+        return subj
+
+    def _props(self, el: _El, subj: Term, vocab: str) -> None:
+        for c in el.children:
+            if isinstance(c, str):
+                continue
+            names = [n for n in c.attrs.get("itemprop", "").split() if n]
+            if names:
+                if "itemscope" in c.attrs:
+                    value: Term = self._item(c)
+                else:
+                    value = self._prop_value(c)
+                for name in names:
+                    if ":" in name or name.startswith("http"):
+                        pred = name
+                    else:
+                        pred = vocab + name if vocab else name
+                    if pred:
+                        self.statements.append(
+                            Statement(subj, Term(IRI, pred), value)
+                        )
+            if "itemscope" not in c.attrs:
+                self._props(c, subj, vocab)
+
+    def _prop_value(self, el: _El) -> Term:
+        tag = el.tag
+        if tag == "meta":
+            return Term(LITERAL, el.attrs.get("content", ""))
+        url_attr = _URL_ATTR.get(tag)
+        if url_attr is not None:
+            return Term(IRI, self._resolve(el.attrs.get(url_attr, "")))
+        if tag in ("data", "meter"):
+            return Term(LITERAL, el.attrs.get("value", ""))
+        if tag == "time":
+            dt = el.attrs.get("datetime")
+            return Term(LITERAL, dt if dt is not None else _text_content(el))
+        return Term(LITERAL, _text_content(el))
+
+
+def parse_microdata(
+    html_text: str, base_iri: str = "", lax: bool = False
+) -> tuple[list[Statement], list[tuple[int, int, str]]]:
+    """Extract microdata items from an HTML document string.
+
+    Cheap pre-filter: documents without the ``itemscope`` substring
+    never build a DOM (the common case at web scale)."""
+    if "itemscope" not in html_text:
+        return [], []
+    tb = _TreeBuilder()
+    tb.feed(html_text)
+    tb.close()
+    conv = _MicrodataToRdf(base_iri)
+    return conv.run(tb.root), []

@@ -1,0 +1,167 @@
+"""JSON-LD and microdata extraction (SURVEY.md §7 M3)."""
+
+import pytest
+
+from serd_spark.rdf.jsonld import canonical_double, parse_jsonld
+from serd_spark.rdf.microdata import parse_microdata
+from serd_spark.rdf.model import BLANK, IRI, LITERAL, RDF_TYPE, XSD_INTEGER
+
+
+def spo(stmts):
+    return {
+        (s.subject.value, s.predicate.value, s.object.value) for s in stmts
+    }
+
+
+def test_jsonld_basic_node():
+    doc = """{"@context": {"name": "http://schema.org/name"},
+               "@id": "http://x/", "name": "A"}"""
+    stmts, errs = parse_jsonld(doc)
+    assert errs == []
+    assert spo(stmts) == {("http://x/", "http://schema.org/name", "A")}
+
+
+def test_jsonld_vocab_and_types():
+    doc = """{"@context": {"@vocab": "http://v/"},
+               "@id": "http://x/", "@type": "Thing", "p": 7}"""
+    stmts, _ = parse_jsonld(doc)
+    got = spo(stmts)
+    assert ("http://x/", RDF_TYPE, "http://v/Thing") in got
+    assert ("http://x/", "http://v/p", "7") in got
+    lit = [s for s in stmts if s.object.kind == LITERAL][0]
+    assert lit.object.datatype == XSD_INTEGER
+
+
+def test_jsonld_nested_and_arrays():
+    doc = """{"@context": {"@vocab": "http://v/", "knows": {"@type": "@id"}},
+               "@id": "http://a/",
+               "knows": ["http://b/", {"@id": "http://c/", "p": "x"}]}"""
+    stmts, _ = parse_jsonld(doc)
+    got = spo(stmts)
+    assert ("http://a/", "http://v/knows", "http://b/") in got
+    assert ("http://a/", "http://v/knows", "http://c/") in got
+    assert ("http://c/", "http://v/p", "x") in got
+
+
+def test_jsonld_list_container():
+    doc = """{"@context": {"t": {"@id": "http://v/t", "@container": "@list"}},
+               "@id": "http://a/", "t": [1, 2]}"""
+    stmts, _ = parse_jsonld(doc)
+    firsts = [s for s in stmts if s.predicate.value.endswith("#first")]
+    rests = [s for s in stmts if s.predicate.value.endswith("#rest")]
+    assert len(firsts) == 2 and len(rests) == 2
+    assert rests[-1].object.value.endswith("#nil")
+
+
+def test_jsonld_value_objects_and_language():
+    doc = """{"@context": {"@vocab": "http://v/", "@language": "de"},
+               "@id": "http://a/",
+               "p": {"@value": "hallo"},
+               "q": {"@value": "x", "@language": "en"},
+               "r": {"@value": "3", "@type": "http://dt/"},
+               "s": "plain"}"""
+    stmts, _ = parse_jsonld(doc)
+    by_p = {s.predicate.value: s.object for s in stmts}
+    assert by_p["http://v/p"].lang == ""  # explicit @value without lang
+    assert by_p["http://v/q"].lang == "en"
+    assert by_p["http://v/r"].datatype == "http://dt/"
+    assert by_p["http://v/s"].lang == "de"  # context default language
+
+
+def test_jsonld_graph_and_reverse():
+    doc = """{"@context": {"@vocab": "http://v/"},
+              "@id": "http://g/",
+              "@graph": [{"@id": "http://a/", "p": "1"}]}"""
+    stmts, _ = parse_jsonld(doc)
+    assert stmts[0].graph.value == "http://g/"
+
+    doc2 = """{"@context": {"@vocab": "http://v/"},
+               "@id": "http://a/",
+               "@reverse": {"parent": {"@id": "http://b/"}}}"""
+    stmts2, _ = parse_jsonld(doc2)
+    assert spo(stmts2) == {("http://b/", "http://v/parent", "http://a/")}
+
+
+def test_jsonld_relative_id_resolution():
+    doc = '{"@context": {"@vocab": "http://v/"}, "@id": "item", "p": "x"}'
+    stmts, _ = parse_jsonld(doc, base_iri="http://base/dir/")
+    assert stmts[0].subject.value == "http://base/dir/item"
+
+
+def test_jsonld_unmapped_keys_dropped():
+    doc = '{"@id": "http://a/", "unmapped": "x"}'
+    stmts, _ = parse_jsonld(doc)
+    assert stmts == []
+
+
+def test_jsonld_bad_json_lax_and_strict():
+    stmts, errs = parse_jsonld("{not json", lax=True)
+    assert stmts == [] and len(errs) == 1
+    with pytest.raises(Exception):
+        parse_jsonld("{not json", lax=False)
+
+
+def test_jsonld_remote_context_is_error():
+    doc = '{"@context": "http://remote/ctx", "@id": "http://a/"}'
+    stmts, errs = parse_jsonld(doc, lax=True)
+    assert stmts == [] and "remote" in errs[0][2]
+
+
+def test_canonical_double():
+    assert canonical_double(4.5) == "4.5E0"
+    assert canonical_double(-0.25) == "-2.5E-1"
+    assert canonical_double(1e21) == "1.0E21"
+    assert canonical_double(float("inf")) == "INF"
+
+
+# --- microdata -------------------------------------------------------------
+
+
+def test_microdata_item():
+    html = """<div itemscope itemtype="http://schema.org/Person"
+      itemid="http://p/1">
+      <span itemprop="name">Ann</span>
+      <a itemprop="url" href="/ann">x</a>
+      <meta itemprop="height" content="170">
+      <time itemprop="born" datetime="1990-01-02">Jan 2 1990</time>
+    </div>"""
+    stmts, errs = parse_microdata(html, "http://site/")
+    assert errs == []
+    got = spo(stmts)
+    assert ("http://p/1", RDF_TYPE, "http://schema.org/Person") in got
+    assert ("http://p/1", "http://schema.org/name", "Ann") in got
+    assert ("http://p/1", "http://schema.org/url", "http://site/ann") in got
+    assert ("http://p/1", "http://schema.org/height", "170") in got
+    assert ("http://p/1", "http://schema.org/born", "1990-01-02") in got
+
+
+def test_microdata_nested_item_and_blank():
+    html = """<div itemscope itemtype="http://schema.org/Person">
+      <span itemprop="name">B</span>
+      <div itemprop="address" itemscope
+           itemtype="http://schema.org/PostalAddress">
+        <span itemprop="city">Oslo</span>
+      </div>
+    </div>"""
+    stmts, _ = parse_microdata(html)
+    subs = {s.subject.value for s in stmts}
+    assert len(subs) == 2
+    addr = [s for s in stmts if s.predicate.value.endswith("address")][0]
+    assert addr.object.kind == BLANK
+    city = [s for s in stmts if s.predicate.value.endswith("city")][0]
+    assert city.subject == addr.object  # nested props don't leak out
+
+
+def test_microdata_no_itemscope_fast_path():
+    stmts, errs = parse_microdata("<html><body>hi</body></html>")
+    assert stmts == [] and errs == []
+
+
+def test_microdata_multiple_types_and_names():
+    html = """<div itemscope
+        itemtype="http://schema.org/Person http://schema.org/Author">
+      <span itemprop="name alternateName">C</span></div>"""
+    stmts, _ = parse_microdata(html)
+    preds = sorted(s.predicate.value for s in stmts)
+    assert preds.count(RDF_TYPE) == 2
+    assert "http://schema.org/alternateName" in preds
