@@ -1,0 +1,78 @@
+"""KG-construction pipeline job — the serdi-equivalent end-to-end
+entry point (ref: src/serdi.c#main; SURVEY.md §2A op-16), launched as
+
+    spark-submit --py-files <zip of serd_spark> jobs/run_pipeline.py \
+        --rows 200000 --warehouse /data/kg --run-id r1
+
+(``BASELINE.json:north_rule`` launch requirement). On this sandbox it
+also runs directly with ``python jobs/run_pipeline.py`` (local[N]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow `python jobs/run_pipeline.py` without an installed package;
+# under spark-submit the package arrives via --py-files instead
+try:
+    import serd_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20000,
+                    help="synthetic corpus size (used when --input absent)")
+    ap.add_argument("--input", default=None,
+                    help="parquet path of a pages table (url, warc_ts, html, text, lang)")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--master", default=None, help="e.g. local[8]")
+    ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from serd_spark.plans.pipeline import run_pipeline
+    from serd_spark.session import get_spark
+    from serd_spark.sources.pages import synthesize_pages
+
+    spark = get_spark(app_name="kg-pipeline", master=args.master)
+    run_id = args.run_id or f"run-{int(time.time())}"
+
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = synthesize_pages(spark, args.rows, seed=args.seed)
+
+    res = run_pipeline(
+        spark,
+        pages,
+        args.warehouse,
+        run_id,
+        lax=not args.strict,
+        n_buckets=args.buckets,
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "pages_in": res.pages_in,
+                "triples_out": res.triples_out,
+                "bad_docs": res.bad_docs,
+                "wall_s": round(res.wall_s, 2),
+                "resumed_skipped": res.resumed_skipped,
+                "triples_per_sec": round(res.triples_out / max(res.wall_s, 1e-9)),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

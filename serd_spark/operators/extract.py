@@ -1,0 +1,156 @@
+"""Per-document RDF extraction stage — the engine's core operator.
+
+Re-expresses the reference's reader pipeline (byte source → grammar
+→ statement sink; ref: src/reader.c, src/n3.c — SURVEY.md §2A ops
+1-5, 9-10, 14) as a single shuffle-free ``mapInPandas`` stage:
+
+- unit of streaming is one *document row*, Arrow record batches are
+  the "pages" (≙ ``SerdByteSource`` 4096-byte paging);
+- the iterator-UDF form preserves the bounded-memory property of
+  ``serd_reader_read_chunk``: one batch in flight at a time;
+- strict/lax error semantics per document: lax records
+  ``(url, island, line, col, msg)`` error rows in the same output
+  (discriminator column ``rec``), so ONE pass over 100 TB produces
+  both the triples and the bad-docs side output — split later by a
+  partition-pruned filter, never by re-running extraction;
+- blank-node labels are namespaced ``{xxh64(url):016x}.{island}.
+  {label}``: a pure function of (url, document bytes), so task
+  retries are idempotent and labels never clash across documents
+  (≙ serd_reader_add_blank_prefix per-input scoping, ref:
+  src/reader.c).
+
+Plan hygiene (SURVEY.md §4.1): a pandas UDF is an optimization
+barrier — callers must project/filter the pages scan BEFORE this
+stage (``extract_triples`` selects only url+html itself so Parquet
+column pruning reaches the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serd_spark.rdf.html_islands import extract_document
+from serd_spark.rdf.model import BLANK
+from serd_spark.rdf.ntriples import canonical_blank_relabel
+
+# one combined schema: triple rows (rec='t') + error rows (rec='e')
+TRIPLES_SCHEMA = (
+    "url string, island int, stmt_ord int, syntax string, "
+    "g string, s string, s_kind tinyint, p string, "
+    "o string, o_kind tinyint, o_dt string, o_lang string, "
+    "rec string, err_line int, err_col int, err_msg string"
+)
+
+_COLS = [c.split()[0] for c in TRIPLES_SCHEMA.split(", ")]
+
+
+def _doc_hash(url: str) -> str:
+    import hashlib
+
+    return hashlib.blake2b(url.encode(), digest_size=8).hexdigest()
+
+
+def _blank(url_h: str, island: int, label: str) -> str:
+    return f"{url_h}.{island}.{label}"
+
+
+def _extract_rows(url: str, html: bytes, lax: bool) -> list[tuple]:
+    text = html.decode("utf-8", errors="replace") if isinstance(
+        html, (bytes, bytearray)
+    ) else str(html)
+    triples, errors = extract_document(text, url, lax=lax)
+    uh = _doc_hash(url)
+
+    # canonical per-island relabel (b1, b2, … in first-appearance
+    # order) BEFORE namespacing: the parsers' internal anon labels
+    # contain '=' (collision-proofing), which is not a legal
+    # BLANK_NODE_LABEL char — the exported label must be valid NT
+    per_island: dict[int, list] = {}
+    for island, _syntax, st in triples:
+        per_island.setdefault(island, []).append(st)
+    relabel = {
+        island: canonical_blank_relabel(stmts)
+        for island, stmts in per_island.items()
+    }
+
+    out: list[tuple] = []
+    for ord_, (island, syntax, st) in enumerate(triples):
+        s, p, o, g = st.subject, st.predicate, st.object, st.graph
+        rl = relabel[island]
+        sv = _blank(uh, island, rl[s.value]) if s.kind == BLANK else s.value
+        ov = _blank(uh, island, rl[o.value]) if o.kind == BLANK else o.value
+        if g is None:
+            gv = ""
+        elif g.kind == BLANK:
+            # blank graph labels keep the "_:" marker so the single
+            # string column preserves the term kind (TriG allows
+            # blank-node graph labels)
+            gv = "_:" + _blank(uh, island, rl[g.value])
+        else:
+            gv = g.value
+        out.append(
+            (
+                url, island, ord_, syntax,
+                gv, sv, s.kind, p.value,
+                ov, o.kind, o.datatype, o.lang,
+                "t", None, None, None,
+            )
+        )
+    for island, syntax, line, col, msg in errors:
+        out.append(
+            (
+                url, island, None, syntax,
+                None, None, None, None,
+                None, None, None, None,
+                "e", line, col, msg,
+            )
+        )
+    # one marker row per document ('d'): pages with no RDF would
+    # otherwise leave no trace, breaking checkpoint-resume (they
+    # must count as done) and the input_rows lineage metric
+    out.append(
+        (
+            url, None, None, None,
+            None, None, None, None,
+            None, None, None, None,
+            "d", None, None, None,
+        )
+    )
+    return out
+
+
+def extract_triples(pages: DataFrame, lax: bool = True) -> DataFrame:
+    """pages(url, …, html, …) → combined triples+errors DataFrame.
+
+    Shuffle-free: pure map-side work, embarrassingly parallel over
+    input splits. Selects only (url, html) so Catalyst prunes the
+    Parquet scan to two columns despite the UDF barrier.
+    """
+    src = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                rows.extend(_extract_rows(url, html, lax))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def triples_only(extracted: DataFrame) -> DataFrame:
+    return extracted.filter(F.col("rec") == "t").drop(
+        "rec", "err_line", "err_col", "err_msg"
+    )
+
+
+def errors_only(extracted: DataFrame) -> DataFrame:
+    """The bad-docs side output (≙ serdi -l skip-and-count)."""
+    return extracted.filter(F.col("rec") == "e").select(
+        "url", "island", "syntax", "err_line", "err_col", "err_msg"
+    )

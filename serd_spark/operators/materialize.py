@@ -1,0 +1,92 @@
+"""Graph materialization: subject-hash bucketing + explicit hub-entity
+skew salting (``BASELINE.json:north_star`` "partitioned … triple
+tables bucketed by subject hash with explicit skew-salting for hub
+entities"; SURVEY.md §4.2).
+
+Design at 10^12 documents:
+
+- ``subj_bucket = pmod(xxhash64(s), B)`` gives subject-local storage:
+  every downstream per-entity operation (entity linking candidate
+  generation, star-query assembly, incremental merge) reads one
+  bucket instead of the whole table, and two tables bucketed the
+  same way join without a shuffle.
+- hub entities (the handful of IRIs referenced by a large fraction
+  of the web) would make single buckets/tasks giant. We detect them
+  with one cheap aggregation (top-K by reference count — K is tiny),
+  broadcast the hub set, and give hub rows a ``salt`` derived from
+  the *other* columns so their rows spread over S sub-buckets.
+  Non-hub rows get salt 0, so salting is a no-op for 99.99% of data.
+- all columns of the salt/bucket are pure functions of row content —
+  deterministic under task retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+DEFAULT_SALTS = 16
+
+
+def detect_hubs(triples: DataFrame, top_k: int = 64) -> DataFrame:
+    """Top-K most-referenced subjects → tiny hub DataFrame (collect →
+    broadcast is fine: K rows). The count agg has map-side partial
+    aggregation; AQE coalesces the shuffle."""
+    return (
+        triples.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("ref_count"))
+        .orderBy(F.desc("ref_count"))
+        .limit(top_k)
+        .select("s", "ref_count")
+    )
+
+
+def bucket_and_salt(
+    triples: DataFrame,
+    hubs: DataFrame | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_salts: int = DEFAULT_SALTS,
+    min_hub_refs: int = 10_000,
+) -> DataFrame:
+    """Add ``subj_bucket`` and ``salt`` columns.
+
+    ``hubs`` is broadcast (tiny); subjects whose reference count
+    exceeds ``min_hub_refs`` get a content-derived salt, everything
+    else salt 0.
+    """
+    out = triples.withColumn(
+        "subj_bucket",
+        F.pmod(F.xxhash64(F.col("s")), F.lit(n_buckets)).cast("int"),
+    )
+    if hubs is None:
+        return out.withColumn("salt", F.lit(0).cast("tinyint"))
+    hub_set = F.broadcast(
+        hubs.filter(F.col("ref_count") >= min_hub_refs).select(
+            F.col("s").alias("_hub_s")
+        )
+    )
+    out = out.join(hub_set, out["s"] == hub_set["_hub_s"], "left")
+    return out.withColumn(
+        "salt",
+        F.when(
+            F.col("_hub_s").isNotNull(),
+            F.pmod(F.xxhash64("p", "o", "url"), F.lit(n_salts)).cast("tinyint"),
+        ).otherwise(F.lit(0).cast("tinyint")),
+    ).drop("_hub_s")
+
+
+def write_triples(
+    triples_with_bucket: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Materialize: directory-partitioned by subject bucket (the
+    parquet stand-in for an Iceberg bucket transform — SURVEY.md §7
+    risk R4), sorted within partitions by subject so per-entity scans
+    are contiguous and RLE/dictionary encoding bites."""
+    (
+        triples_with_bucket.repartition("subj_bucket", "salt")
+        .sortWithinPartitions("s", "p", "o")
+        .write.mode(mode)
+        .partitionBy("subj_bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,123 @@
+"""N-Triples/N-Quads serialization stage — the Spark expression of
+the reference's flat writer (ref: src/writer.c#serd_writer_write_statement,
+escape table #write_text; SURVEY.md §2A ops 11, 13).
+
+Two forms, both deterministic:
+
+- :func:`nt_lines` — row-wise: one output line per triple row, blank
+  labels kept as their globally-unique document-scoped form. Pure
+  map-side (no shuffle), the form used when materializing an NT
+  export of the whole graph. "Stable blank-node numbering" holds
+  because labels are a pure function of (url, content).
+- :func:`serialize_documents` — per-document canonical form:
+  groupBy(url) → sort by stmt_ord → relabel blanks ``b1, b2, …`` in
+  first-appearance order → one NT/NQ document per url. This is the
+  byte-exact golden/round-trip form (one shuffle, used by
+  conformance checks and per-document exports).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serd_spark.rdf.model import BLANK, IRI, LITERAL, Statement, Term
+from serd_spark.rdf.ntriples import (
+    _escape_iri,
+    _escape_literal,
+    format_term,
+    write_nquads,
+    write_ntriples,
+)
+
+
+def _format_series(
+    v: pd.Series, kind: pd.Series, dt: pd.Series, lang: pd.Series
+) -> pd.Series:
+    out = []
+    for val, k, d, lg in zip(v, kind, dt, lang):
+        if k == IRI:
+            out.append(f"<{_escape_iri(val)}>")
+        elif k == BLANK:
+            out.append(f"_:{val}")
+        else:
+            s = f'"{_escape_literal(val)}"'
+            if lg:
+                s += f"@{lg}"
+            elif d:
+                s += f"^^<{_escape_iri(d)}>"
+            out.append(s)
+    return pd.Series(out)
+
+
+def nt_lines(triples: DataFrame, quads: bool = False) -> DataFrame:
+    """→ DataFrame(url, nt) with one serialized statement per row.
+    Map-side only; keeps document-scoped blank labels (valid
+    BLANK_NODE_LABELs — '.' is allowed mid-label)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fmt_s(v: pd.Series, k: pd.Series) -> pd.Series:
+        return pd.Series(
+            [f"<{_escape_iri(x)}>" if kk == IRI else f"_:{x}" for x, kk in zip(v, k)]
+        )
+
+    @pandas_udf("string")
+    def fmt_o(
+        v: pd.Series, k: pd.Series, d: pd.Series, lg: pd.Series
+    ) -> pd.Series:
+        return _format_series(v, k, d, lg)
+
+    line = F.concat_ws(
+        " ",
+        fmt_s("s", "s_kind"),
+        F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+        fmt_o("o", "o_kind", "o_dt", "o_lang"),
+    )
+    if quads:
+        gterm = F.when(F.col("g").startswith("_:"), F.col("g")).otherwise(
+            F.concat(F.lit("<"), F.col("g"), F.lit(">"))
+        )
+        line = F.concat_ws(
+            " ", line, F.when(F.col("g") != "", gterm).otherwise(F.lit(""))
+        )
+    return triples.select(
+        "url", F.concat(F.rtrim(line), F.lit(" .")).alias("nt")
+    )
+
+
+DOC_SCHEMA = "url string, nt string, n_statements int"
+
+
+def serialize_documents(triples: DataFrame, quads: bool = False) -> DataFrame:
+    """→ DataFrame(url, nt, n_statements): one canonical NT/NQ
+    document per url, statements in original document order, blanks
+    relabeled b1,b2,… (byte-exact golden form)."""
+
+    def to_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("stmt_ord")
+        stmts = []
+        for r in pdf.itertuples(index=False):
+            s = Term(int(r.s_kind), r.s)
+            p = Term(IRI, r.p)
+            o = Term(int(r.o_kind), r.o, r.o_dt or "", r.o_lang or "")
+            g = None
+            if quads and r.g:
+                g = (
+                    Term(BLANK, r.g[2:])
+                    if r.g.startswith("_:")
+                    else Term(IRI, r.g)
+                )
+            stmts.append(Statement(s, p, o, g))
+        text = write_nquads(stmts) if quads else write_ntriples(stmts)
+        return pd.DataFrame(
+            {
+                "url": [pdf["url"].iloc[0]],
+                "nt": [text],
+                "n_statements": [len(stmts)],
+            }
+        )
+
+    return triples.groupBy("url").applyInPandas(to_doc, schema=DOC_SCHEMA)

@@ -1,0 +1,202 @@
+"""Deterministic synthetic ``pages`` corpus (FIXTURES.md §1).
+
+Schema is exactly ``BASELINE.json:input_hint``:
+``pages(url string, warc_ts timestamp, html binary, text string,
+lang string)``.
+
+Generation is **distributed and retry-safe**: rows are derived from
+``spark.range(n)`` ids through a keyed hash — a pure function of
+``(seed, i)`` — never from mutable RNG state, timestamps or
+``monotonically_increasing_id`` (SURVEY.md §4.2-6). The same
+``(seed, n)`` always yields byte-identical pages at any parallelism,
+which is what makes correctness checks and the two-parallelism
+scaling bench comparable.
+
+Content mix (FIXTURES.md §1): Turtle / TriG / N-Triples / N-Quads /
+JSON-LD script islands + microdata; ~10% of pages carry no RDF; ~5%
+carry a deliberately malformed island (exercises the lax side
+output); ~2% re-crawled urls (same url, later warc_ts); ~1% of pages
+reference a small hub-entity set (exercises skew salting).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_LANGS = ["en", "en", "en", "en", "fr", "fr", "es", "es", "zh", "de"]  # zipf-ish
+_BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+N_HUBS = 8  # the "hub entities" — tiny set referenced by ~1% of pages
+
+
+def _h(seed: int, i: int, salt: str) -> int:
+    """Pure 64-bit hash of (seed, row, salt) — the only randomness."""
+    d = hashlib.blake2b(
+        f"{seed}:{i}:{salt}".encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(d, "big")
+
+
+def hub_iri(k: int) -> str:
+    return f"http://hub.example/entity/{k}"
+
+
+def _page_for(i: int, seed: int) -> tuple[str, datetime, bytes, str, str]:
+    site = i % 97
+    url = f"https://site{site}.example/page/{i}"
+    ts = _BASE_TS + timedelta(seconds=i)
+    lang = _LANGS[_h(seed, i, "lang") % len(_LANGS)]
+    ent = f"http://site{site}.example/thing/{i}"
+    name = f"Thing {i} — «número {i % 537}»"
+    peer = f"http://site{(i * 7 + 1) % 97}.example/thing/{(i * 13 + 5) % 9973}"
+
+    parts: list[str] = [
+        "<!DOCTYPE html><html><head>",
+        f"<title>Page {i}</title>",
+        "</head><body>",
+    ]
+    kind = _h(seed, i, "kind") % 100
+
+    if kind < 10:
+        pass  # ~10%: no RDF at all
+    else:
+        is_hub = _h(seed, i, "hub") % 100 == 0
+        obj = hub_iri(_h(seed, i, "which-hub") % N_HUBS) if is_hub else peer
+        syntax = _h(seed, i, "syntax") % 5
+        if syntax == 0:
+            parts.append(
+                '<script type="text/turtle">\n'
+                "@prefix s: <http://schema.org/> .\n"
+                f"@base <http://site{site}.example/> .\n"
+                f"<thing/{i}> a s:Thing ;\n"
+                f'  s:name """{name}""" ;\n'
+                f"  s:position {i} ;\n"
+                f"  s:ratingValue {(i % 50) / 10.0:.1f} ;\n"
+                f"  s:relatedLink <{obj}> ;\n"
+                f"  s:review [ s:author \"user{i % 211}\" ] .\n"
+                "</script>"
+            )
+        elif syntax == 1:
+            parts.append(
+                '<script type="application/ld+json">'
+                '{"@context": {"@vocab": "http://schema.org/",'
+                ' "relatedLink": {"@type": "@id"}},'
+                f' "@id": "{ent}", "@type": "Thing",'
+                f' "name": {_json_str(name)},'
+                f' "position": {i},'
+                f' "relatedLink": "{obj}"}}'
+                "</script>"
+            )
+        elif syntax == 2:
+            parts.append(
+                f'<div itemscope itemtype="http://schema.org/Thing" '
+                f'itemid="{ent}">'
+                f'<span itemprop="name">{name}</span>'
+                f'<a itemprop="relatedLink" href="{obj}">rel</a>'
+                "</div>"
+            )
+        elif syntax == 3:
+            parts.append(
+                '<script type="application/n-triples">\n'
+                f'<{ent}> <http://schema.org/name> {_nt_str(name)} .\n'
+                f"<{ent}> <http://schema.org/relatedLink> <{obj}> .\n"
+                "</script>"
+            )
+        else:
+            parts.append(
+                '<script type="application/trig">\n'
+                "@prefix s: <http://schema.org/> .\n"
+                f"<{ent}#g> {{\n"
+                f'  <{ent}> s:name """{name}""" ;\n'
+                f"    s:relatedLink <{obj}> .\n"
+                f"}}\n"
+                "</script>"
+            )
+        if _h(seed, i, "bad") % 100 < 5:
+            parts.append(
+                '<script type="text/turtle">'
+                f"<http://bad{i}> <oops .. malformed {{ island\n"
+                "</script>"
+            )
+
+    text = (
+        f"Plain text body of page {i}.\n"
+        f'Contains "quotes", UTF-8 — ünïcode 漢字 {i % 1009} — and\n'
+        "multiple lines that must survive byte-identically.\n"
+    )
+    parts.append(f"<p>{text}</p></body></html>")
+    return url, ts, "".join(parts).encode("utf-8"), text, lang
+
+
+def _json_str(s: str) -> str:
+    import json
+
+    return json.dumps(s, ensure_ascii=False)
+
+
+def _nt_str(s: str) -> str:
+    from serd_spark.rdf.ntriples import _escape_literal
+
+    return f'"{_escape_literal(s)}"'
+
+
+def synthesize_pages(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus: ``spark.range`` →
+    ``mapInPandas`` (generation is map-side, shuffle-free, and scales
+    linearly with cores — the generator itself must not be the bench
+    bottleneck)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n_rows, 1, partitions)
+    recrawl_every = 50  # ~2% re-crawled urls
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                url, ts, html, text, lang = _page_for(i, seed)
+                if i % recrawl_every == recrawl_every - 1:
+                    # re-crawl of the previous page, later timestamp
+                    url0, _, html0, text0, lang0 = _page_for(i - 1, seed)
+                    rows.append(
+                        (url0, ts + timedelta(days=1), html0, text0, lang0)
+                    )
+                else:
+                    rows.append((url, ts, html, text, lang))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def latest_crawl(pages: DataFrame) -> DataFrame:
+    """Re-crawl dedup at ingest: latest ``warc_ts`` wins per url
+    (SURVEY.md §2B "late data")."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts")
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,76 @@
+"""Resumable pipeline: snapshot commit, lineage, idempotent resume
+(SURVEY.md §7 M6; north_rule checkpoint requirement)."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from serd_spark.plans.pipeline import (
+    committed_runs,
+    done_urls,
+    run_pipeline,
+)
+from serd_spark.sources.pages import synthesize_pages
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def test_run_and_resume(spark, warehouse):
+    pages1 = synthesize_pages(spark, 120, seed=42)
+    r1 = run_pipeline(
+        spark, pages1, warehouse, "r1", n_buckets=8, min_hub_refs=3
+    )
+    assert r1.triples_out > 0
+    assert r1.bad_docs >= 0
+    assert committed_runs(warehouse) == ["r1"]
+
+    # graph table materialized, bucket-partitioned
+    triples = spark.read.parquet(os.path.join(warehouse, "triples"))
+    assert triples.count() > 0
+    assert "subj_bucket" in triples.columns and "salt" in triples.columns
+
+    # lineage has per-partition rows that add up
+    lineage = spark.read.parquet(os.path.join(warehouse, "lineage/snapshot=r1"))
+    agg = lineage.agg(F.sum("triples_out").alias("t")).collect()[0]
+    assert agg["t"] == r1.triples_out
+
+    # resume over a superset: only NEW pages are processed
+    pages2 = synthesize_pages(spark, 200, seed=42)
+    r2 = run_pipeline(
+        spark, pages2, warehouse, "r2", n_buckets=8, min_hub_refs=3
+    )
+    assert r2.resumed_skipped > 0
+    assert r2.pages_in < 200
+    assert committed_runs(warehouse) == ["r1", "r2"]
+
+    # running the same input again is a no-op (idempotent)
+    r3 = run_pipeline(
+        spark, pages2, warehouse, "r3", n_buckets=8, min_hub_refs=3
+    )
+    assert r3.pages_in == 0
+
+    # final graph covers both snapshots' urls
+    done = done_urls(spark, warehouse)
+    full = synthesize_pages(spark, 200, seed=42).select("url").distinct()
+    assert done.count() == full.count()
+
+
+def test_uncommitted_snapshot_invisible(spark, warehouse, tmp_path):
+    """A run that died before writing its manifest must be invisible
+    to resume (commit-point semantics)."""
+    pages = synthesize_pages(spark, 50, seed=42)
+    run_pipeline(spark, pages, warehouse, "ok", n_buckets=4, min_hub_refs=3)
+    # simulate a dead run: extracted data present, no manifest
+    ext = os.path.join(warehouse, "extracted", "snapshot=dead")
+    synthesize_pages(spark, 5, seed=1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "scratch")
+    )  # unrelated write to prove nothing leaks
+    os.makedirs(ext, exist_ok=True)
+    assert committed_runs(warehouse) == ["ok"]
+    d = done_urls(spark, warehouse)
+    assert d is not None and d.count() > 0
