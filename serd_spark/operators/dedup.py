@@ -1,0 +1,307 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes (the point of each design choice):
+
+- **exact**: one hash-groupBy on a 16-byte fingerprint — the only
+  full shuffle, and it shuffles fingerprints + ids, never text.
+- **MinHash+LSH**: candidate generation is an equi-join on
+  ``(band, band_hash)`` — cost ∝ near-duplicate mass, not n². The
+  signature stage is shuffle-free numpy over Arrow batches (shared
+  with entity linking, serd_spark.operators.linking).
+- **SimHash**: 64-bit signature via JVM-side xxhash64 + bit ops; a
+  band split on 4×16-bit chunks gives Hamming-≤3 candidates with an
+  equi-join (Charikar's standard trick) — no Python at all.
+- **n-gram Jaccard**: exact verification for a candidate pair list;
+  built-in array ops.
+- **embedding cosine**: random-hyperplane LSH buckets → in-bucket
+  exact cosine (JVM-side zip_with/aggregate); brute force only as
+  the small-scale baseline in serd_spark.operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from serd_spark.operators.linking import (
+    candidate_pairs,
+    lsh_bands,
+    signatures,
+    verified_links,
+)
+from serd_spark.operators.text import fingerprint, tokens
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-exact dedup: keep the min-id representative per
+    normalized-text fingerprint. Returns (rep_id, n_dups)."""
+    return (
+        docs.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    reps = exact_dedup(docs, id_col, text_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    # reps is small (one row per distinct content) relative to docs
+    # only when dup rate is high; join key is the id → sort-merge or
+    # broadcast chosen by AQE on real sizes
+    return docs.join(reps, id_col, "left_semi")
+
+
+# ------------------------------------------------------- minhash + LSH
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over a documents table.
+    Returns (entity_a, entity_b, jaccard_est) with ids as strings
+    (shared machinery with entity linking)."""
+    named = docs.select(
+        F.col(id_col).cast("string").alias("entity"),
+        F.col(text_col).alias("name"),
+    )
+    return verified_links(
+        candidate_pairs(lsh_bands(signatures(named)), max_bucket=max_bucket),
+        threshold=threshold,
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the whitespace token set — pure JVM bit
+    arithmetic, stays in WholeStageCodegen.
+
+    Per token t: h = xxhash64(t); each of the 64 bit positions votes
+    +1/-1; the signature bit is the vote sign. Computed as a fold
+    over the token array holding 64 counters packed in an array.
+    """
+    toks = F.array_distinct(tokens(F.lower(col)))
+    # shift amounts must be Python ints in the PySpark API → unroll
+    # the 64 bit positions at expression-build time
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftrightunsigned(F.xxhash64(t), i)
+                        .bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(bit_votes, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-≤k candidate pairs via 4×16-bit chunk equality (any
+    pair within Hamming 3 of a 64-bit sig agrees on ≥1 of 4 chunks),
+    then exact Hamming verify with bit_count. All JVM-side."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk", "ch.chunk_val")
+    a = chunks.select(
+        "chunk", "chunk_val",
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+    )
+    b = chunks.select(
+        "chunk", "chunk_val",
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+    )
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of normalized text (JVM-side)."""
+    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    ln = F.length(norm)
+    return F.when(ln < n, F.array(norm)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1),
+                lambda i: F.substring(norm, i, n),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (id_a, id_b) pairs —
+    array_intersect/array_union on precomputed shingle arrays. The
+    grams join is on the id key; at scale the candidate list is tiny
+    next to docs, so both joins broadcast the pair side."""
+    grams = docs.select(
+        F.col(id_col), char_ngrams(F.col(text_col), n).alias("grams")
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
+    )
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (
+        F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd))
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: sign bits of dot
+    products with ``n_planes`` fixed seeded hyperplanes, packed into
+    one long. Deterministic (numpy PRNG with fixed seed, generated
+    once on the driver, shipped as a literal array) and JVM-side."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for p in range(n_planes):
+        row = F.array(*[F.lit(float(v)) for v in planes[p]])
+        bit = F.when(_dot(vd, row) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: bucket by hyperplane signature,
+    exact cosine within buckets. At 100 TB the bucket join replaces
+    the n² cross join; recall is tuned by n_planes (and could add
+    multi-probe). Returns (id_a, id_b, cos)."""
+    b = hyperplane_buckets(emb, dim, n_planes, id_col, vec_col)
+    a = b.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    c = b.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

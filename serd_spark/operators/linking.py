@@ -1,0 +1,279 @@
+"""Minhash-based entity linking across documents
+(``BASELINE.json:north_star`` "minhash-based entity linking across
+documents"; SURVEY.md §7 M5).
+
+The reference (serd, a streaming parser — ref:src/reader.c) has no
+linking stage at all; this is pipeline-native functionality the
+north-star adds on top of the parsed triples.
+
+Design at 10^12-document scale:
+
+- candidate generation NEVER compares all pairs: minhash signatures
+  (fixed-seed universal hashing, numpy-vectorized per Arrow batch)
+  are cut into LSH bands; an equi-join on ``(band, band_hash)``
+  yields candidates, so cost is proportional to true near-duplicate
+  mass, not n².
+- the band self-join is the pipeline's one potentially-skewed
+  shuffle: AQE skew-join splitting is on (session.py), and giant
+  buckets (stop-phrase names like "home") are capped with a
+  per-bucket limit before pairing.
+- verification re-computes the exact estimated Jaccard from the full
+  signatures (cheap: the pair set is small) and keeps pairs ≥
+  ``threshold``.
+- canonical ids come from connected components over the verified
+  pair graph — iterative hash-to-min label propagation
+  (groupBy(min), checkpointed each round, bounded iterations), the
+  standard Spark-friendly CC formulation.
+
+Everything is deterministic: hash seeds are constants, shingle
+hashing is blake2b — stable across Python processes (unlike
+``hash()``), so task retries and re-runs produce identical links
+(SURVEY.md §4.2-6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed minhash parameters — changing them changes every signature,
+# so they are module constants, not call arguments
+N_PERM = 64
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.default_rng(0x5E4D)  # deterministic: seeds the a/b arrays
+_A = _RNG.integers(1, _MERSENNE, size=N_PERM, dtype=np.uint64)
+_B = _RNG.integers(0, _MERSENNE, size=N_PERM, dtype=np.uint64)
+
+SIG_SCHEMA = "entity string, sig array<long>"
+BAND_SCHEMA = "entity string, band int, band_hash long"
+
+NAME_PREDICATES = (
+    "http://schema.org/name",
+    "http://www.w3.org/2000/01/rdf-schema#label",
+    "http://xmlns.com/foaf/0.1/name",
+)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Character k-shingles → stable 61-bit hashes (blake2b, NOT
+    ``hash()`` — PYTHONHASHSEED varies across executors)."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t.ljust(k)
+    shingles = {t[i : i + k] for i in range(len(t) - k + 1)}
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for j, s in enumerate(shingles):
+        out[j] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        ) & _MERSENNE
+    return out
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64-perm minhash of a string's 3-shingle set — one numpy
+    broadcast multiply per value (vectorized over shingles)."""
+    h = _shingle_hashes(text)
+    # (n_shingles, 1) * (N_PERM,) → (n_shingles, N_PERM), min over rows
+    vals = (h[:, None] * _A[None, :] + _B[None, :]) % _MERSENNE
+    return vals.min(axis=0).astype(np.int64)
+
+
+def entity_names(triples: DataFrame) -> DataFrame:
+    """(entity, name) pairs from name-ish predicates; the linking
+    input. Filter is JVM-side so the scan prunes to 4 columns."""
+    return (
+        triples.filter(
+            F.col("p").isin(*NAME_PREDICATES) & (F.col("o_kind") == 1)
+        )
+        .select(F.col("s").alias("entity"), F.col("o").alias("name"))
+        .dropDuplicates(["entity", "name"])
+    )
+
+
+def signatures(names: DataFrame) -> DataFrame:
+    """entity → minhash signature. Shuffle-free map stage; numpy per
+    batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [minhash_signature(n).tolist() for n in pdf["name"]]
+            yield pd.DataFrame({"entity": pdf["entity"], "sig": sigs})
+
+    return names.mapInPandas(run, schema=SIG_SCHEMA)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Signature → N_BANDS (band, band_hash) rows. band_hash is
+    xxhash64 of the band's slice — JVM-side, no Python."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("sig")[i] for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+            ).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return (
+        sigs.select("entity", "sig", F.explode(F.array(*bands)).alias("bh"))
+        .select("entity", "sig", "bh.band", "bh.band_hash")
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame, max_bucket: int = 256
+) -> DataFrame:
+    """Self-join on (band, band_hash) → distinct unordered candidate
+    pairs with both signatures attached.
+
+    ``max_bucket`` caps pathological buckets (stop-phrase names):
+    a bucket of m entities yields m² pair rows — at web scale one
+    "home" bucket would dominate the stage, so oversized buckets are
+    dropped (their members still pair through their OTHER bands,
+    which is exactly LSH's redundancy).
+    """
+    w_count = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    pruned = (
+        bands.join(F.broadcast(w_count.filter(F.col("_m") > max_bucket)),
+                   ["band", "band_hash"], "left_anti")
+    )
+    a = pruned.select(
+        "band", "band_hash",
+        F.col("entity").alias("entity_a"), F.col("sig").alias("sig_a"),
+    )
+    b = pruned.select(
+        "band", "band_hash",
+        F.col("entity").alias("entity_b"), F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .select("entity_a", "entity_b", "sig_a", "sig_b")
+        .dropDuplicates(["entity_a", "entity_b"])
+    )
+
+
+def verified_links(pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Exact signature-agreement fraction (the minhash Jaccard
+    estimator) — JVM-side zip_with, no Python."""
+    agree = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.withColumn(
+            "jaccard_est", (agree / F.lit(N_PERM)).cast("double")
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("entity_a", "entity_b", "jaccard_est")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 12
+) -> DataFrame:
+    """(entity, canon) assignment: hash-to-min label propagation to
+    fixpoint. Each round is one groupBy(min) + one join; the frame is
+    localCheckpoint()ed per round to cut the growing lineage (at
+    cluster scale: reliable checkpoint dir instead).
+
+    Converges in O(log(diameter)) rounds on the near-dup graphs this
+    pipeline produces (components are tiny cliques + short chains);
+    ``max_iter`` bounds the worst case, iteration stops early when an
+    exact convergence check (any label changed?) passes.
+    """
+    sym = edges.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).union(
+        edges.select(
+            F.col("entity_b").alias("src"), F.col("entity_a").alias("dst")
+        )
+    )
+    nodes = sym.select(F.col("src").alias("entity")).distinct()
+    labels = nodes.withColumn("canon", F.col("entity"))
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # candidate label per node = min over neighbors' labels ∪ own
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["entity"])
+            .select(F.col("src").alias("entity"), "canon")
+        )
+        new_labels = (
+            labels.select("entity", "canon").union(nbr)
+            .groupBy("entity")
+            .agg(F.min("canon").alias("canon"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity")
+            .filter(F.col("n.canon") != F.col("o.canon"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def link_entities(
+    triples: DataFrame,
+    threshold: float = 0.7,
+    max_bucket: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Full linking stage: triples → (links, entities).
+
+    links(entity_a, entity_b, jaccard_est); entities(entity, canon)
+    maps every linked surface IRI to its component-canonical IRI
+    (min IRI in component — deterministic).
+    """
+    names = entity_names(triples)
+    links = verified_links(
+        candidate_pairs(lsh_bands(signatures(names)), max_bucket=max_bucket),
+        threshold=threshold,
+    )
+    entities = connected_components(links)
+    return links, entities
+
+
+def apply_canonical(triples: DataFrame, entities: DataFrame) -> DataFrame:
+    """Rewrite s/o through the canonical map. The entities frame is
+    small relative to triples (only linked surface forms appear) —
+    broadcast both joins; unlinked terms pass through."""
+    s_map = F.broadcast(
+        entities.select(
+            F.col("entity").alias("_s"), F.col("canon").alias("_s_canon")
+        )
+    )
+    o_map = F.broadcast(
+        entities.select(
+            F.col("entity").alias("_o"), F.col("canon").alias("_o_canon")
+        )
+    )
+    return (
+        triples.join(s_map, triples["s"] == s_map["_s"], "left")
+        .join(o_map, triples["o"] == o_map["_o"], "left")
+        .withColumn("s", F.coalesce("_s_canon", "s"))
+        .withColumn(
+            "o",
+            F.when(F.col("o_kind") == 0, F.coalesce("_o_canon", "o")).otherwise(
+                F.col("o")
+            ),
+        )
+        .drop("_s", "_s_canon", "_o", "_o_canon")
+    )

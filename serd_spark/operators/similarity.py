@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, same results contract:
+
+- ``brute_force_topk`` — exact cosine top-k. JVM-side zip_with /
+  aggregate dot products (no Python), one pass over the table + a
+  top-k sort. The correctness baseline, and the right choice when
+  the query set is small and the table scan is already needed.
+- ``ivf_topk`` — IVF-style two-stage search for scale: vectors are
+  pre-assigned to centroids (coarse quantizer built once with a
+  deterministic k-means on a sample), a query probes only the
+  ``n_probe`` nearest centroid partitions. At 100 TB this turns a
+  full scan per query into a read of n_probe/k of the data —
+  partition pruning does the rest when the table is written
+  partitioned by centroid id.
+
+Both are deterministic (fixed seeds; ties broken by id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serd_spark.operators.dedup import cosine
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. The query is a
+    literal array (broadcast by value into codegen); ordering ties
+    break on id, so results are total-ordered and retry-stable."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------ IVF path
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 8,
+    sample_rows: int = 4096,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample — the
+    coarse quantizer. The sample is tiny and fixed-size regardless of
+    table size (at 100 TB: F.rand(seed)-ordered limit would be a full
+    scan; a per-partition limit via mapInPandas keeps it one cheap
+    pass — here the simple limit() is fine for the sandbox and the
+    interface is what matters)."""
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in emb.select(vec_col).limit(sample_rows).collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(n_iter):
+        # cosine assignment: normalize then argmax dot
+        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def assign_centroids(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector → nearest centroid id. numpy matmul per Arrow batch
+    (shuffle-free); write the result partitioned by ``centroid`` to
+    get partition-pruned probes."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], vec_col: [], "centroid": []})
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["centroid"] = (mn @ cn.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    schema = f"{id_col} long, {vec_col} array<float>, centroid int"
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``n_probe`` centroids nearest the query, exact
+    cosine inside them. The centroid filter is an IN-list literal →
+    partition pruning when ``assigned`` is stored partitioned by
+    centroid."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = [int(c) for c in (cn @ qn).argsort()[::-1][:n_probe]]
+    return brute_force_topk(
+        assigned.filter(F.col("centroid").isin(probes)),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -1,0 +1,140 @@
+"""Text analysis for training-data pipelines: token counting,
+language-ID, quality scoring, document fingerprinting.
+
+All four are expressed with built-in ``pyspark.sql.functions`` only —
+they stay inside WholeStageCodegen (no Python in the hot path), so at
+100 TB they run at columnar scan speed and Catalyst pushes the
+``documents`` projection down to the Parquet scan.
+
+Determinism: every output is a pure function of the input row —
+safe under task retries, and independently checkable by an ANSI-SQL
+oracle (see ``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language-ID. Deliberately small + fixed: the point is a cheap,
+# deterministic, SQL-mirrorable heuristic, not a trained model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text. ``split`` on ``\\s+``
+    after trim never yields empty edge tokens, so token counts agree
+    with any sane oracle."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punctuation boundaries (a cheap stand-in for a BPE
+    tokenizer's fragment count — monotone with real BPE counts on
+    natural text)."""
+    pieces = F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    return F.size(pieces)
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    # codegen-friendly match count: length delta under regexp removal
+    return F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (lengths, punctuation ratio,
+    stopword ratio, mean word length) — the standard cheap filters a
+    Common-Crawl-style corpus pipeline applies before training."""
+    c = F.col(text_col)
+    ntok = token_count(c)
+    stop_pat = "(?i)\\b(" + "|".join(_STOPWORDS) + ")\\b"
+    nstop = F.size(F.regexp_extract_all(c, F.lit(stop_pat), 0))
+    npunct = _count_matches(c, r"[^\sA-Za-z0-9]")
+    return df.select(
+        "*",
+        F.length(c).alias("q_chars"),
+        ntok.alias("q_tokens"),
+        F.round(npunct / F.greatest(F.length(c), F.lit(1)), 6).alias(
+            "q_punct_ratio"
+        ),
+        F.round(nstop / F.greatest(ntok, F.lit(1)), 6).alias(
+            "q_stopword_ratio"
+        ),
+        F.round(
+            (F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(ntok, F.lit(1))),
+            6,
+        ).alias("q_mean_word_len"),
+    )
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    out = []
+    for lang, words in LANG_MARKERS.items():
+        pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+        out.append((lang, F.size(F.regexp_extract_all(col, F.lit(pat), 0))))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax marker-word count, ties broken
+    by fixed language order, 'und' when nothing matches."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in fixed order; strict > keeps the earlier language on ties
+    for lang, s in scores:
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace/case-normalized text.
+    Identical for trivially re-formatted duplicates; the exact-dedup
+    key for content-level dedup."""
+    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(norm)
+
+
+def shingle_fingerprints(col: Column, k: int = 5) -> Column:
+    """Rolling k-token shingle fingerprints: array of xxhash64 of
+    each k-token window — the content-defined chunking primitive for
+    fuzzy containment checks. JVM-side: transform over a sequence of
+    window starts."""
+    toks = tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            starts,
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(toks, i + 1, k))
+            ),
+        )
+    )
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis view over a documents table."""
+    c = F.col(text_col)
+    return quality_features(docs, text_col).select(
+        "*",
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fp_md5"),
+    )

@@ -1,0 +1,89 @@
+"""Entity linking (minhash + LSH + connected components)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from serd_spark.operators.linking import (
+    N_PERM,
+    apply_canonical,
+    connected_components,
+    link_entities,
+    minhash_signature,
+)
+
+
+def test_minhash_deterministic():
+    a = minhash_signature("The Quick Brown Fox")
+    b = minhash_signature("the quick  brown fox")  # case/space-normalized
+    assert np.array_equal(a, b)
+    assert len(a) == N_PERM
+
+
+def test_minhash_similarity_orders():
+    base = minhash_signature("international business machines corporation")
+    close = minhash_signature("international business machines corp")
+    far = minhash_signature("entirely unrelated zebra quartet")
+    sim_close = (base == close).mean()
+    sim_far = (base == far).mean()
+    assert sim_close > 0.5 > sim_far
+
+
+@pytest.fixture()
+def name_triples(spark):
+    rows = []
+    variants = [
+        "Acme Corporation International",
+        "Acme Corporation Internationale",  # near-dup of 0
+        "ACME corporation international",  # exact modulo case
+        "Zebra Quartet Ensemble",
+        "Zebra Quartet Ensembles",  # near-dup of 3
+        "Completely Different Thing",
+    ]
+    for i, name in enumerate(variants):
+        rows.append(
+            ("u", 0, i, "turtle", "", f"http://e/{i}", 0,
+             "http://schema.org/name", name, 1, "", "")
+        )
+    cols = ["url", "island", "stmt_ord", "syntax", "g", "s", "s_kind",
+            "p", "o", "o_kind", "o_dt", "o_lang"]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_link_entities_end_to_end(spark, name_triples):
+    links, entities = link_entities(name_triples, threshold=0.5)
+    got = {
+        (r.entity_a, r.entity_b) for r in links.collect()
+    }
+    # the two Acme variants and the two Zebra variants must link
+    assert ("http://e/0", "http://e/1") in got or ("http://e/1", "http://e/0") in got
+    assert any("e/3" in a and "e/4" in b for a, b in got)
+    # the unrelated entity must not appear in any component
+    canon = {r.entity: r.canon for r in entities.collect()}
+    assert "http://e/5" not in canon
+    # Acme cluster shares one canonical id (min IRI in component)
+    acme = {canon[f"http://e/{i}"] for i in (0, 1, 2) if f"http://e/{i}" in canon}
+    assert len(acme) == 1
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("x", "y", 1.0)],
+        ["entity_a", "entity_b", "jaccard_est"],
+    )
+    labels = {r.entity: r.canon for r in connected_components(edges).collect()}
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["x"] == labels["y"] == "x"
+
+
+def test_apply_canonical_rewrites_subject_and_iri_object(spark, name_triples):
+    entities = spark.createDataFrame(
+        [("http://e/1", "http://e/0"), ("http://e/2", "http://e/0")],
+        ["entity", "canon"],
+    )
+    out = apply_canonical(name_triples, entities)
+    subs = {r.s for r in out.collect()}
+    assert "http://e/1" not in subs and "http://e/2" not in subs
+    # literal objects untouched
+    names = {r.o for r in out.filter(F.col("o_kind") == 1).collect()}
+    assert "Acme Corporation Internationale" in names

@@ -1,0 +1,158 @@
+"""Text analysis + dedup + similarity + multimodal operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from serd_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the cat and the hat is on the mat", "en"),
+        (1, "The cat and the hat  is on the mat", "en"),  # ws/case dup of 0
+        (2, "le chat et les chapeaux des rues", "fr"),
+        (3, "el gato que vive en los tejados una vez", "es"),
+        (4, "zzz qqq xxx", "xx"),
+        (5, "the cat and the hat is on the mat today", "en"),  # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 9
+    assert got[4] == 3
+    empty = spark.createDataFrame([(9, "   ")], ["doc_id", "text"])
+    assert empty.select(text.token_count(F.col("text")).alias("n")).first().n == 0
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.l for r in docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_fingerprint_normalizes(docs):
+    fp = {r.doc_id: r.f for r in docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("f")).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[5]
+
+
+def test_quality_features(docs):
+    row = text.quality_features(docs).filter(F.col("doc_id") == 0).first()
+    assert row.q_tokens == 9
+    assert row.q_chars == len("the cat and the hat is on the mat")
+    assert 0 <= row.q_stopword_ratio <= 1
+    assert row.q_mean_word_len == pytest.approx(
+        len("thecatandthehatisonthemat") / 9, abs=1e-5
+    )
+
+
+def test_shingle_fingerprints(docs):
+    out = docs.select(
+        "doc_id", text.shingle_fingerprints(F.col("text"), k=5).alias("sh")
+    )
+    got = {r.doc_id: r.sh for r in out.collect()}
+    assert len(got[0]) == 9 - 5 + 1
+    assert got[4] == []  # fewer than k tokens
+    # shared windows between near-dups overlap
+    assert len(set(got[0]) & set(got[5])) > 0
+
+
+def test_exact_dedup(docs):
+    reps = dedup.exact_dedup(docs)
+    groups = {r.rep_id: r.n_dups for r in reps.collect()}
+    assert groups[0] == 2  # doc 1 collapses into doc 0
+    kept = {r.doc_id for r in dedup.drop_exact_dups(docs).collect()}
+    assert kept == {0, 2, 3, 4, 5}
+
+
+def test_minhash_near_dups(docs):
+    pairs = dedup.minhash_near_dups(docs, threshold=0.4)
+    got = {(r.entity_a, r.entity_b) for r in pairs.collect()}
+    assert ("0", "1") in got
+    assert ("0", "5") in got or ("5", "0") in got
+    assert not any("4" in p for pair in got for p in pair)
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in
+            dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # distinct-token sets identical after ws change
+    pairs = dedup.simhash_near_dups(docs, max_hamming=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 4)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(pairs, docs).collect()}
+    assert out[(0, 1)] == 1.0  # normalization collapses ws/case
+    assert out[(0, 4)] < 0.2
+
+
+@pytest.fixture()
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(40):
+        if i < 3:  # 3 vectors near the base
+            v = base + 0.01 * rng.standard_normal(16)
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb):
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    top = similarity.brute_force_topk(emb, list(q), k=3).collect()
+    assert top[0].vec_id == 0 and top[0].cos == pytest.approx(1.0, abs=1e-4)
+    assert {r.vec_id for r in top} == {0, 1, 2}
+
+
+def test_ivf_topk_matches_brute_force_on_probe_hit(emb):
+    cents = similarity.train_centroids(emb, n_centroids=4, sample_rows=40)
+    assigned = similarity.assign_centroids(emb, cents)
+    assert assigned.count() == 40
+    q = emb.filter(F.col("vec_id") == 0).first().embedding
+    top = similarity.ivf_topk(assigned, cents, list(q), k=3, n_probe=2).collect()
+    assert top[0].vec_id == 0
+    assert {r.vec_id for r in top} == {0, 1, 2}
+
+
+def test_embedding_near_dups(emb):
+    pairs = dedup.embedding_near_dups(emb, dim=16, threshold=0.95, n_planes=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+
+
+def test_multimodal_features_and_plans(spark):
+    media = multimodal.synthesize_media(spark, 32)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r.feature) == multimodal.FEATURE_DIM for r in rows)
+    # determinism across two runs
+    again = {r.media_id: r.feature for r in
+             multimodal.extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+    plan = multimodal.resize_plan(media, max_side=128)
+    for r in plan.filter(F.col("width").isNotNull()).collect():
+        assert max(r.out_w, r.out_h) <= 128 or r.scale == 1.0
+
+    frames = multimodal.frame_sample_plan(media, every_ms=5000)
+    assert frames.filter(F.col("frame_ts_ms") % 5000 != 0).count() == 0
+
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        multimodal.extract_features(media, strict=True).collect()
