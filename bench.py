@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Headline metric: end-to-end KG-construction throughput — pages/sec
+through synthesize → extract → canonicalize → dedup → count (the
+north-star pipeline). Per-query seconds for the operator families are
+reported in "queries".
+
+Scaling-efficiency protocol (BASELINE.md §6): run this twice, e.g.
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare pages_per_sec; efficiency = (tp32 / tp8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entrymod
+    from serd_spark.session import get_spark
+
+    spark = get_spark(app_name="serd_spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    m = None
+    try:
+        import re
+
+        m = re.search(r"sf([0-9.]+)", sf_dir)
+    except Exception:
+        pass
+    sf = float(m.group(1)) if m else 0.1
+
+    queries = {
+        "kg_pipeline": entrymod.kg_predicates,  # extract+canon+dedup+agg
+        "kg_roundtrip": entrymod.kg_roundtrip,
+        "kg_linking": entrymod.kg_linking,
+        "q_agg_pricing": entrymod.q_agg_pricing,
+        "q_multi_join": entrymod.q_multi_join,
+        "q_window_toporder": entrymod.q_window_toporder,
+        "q_dedup_exact": entrymod.q_dedup_exact,
+        "q_minhash_md5": entrymod.q_minhash_md5,
+        "q_cosine_topk": entrymod.q_cosine_topk,
+        "dedup_simhash": entrymod.dedup_simhash,
+        "q_sessionize": entrymod.q_sessionize,
+    }
+
+    # warm the JVM/Python workers once so per-query numbers measure
+    # the queries, not session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # headline: pages/sec through the extraction pipeline
+    n_pages = entrymod._n_pages(sf_dir)
+    t0 = time.time()
+    triples = entrymod._kg_triples(spark, sf_dir)
+    n_triples = triples.count()
+    wall = time.time() - t0
+    pages_per_sec = n_pages / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_pages_per_sec",
+                "value": round(pages_per_sec, 2),
+                "unit": "pages/sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": n_pages,
+                "n_triples": n_triples,
+                "pipeline_wall_sec": round(wall, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
