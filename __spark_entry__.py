@@ -136,9 +136,10 @@ def kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ok = 0
             for line in pdf["nt"]:
-                stmts = parse_ntriples(line)
+                stmts, errs = parse_ntriples(line)
                 if (
-                    len(stmts) == 1
+                    not errs
+                    and len(stmts) == 1
                     and write_ntriples(stmts, relabel=False).strip() == line
                 ):
                     ok += 1

@@ -80,8 +80,10 @@ def minhash_near_dups(
         F.col(id_col).cast("string").alias("entity"),
         F.col(text_col).alias("name"),
     )
+    sigs = signatures(named).localCheckpoint(eager=False)
     return verified_links(
-        candidate_pairs(lsh_bands(signatures(named)), max_bucket=max_bucket),
+        candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket),
+        sigs,
         threshold=threshold,
     )
 

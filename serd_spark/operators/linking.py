@@ -112,7 +112,10 @@ def signatures(names: DataFrame) -> DataFrame:
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
     """Signature → N_BANDS (band, band_hash) rows. band_hash is
-    xxhash64 of the band's slice — JVM-side, no Python."""
+    xxhash64 of the band's slice — JVM-side, no Python. The signature
+    itself is NOT carried: the candidate join shuffles only
+    (entity, band, band_hash) — at web scale the 64-long signature
+    would multiply shuffle volume ~30×."""
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -123,16 +126,15 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
         for b in range(N_BANDS)
     ]
     return (
-        sigs.select("entity", "sig", F.explode(F.array(*bands)).alias("bh"))
-        .select("entity", "sig", "bh.band", "bh.band_hash")
+        sigs.select("entity", F.explode(F.array(*bands)).alias("bh"))
+        .select("entity", "bh.band", "bh.band_hash")
     )
 
 
 def candidate_pairs(
     bands: DataFrame, max_bucket: int = 256
 ) -> DataFrame:
-    """Self-join on (band, band_hash) → distinct unordered candidate
-    pairs with both signatures attached.
+    """Self-join on (band, band_hash) → distinct unordered id pairs.
 
     ``max_bucket`` caps pathological buckets (stop-phrase names):
     a bucket of m entities yields m² pair rows — at web scale one
@@ -148,24 +150,32 @@ def candidate_pairs(
                    ["band", "band_hash"], "left_anti")
     )
     a = pruned.select(
-        "band", "band_hash",
-        F.col("entity").alias("entity_a"), F.col("sig").alias("sig_a"),
+        "band", "band_hash", F.col("entity").alias("entity_a")
     )
     b = pruned.select(
-        "band", "band_hash",
-        F.col("entity").alias("entity_b"), F.col("sig").alias("sig_b"),
+        "band", "band_hash", F.col("entity").alias("entity_b")
     )
     return (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("entity_a") < F.col("entity_b"))
-        .select("entity_a", "entity_b", "sig_a", "sig_b")
+        .select("entity_a", "entity_b")
         .dropDuplicates(["entity_a", "entity_b"])
     )
 
 
-def verified_links(pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def verified_links(
+    pairs: DataFrame, sigs: DataFrame, threshold: float = 0.7
+) -> DataFrame:
     """Exact signature-agreement fraction (the minhash Jaccard
-    estimator) — JVM-side zip_with, no Python."""
+    estimator) — JVM-side zip_with, no Python. Signatures are joined
+    back onto the deduplicated pair list (far smaller than the raw
+    band join), AQE picking broadcast when sigs fit."""
+    sa = sigs.select(
+        F.col("entity").alias("entity_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("entity").alias("entity_b"), F.col("sig").alias("sig_b")
+    )
     agree = F.aggregate(
         F.zip_with(
             "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
@@ -174,7 +184,9 @@ def verified_links(pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
         lambda acc, v: acc + v,
     )
     return (
-        pairs.withColumn(
+        pairs.join(sa, "entity_a")
+        .join(sb, "entity_b")
+        .withColumn(
             "jaccard_est", (agree / F.lit(N_PERM)).cast("double")
         )
         .filter(F.col("jaccard_est") >= threshold)
@@ -185,15 +197,17 @@ def verified_links(pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_iter: int = 12
 ) -> DataFrame:
-    """(entity, canon) assignment: hash-to-min label propagation to
-    fixpoint. Each round is one groupBy(min) + one join; the frame is
-    localCheckpoint()ed per round to cut the growing lineage (at
-    cluster scale: reliable checkpoint dir instead).
+    """(entity, canon) assignment: hash-to-min label propagation with
+    pointer jumping. Each round: (1) every node takes the min label
+    over itself ∪ neighbors, (2) labels chase one level of
+    indirection (canon := canon's canon) — the pointer jump doubles
+    propagation distance per round, so chains converge in
+    O(log diameter) rounds instead of O(diameter).
 
-    Converges in O(log(diameter)) rounds on the near-dup graphs this
-    pipeline produces (components are tiny cliques + short chains);
-    ``max_iter`` bounds the worst case, iteration stops early when an
-    exact convergence check (any label changed?) passes.
+    Each round is localCheckpoint()ed to cut the growing lineage (at
+    cluster scale: reliable checkpoint dir instead); iteration stops
+    early on an exact no-label-changed check, ``max_iter`` bounds the
+    worst case.
     """
     sym = edges.select(
         F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
@@ -207,15 +221,26 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # candidate label per node = min over neighbors' labels ∪ own
+        # (1) candidate label per node = min over neighbors' labels ∪ own
         nbr = (
             sym.join(labels, sym["dst"] == labels["entity"])
             .select(F.col("src").alias("entity"), "canon")
         )
-        new_labels = (
+        stepped = (
             labels.select("entity", "canon").union(nbr)
             .groupBy("entity")
             .agg(F.min("canon").alias("canon"))
+        )
+        # (2) pointer jump: canon := canon's canon (labels are node
+        # ids, so every canon value exists as an entity)
+        jump = stepped.select(
+            F.col("entity").alias("_e2"), F.col("canon").alias("_c2")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["canon"] == jump["_e2"], "left")
+            .select(
+                "entity", F.coalesce("_c2", "canon").alias("canon")
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -243,8 +268,12 @@ def link_entities(
     (min IRI in component — deterministic).
     """
     names = entity_names(triples)
+    # the signature stage (Python minhash) feeds three plan branches
+    # (bands + both verify joins) — materialize it once
+    sigs = signatures(names).localCheckpoint(eager=False)
     links = verified_links(
-        candidate_pairs(lsh_bands(signatures(names)), max_bucket=max_bucket),
+        candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket),
+        sigs,
         threshold=threshold,
     )
     entities = connected_components(links)

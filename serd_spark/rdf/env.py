@@ -14,11 +14,14 @@ from serd_spark.rdf import uri as urimod
 
 
 class Env:
-    __slots__ = ("prefixes", "base")
+    __slots__ = ("prefixes", "base", "_rcache")
 
     def __init__(self, base: str = ""):
         self.prefixes: dict[str, str] = {}
         self.base = base
+        # per-base memo of resolve() results: web documents repeat
+        # vocabulary IRIs heavily; bounded, cleared on @base
+        self._rcache: dict[str, str] = {}
 
     def set_prefix(self, name: str, namespace: str) -> None:
         # Namespace IRIs are themselves resolved against the current
@@ -29,6 +32,7 @@ class Env:
     def set_base(self, base_iri: str) -> None:
         # A new @base is resolved against the previous base.
         self.base = self.resolve(base_iri)
+        self._rcache.clear()
 
     def expand(self, prefix: str, local: str) -> str:
         """CURIE expansion: namespace ⧺ suffix. Raises ``KeyError``
@@ -42,7 +46,12 @@ class Env:
         reference's leave-unresolved behavior)."""
         if not self.base:
             return ref
-        return urimod.resolve(self.base, ref)
+        out = self._rcache.get(ref)
+        if out is None:
+            out = urimod.resolve(self.base, ref)
+            if len(self._rcache) < 8192:
+                self._rcache[ref] = out
+        return out
 
     def qualify(self, iri: str) -> tuple[str, str] | None:
         """Inverse of expand, for the abbreviating writer (ref:

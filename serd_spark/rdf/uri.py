@@ -22,9 +22,16 @@ run millions of times inside Arrow batches.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 __all__ = ["ParsedURI", "parse", "resolve", "normalize", "remove_dot_segments"]
+
+# scheme "://" prefix — the shape of virtually every IRI on the web;
+# used for the resolve() fast path
+_ABS_AUTHORITY = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*://")
+# scheme followed by ':' (match end tells us where)
+_SCHEME = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
 @dataclass(frozen=True, slots=True)
@@ -78,18 +85,15 @@ def parse(ref: str) -> ParsedURI:
         query = ref[q + 1 :]
         ref = ref[:q]
     # scheme: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"
-    c = ref.find(":")
-    if c > 0:
-        cand = ref[:c]
-        if cand[0].isascii() and cand[0].isalpha() and all(
-            ch.isascii() and (ch.isalnum() or ch in "+-.") for ch in cand
-        ):
-            # a ':' inside the first path segment of a relative ref is
-            # not a scheme if a '/' precedes it
-            s = ref.find("/")
-            if s == -1 or s > c:
-                scheme = cand
-                ref = ref[c + 1 :]
+    m = _SCHEME.match(ref)
+    if m:
+        c = m.end() - 1
+        # a ':' inside the first path segment of a relative ref is
+        # not a scheme if a '/' precedes it
+        s = ref.find("/")
+        if s == -1 or s > c:
+            scheme = ref[:c]
+            ref = ref[c + 1 :]
     # authority
     if ref.startswith("//"):
         ref = ref[2:]
@@ -158,9 +162,20 @@ def resolve(base_str: str, ref_str: str) -> str:
     returned as-is (the reference library leaves unresolvable URIs
     untouched rather than failing).
     """
-    ref = parse(ref_str)
     if not base_str:
         return ref_str
+    # fast path (the overwhelmingly common web case): ref is already
+    # absolute with an authority and its path has no dot segments →
+    # §5.2.2 is the identity. Conservative checks — anything unusual
+    # falls through to the full algorithm.
+    if (
+        _ABS_AUTHORITY.match(ref_str)
+        and "/./" not in ref_str
+        and "/../" not in ref_str
+        and not ref_str.endswith(("/.", "/.."))
+    ):
+        return ref_str
+    ref = parse(ref_str)
     base = parse(base_str)
     if base.scheme is None:
         return ref_str
