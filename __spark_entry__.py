@@ -64,14 +64,16 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from serd_spark.operators.canonicalize import (
-        canonicalize_triples,
-        dedup_triples,
-    )
+    """Extraction with canonicalization+dedup fused into the one
+    Python stage (shuffle-free; equivalent to the unfused
+    canonicalize_triples∘dedup_triples — see extract.py)."""
     from serd_spark.operators.extract import extract_triples, triples_only
+    from serd_spark.sources.pages import latest_crawl
 
-    ext = extract_triples(_pages(spark, sf_dir), lax=True)
-    return dedup_triples(canonicalize_triples(triples_only(ext)))
+    pages = latest_crawl(_pages(spark, sf_dir))
+    return triples_only(
+        extract_triples(pages, lax=True, canonicalize=True, dedup=True)
+    )
 
 
 # ---------------------------------------------------------------------

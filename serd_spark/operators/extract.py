@@ -48,6 +48,11 @@ TRIPLES_SCHEMA = (
 
 _COLS = [c.split()[0] for c in TRIPLES_SCHEMA.split(", ")]
 
+# worker-lifetime IRI-normalization memo: lives in the Python worker
+# process across tasks (workers are reused), keyed per module import.
+# Web vocabulary IRIs repeat endlessly, so hit rates are very high.
+_NORM_MEMO: dict[str, str] = {}
+
 
 def _doc_hash(url: str) -> str:
     import hashlib
@@ -59,12 +64,41 @@ def _blank(url_h: str, island: int, label: str) -> str:
     return f"{url_h}.{island}.{label}"
 
 
-def _extract_rows(url: str, html: bytes, lax: bool) -> list[tuple]:
+def _extract_rows(
+    url: str,
+    html: bytes,
+    lax: bool,
+    norm_memo: dict | None = None,
+    dedup: bool = False,
+) -> list[tuple]:
+    """``norm_memo`` non-None fuses RFC 3986 canonicalization into
+    the parse (one Python stage instead of two Arrow round trips —
+    see ``extract_triples(canonicalize=True)``). ``dedup`` drops
+    repeated quads *within this document* — exactly equivalent to the
+    global ``dedup_triples`` (whose key includes ``url``, making
+    duplicates document-local by construction) but shuffle-free."""
+    seen: set[tuple] = set()
     text = html.decode("utf-8", errors="replace") if isinstance(
         html, (bytes, bytearray)
     ) else str(html)
     triples, errors = extract_document(text, url, lax=lax)
     uh = _doc_hash(url)
+
+    if norm_memo is None:
+        norm = None
+    else:
+        from serd_spark.rdf.uri import normalize
+
+        def norm(v: str) -> str:
+            out = norm_memo.get(v)
+            if out is None:
+                try:
+                    out = normalize(v)
+                except Exception:
+                    out = v
+                if len(norm_memo) < 65536:
+                    norm_memo[v] = out
+            return out
 
     # canonical per-island relabel (b1, b2, … in first-appearance
     # order) BEFORE namespacing: the parsers' internal anon labels
@@ -84,6 +118,13 @@ def _extract_rows(url: str, html: bytes, lax: bool) -> list[tuple]:
         rl = relabel[island]
         sv = _blank(uh, island, rl[s.value]) if s.kind == BLANK else s.value
         ov = _blank(uh, island, rl[o.value]) if o.kind == BLANK else o.value
+        pv = p.value
+        if norm is not None:
+            if s.kind != BLANK:
+                sv = norm(sv)
+            if o.kind == 0:  # IRI objects only; literals untouched
+                ov = norm(ov)
+            pv = norm(pv)
         if g is None:
             gv = ""
         elif g.kind == BLANK:
@@ -92,11 +133,16 @@ def _extract_rows(url: str, html: bytes, lax: bool) -> list[tuple]:
             # blank-node graph labels)
             gv = "_:" + _blank(uh, island, rl[g.value])
         else:
-            gv = g.value
+            gv = norm(g.value) if norm is not None else g.value
+        if dedup:
+            k = (gv, sv, s.kind, pv, ov, o.kind, o.datatype, o.lang)
+            if k in seen:
+                continue
+            seen.add(k)
         out.append(
             (
                 url, island, ord_, syntax,
-                gv, sv, s.kind, p.value,
+                gv, sv, s.kind, pv,
                 ov, o.kind, o.datatype, o.lang,
                 "t", None, None, None,
             )
@@ -124,23 +170,57 @@ def _extract_rows(url: str, html: bytes, lax: bool) -> list[tuple]:
     return out
 
 
-def extract_triples(pages: DataFrame, lax: bool = True) -> DataFrame:
+def extract_triples(
+    pages: DataFrame,
+    lax: bool = True,
+    canonicalize: bool = False,
+    dedup: bool = False,
+) -> DataFrame:
     """pages(url, …, html, …) → combined triples+errors DataFrame.
 
     Shuffle-free: pure map-side work, embarrassingly parallel over
     input splits. Selects only (url, html) so Catalyst prunes the
     Parquet scan to two columns despite the UDF barrier.
+
+    ``canonicalize=True`` fuses RFC 3986 IRI normalization into this
+    stage (operator fusion): the strings are already in Python, so a
+    separate ``canonicalize_triples`` pass would pay a full extra
+    JVM⇄Arrow⇄Python round trip over the whole triple table — at 32
+    local cores that second crossing measurably anti-scales, and at
+    100 TB it would double the Python-boundary volume of the biggest
+    stage. The memo is worker-lifetime (vocabulary IRIs repeat
+    endlessly across the web).
+
+    ``dedup=True`` fuses quad dedup the same way: the global dedup
+    key includes ``url``, so duplicates are document-local and a
+    per-document set() replaces a full-table shuffle. Precondition:
+    urls are unique in ``pages`` (run ``latest_crawl`` first) —
+    otherwise re-crawled rows of the same url still produce
+    duplicates that only the global ``dedup_triples`` removes.
     """
     src = pages.select("url", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = _NORM_MEMO if canonicalize else None
         for pdf in batches:
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(_extract_rows(url, html, lax))
-            yield pd.DataFrame(rows, columns=_COLS)
+                rows.extend(_extract_rows(url, html, lax, memo, dedup))
+            yield rows_to_pdf(rows)
 
     return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def rows_to_pdf(rows: list[tuple]) -> pd.DataFrame:
+    """list-of-tuples → DataFrame via column lists: pandas's
+    row-wise constructor does per-cell type inference and is several
+    times slower on wide outputs — this path matters at 10⁷ rows/task."""
+    if not rows:
+        return pd.DataFrame({c: [] for c in _COLS})
+    cols = list(zip(*rows))
+    return pd.DataFrame(
+        {name: list(col) for name, col in zip(_COLS, cols)}, copy=False
+    )
 
 
 def triples_only(extracted: DataFrame) -> DataFrame:

@@ -41,10 +41,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from serd_spark.operators.canonicalize import canonicalize_triples, dedup_triples
 from serd_spark.operators.extract import (
     TRIPLES_SCHEMA,
     _extract_rows,
+    rows_to_pdf,
     triples_only,
 )
 from serd_spark.operators.materialize import (
@@ -103,7 +103,15 @@ def extract_with_lineage(pages: DataFrame, lax: bool = True) -> DataFrame:
     """Extraction + per-partition lineage counters in ONE pass: the
     output carries ``part_id`` and per-partition metrics rows are
     derived from it by aggregation (no second scan of the 100 TB
-    input)."""
+    input).
+
+    Canonicalization and quad dedup are FUSED into this stage
+    (extract.py: one Python crossing instead of three; dedup is
+    document-local because its key includes url, and urls are unique
+    here — latest_crawl ran at ingest and resume anti-joins done
+    urls)."""
+    from serd_spark.operators.extract import _NORM_MEMO
+
     src = pages.select("url", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,10 +121,10 @@ def extract_with_lineage(pages: DataFrame, lax: bool = True) -> DataFrame:
         for pdf in batches:
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(_extract_rows(url, html, lax))
-            out = pd.DataFrame(
-                rows, columns=[c.split()[0] for c in TRIPLES_SCHEMA.split(", ")]
-            )
+                rows.extend(
+                    _extract_rows(url, html, lax, _NORM_MEMO, dedup=True)
+                )
+            out = rows_to_pdf(rows)
             out["part_id"] = pid
             yield out
 
@@ -144,9 +152,9 @@ def run_pipeline(
     min_hub_refs: int = 10_000,
     resume: bool = True,
 ) -> RunResult:
-    """One resumable pipeline run: ingest-dedup → extract (+lineage)
-    → snapshot commit → canonicalize → dedup → bucket/salt →
-    materialize graph."""
+    """One resumable pipeline run: ingest-dedup → extract (with
+    canonicalize+dedup fused, +lineage) → snapshot commit →
+    bucket/salt → materialize graph."""
     t0 = time.time()
     os.makedirs(os.path.join(warehouse, "manifests"), exist_ok=True)
 
@@ -195,7 +203,10 @@ def run_pipeline(
     all_ext = spark.read.parquet(
         *[os.path.join(warehouse, "extracted", f"snapshot={r}") for r in runs]
     )
-    triples = dedup_triples(canonicalize_triples(triples_only(all_ext)))
+    # canonicalize+dedup already fused into extraction; snapshots are
+    # url-disjoint (resume anti-join), so no cross-snapshot dedup is
+    # needed either
+    triples = triples_only(all_ext)
     hubs = detect_hubs(triples, top_k=hub_top_k)
     bucketed = bucket_and_salt(
         triples, hubs, n_buckets=n_buckets, min_hub_refs=min_hub_refs

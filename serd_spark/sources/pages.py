@@ -52,7 +52,14 @@ def hub_iri(k: int) -> str:
     return f"http://hub.example/entity/{k}"
 
 
-def _page_for(i: int, seed: int) -> tuple[str, datetime, bytes, str, str]:
+def _page_for(
+    i: int, seed: int, richness: int = 1
+) -> tuple[str, datetime, bytes, str, str]:
+    """``richness`` scales per-page content: number of RDF islands
+    and filler text. richness=1 ≈ a small page (~1.5 KB); the bench
+    uses higher values so page sizes and per-page parse work match
+    real Common-Crawl documents (tens of KB) rather than being
+    dominated by per-row overheads."""
     site = i % 97
     url = f"https://site{site}.example/page/{i}"
     ts = _BASE_TS + timedelta(seconds=i)
@@ -129,6 +136,23 @@ def _page_for(i: int, seed: int) -> tuple[str, datetime, bytes, str, str]:
                 f"<http://bad{i}> <oops .. malformed {{ island\n"
                 "</script>"
             )
+        # richness>1: additional Turtle islands + filler prose so
+        # page size and per-page parse work match real web documents
+        for r in range(1, richness):
+            j = i * richness + r
+            entr = f"http://site{site}.example/thing/{i}/part/{r}"
+            parts.append(
+                f"<p>{'Filler prose between islands, sentence %d. ' % r * 20}</p>"
+                '<script type="text/turtle">\n'
+                "@prefix s: <http://schema.org/> .\n"
+                f"<{entr}> a s:Thing ;\n"
+                f'  s:name """{name} part {r}""" ;\n'
+                f"  s:position {j} ;\n"
+                f"  s:ratingValue {(j % 50) / 10.0:.1f} ;\n"
+                f"  s:relatedLink <{obj}> ;\n"
+                f"  s:review [ s:author \"user{j % 211}\" ] .\n"
+                "</script>"
+            )
 
     text = (
         f"Plain text body of page {i}.\n"
@@ -156,6 +180,7 @@ def synthesize_pages(
     n_rows: int,
     seed: int = 42,
     partitions: int | None = None,
+    richness: int = 1,
 ) -> DataFrame:
     """Distributed deterministic corpus: ``spark.range`` →
     ``mapInPandas`` (generation is map-side, shuffle-free, and scales
@@ -171,10 +196,12 @@ def synthesize_pages(
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                url, ts, html, text, lang = _page_for(i, seed)
+                url, ts, html, text, lang = _page_for(i, seed, richness)
                 if i % recrawl_every == recrawl_every - 1:
                     # re-crawl of the previous page, later timestamp
-                    url0, _, html0, text0, lang0 = _page_for(i - 1, seed)
+                    url0, _, html0, text0, lang0 = _page_for(
+                        i - 1, seed, richness
+                    )
                     rows.append(
                         (url0, ts + timedelta(days=1), html0, text0, lang0)
                     )
