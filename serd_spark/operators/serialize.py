@@ -121,3 +121,51 @@ def serialize_documents(triples: DataFrame, quads: bool = False) -> DataFrame:
         )
 
     return triples.groupBy("url").applyInPandas(to_doc, schema=DOC_SCHEMA)
+
+
+TURTLE_DOC_SCHEMA = "url string, turtle string, n_statements int"
+
+
+def serialize_turtle_documents(
+    triples: DataFrame,
+    prefixes: dict[str, str] | None = None,
+    trig: bool = False,
+) -> DataFrame:
+    """→ DataFrame(url, turtle, n_statements): one abbreviated
+    Turtle (or TriG) document per url — the Spark expression of the
+    reference's pretty writer (ref: src/writer.c SERD_STYLE_ABBREV;
+    SURVEY.md §2A op-12). One shuffle (groupBy url); the abbreviation
+    itself is document-local Python over each group."""
+    from serd_spark.rdf.env import Env
+    from serd_spark.rdf.turtle_writer import write_trig, write_turtle
+
+    def to_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("stmt_ord")
+        stmts = []
+        for r in pdf.itertuples(index=False):
+            s = Term(int(r.s_kind), r.s)
+            p = Term(IRI, r.p)
+            o = Term(int(r.o_kind), r.o, r.o_dt or "", r.o_lang or "")
+            g = None
+            if trig and r.g:
+                g = (
+                    Term(BLANK, r.g[2:])
+                    if r.g.startswith("_:")
+                    else Term(IRI, r.g)
+                )
+            stmts.append(Statement(s, p, o, g))
+        env = Env()
+        if prefixes:
+            env.prefixes = dict(prefixes)
+        text = write_trig(stmts, env) if trig else write_turtle(stmts, env)
+        return pd.DataFrame(
+            {
+                "url": [pdf["url"].iloc[0]],
+                "turtle": [text],
+                "n_statements": [len(stmts)],
+            }
+        )
+
+    return triples.groupBy("url").applyInPandas(
+        to_doc, schema=TURTLE_DOC_SCHEMA
+    )

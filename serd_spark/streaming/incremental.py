@@ -1,0 +1,140 @@
+"""Structured Streaming front-end for the KG-construction pipeline.
+
+The reference's incremental surface is the chunked pull parser
+(``serd_reader_read_chunk`` — one statement per call, caller-driven;
+ref: serd/serd.h, SURVEY.md §2A op-2). At pipeline scale the
+equivalent increment is *one micro-batch of newly crawled pages*:
+
+- ``stream_pages``: file-source ``readStream`` over a pages
+  directory — new parquet files are discovered per micro-batch, with
+  ``maxFilesPerTrigger`` bounding batch size (≙ the bounded-memory
+  guarantee of chunked parsing).
+- ``stream_extract``: the SAME fused extraction stage as batch
+  (`extract_triples(canonicalize=True, dedup=True)`) applied to the
+  stream — mapInPandas is fully streaming-composable, so nothing is
+  reimplemented.
+- ``run_incremental``: ``foreachBatch`` sink appending each
+  micro-batch's triples to the warehouse with checkpointing —
+  exactly-once via Spark's streaming checkpoint + idempotent
+  extraction (every output value is a pure function of (url, bytes),
+  SURVEY.md §4.2-6).
+- ``streaming_predicate_counts``: windowed streaming aggregation with
+  a watermark on ``warc_ts`` (late re-crawls beyond the watermark are
+  dropped) — the standard monitoring rollup over the extraction
+  stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serd_spark.operators.extract import extract_triples
+from serd_spark.sources.pages import PAGES_SCHEMA
+
+
+def stream_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-source stream over a growing pages directory (the
+    parquet/Iceberg stand-in for an incremental snapshot scan)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def stream_extract(pages_stream: DataFrame, lax: bool = True) -> DataFrame:
+    """Fused extraction applied to a streaming DataFrame — identical
+    code path to batch (mapInPandas composes with streaming)."""
+    return extract_triples(
+        pages_stream, lax=lax, canonicalize=True, dedup=True
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lax: bool = True,
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Incremental extraction job: new page files → triples appended
+    to ``out_dir``; resume handled by the streaming checkpoint.
+
+    ``available_now=True`` processes the current backlog then stops
+    (the batch-incremental mode the north rule's checkpoint-resume
+    asks for); False runs continuously.
+    """
+    ext = stream_extract(
+        stream_pages(spark, pages_dir, max_files_per_trigger), lax=lax
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        ext.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+    else:
+        q = writer.start()
+    return q
+
+
+def streaming_crawl_stats(
+    spark: SparkSession,
+    pages_dir: str,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Watermarked event-time rollup of the crawl stream: pages per
+    tumbling ``warc_ts`` window per language. Re-crawls arriving
+    later than ``watermark`` past the window close are dropped — the
+    'late data' policy of SURVEY.md §2B, with bounded state."""
+    pages = stream_pages(spark, pages_dir, max_files_per_trigger)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("html")).alias("bytes_in"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_pages",
+            "bytes_in",
+        )
+    )
+
+
+def streaming_predicate_counts(
+    spark: SparkSession,
+    pages_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Running triples-per-predicate counts over the extraction
+    stream (update/complete output mode; the predicate key space is
+    small, so unwindowed state is bounded)."""
+    ext = stream_extract(
+        stream_pages(spark, pages_dir, max_files_per_trigger)
+    )
+    return (
+        ext.filter(F.col("rec") == "t")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )

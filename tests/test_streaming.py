@@ -1,0 +1,87 @@
+"""Structured Streaming incremental pipeline."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from serd_spark.sources.pages import synthesize_pages
+from serd_spark.streaming.incremental import (
+    run_incremental,
+    streaming_crawl_stats,
+    streaming_predicate_counts,
+)
+
+
+@pytest.fixture()
+def pages_dir(spark, tmp_path):
+    d = str(tmp_path / "pages")
+    synthesize_pages(spark, 100, seed=42).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_incremental_extract_and_resume(spark, tmp_path, pages_dir):
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_incremental(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).filter(F.col("rec") == "t").count()
+    docs1 = spark.read.parquet(out).filter(F.col("rec") == "d").count()
+    assert n1 > 0
+    assert docs1 == 100
+
+    # no new files → restart processes nothing (checkpoint resume)
+    q = run_incremental(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).filter(F.col("rec") == "d").count() == 100
+
+    # new files → only the increment is processed
+    more = synthesize_pages(spark, 160, seed=42).filter(
+        F.col("url").rlike("/page/1[0-5][0-9]$")
+    )
+    more.coalesce(1).write.mode("append").parquet(pages_dir)
+    q = run_incremental(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+    docs3 = spark.read.parquet(out).filter(F.col("rec") == "d").count()
+    total_input = spark.read.parquet(pages_dir).count()
+    # exactly-once: one 'd' marker per input row, old + increment
+    # (the generator emits ~2% re-crawled urls, so compare row counts,
+    # not distinct urls)
+    assert docs3 == total_input > 100
+
+
+def test_streaming_crawl_stats(spark, pages_dir):
+    df = streaming_crawl_stats(spark, pages_dir, window="1 hour")
+    q = (
+        df.writeStream.format("memory")
+        .queryName("crawl_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; with a 1h watermark the
+    # last window stays open, so just check the query ran and the
+    # schema is right
+    got = spark.sql("select * from crawl_stats")
+    assert got.columns == ["window_start", "lang", "n_pages", "bytes_in"]
+
+
+def test_streaming_predicate_counts(spark, pages_dir):
+    df = streaming_predicate_counts(spark, pages_dir)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("pred_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.p: r.n_triples
+        for r in spark.sql("select * from pred_counts").collect()
+    }
+    assert got.get("http://schema.org/name", 0) > 0
