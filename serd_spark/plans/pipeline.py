@@ -221,3 +221,28 @@ def run_pipeline(
         wall_s=time.time() - t0,
         resumed_skipped=skipped,
     )
+
+
+def read_extracted(
+    spark: SparkSession, warehouse: str, as_of_run: str | None = None
+) -> DataFrame:
+    """Snapshot-consistent read of the extracted table — the
+    time-travel semantics of an Iceberg `VERSION AS OF` on this
+    warehouse's manifest layout: only snapshots whose manifest was
+    committed at-or-before ``as_of_run`` (run ids sort
+    chronologically) are visible."""
+    runs = committed_runs(warehouse)
+    if as_of_run is not None:
+        runs = [r for r in runs if r <= as_of_run]
+    if not runs:
+        raise FileNotFoundError(f"no committed snapshots in {warehouse}")
+    return spark.read.parquet(
+        *[os.path.join(warehouse, "extracted", f"snapshot={r}") for r in runs]
+    )
+
+
+def read_triples(
+    spark: SparkSession, warehouse: str, as_of_run: str | None = None
+) -> DataFrame:
+    """Triples as of a committed snapshot (time travel)."""
+    return triples_only(read_extracted(spark, warehouse, as_of_run))

@@ -152,6 +152,13 @@ class TurtleWriter:
             if kind == BLANK and (value in inlinable):
                 continue  # emitted inline at its reference site
             out.append(self._subject_block(key))
+        # catch-all: blanks marked inlinable but never reached from a
+        # non-blank root (self-loops, blank-only cycles, orphan
+        # chains) still own statements — emit them as labeled blocks
+        # so no statement is ever lost
+        for key in subj_order:
+            if key not in self._emitted:
+                out.append(self._subject_block(key))
         return "\n".join(out) + ("\n" if out else "")
 
     def _well_formed_lists(
@@ -223,7 +230,7 @@ class TurtleWriter:
         if o.kind == IRI:
             return self._iri(o.value)
         # blank node object
-        if o.value in self._lists:
+        if o.value in self._lists and (BLANK, o.value) not in self._emitted:
             return self._collection(o.value)
         if o.value in self._inlinable and (o.value,) is not None and (
             (BLANK, o.value) in self._by_subject

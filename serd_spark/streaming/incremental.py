@@ -138,3 +138,41 @@ def streaming_predicate_counts(
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_triples"))
     )
+
+
+def stream_dedup_urls(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: cross-micro-batch url
+    dedup via ``applyInPandasWithState`` (the Spark-native stateful
+    UDF surface — ≙ a keyed "have I seen this url" operator that the
+    reference has no equivalent for; its state lives in the streaming
+    state store, checkpointed with the query).
+
+    Within a batch AND across batches, only the FIRST row per url
+    passes; re-crawls are dropped. State per url is one marker byte —
+    bounded by distinct urls, and evictable by adding a processing-
+    time timeout where crawl recency bounds re-crawl windows.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # url already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                row = pdf.iloc[[0]]
+                first = row if first is None else first
+                break
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    return pages_stream.groupBy("url").applyInPandasWithState(
+        dedup,
+        outputStructType=PAGES_SCHEMA,
+        stateStructType="seen byte",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

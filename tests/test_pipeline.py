@@ -74,3 +74,23 @@ def test_uncommitted_snapshot_invisible(spark, warehouse, tmp_path):
     assert committed_runs(warehouse) == ["ok"]
     d = done_urls(spark, warehouse)
     assert d is not None and d.count() > 0
+
+
+def test_time_travel_reads(spark, tmp_path):
+    from serd_spark.plans.pipeline import read_triples, run_pipeline
+    from serd_spark.sources.pages import synthesize_pages
+
+    wh = str(tmp_path / "wh_tt")
+    pages1 = synthesize_pages(spark, 60, seed=42)
+    r1 = run_pipeline(spark, pages1, wh, run_id="r0001")
+    pages2 = synthesize_pages(spark, 120, seed=42)
+    r2 = run_pipeline(spark, pages2, wh, run_id="r0002")
+    assert r2.resumed_skipped > 0
+
+    n_asof1 = read_triples(spark, wh, as_of_run="r0001").count()
+    n_now = read_triples(spark, wh).count()
+    assert n_asof1 == r1.triples_out
+    assert n_now > n_asof1
+
+    with pytest.raises(FileNotFoundError):
+        read_triples(spark, str(tmp_path / "empty_wh"))

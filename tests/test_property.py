@@ -123,3 +123,66 @@ def test_normalize_idempotent(s):
     except Exception:  # pragma: no cover
         raise AssertionError(f"normalize raised on {s!r}")
     assert uri.normalize(once) == once
+
+
+@given(st.lists(statements(), min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_turtle_writer_round_trip(stmts):
+    """The abbreviating Turtle writer must produce valid Turtle that
+    reparses to an isomorphic statement set (blank labels may be
+    renamed; everything else byte-exact)."""
+    from serd_spark.rdf.turtle_writer import write_turtle
+
+    out = write_turtle(stmts)
+    parsed, errs = parse_turtle(out)
+    assert errs == []
+    assert len(parsed) == len(stmts)
+
+    # blank-node-isomorphism-safe comparison: iterative signature
+    # refinement (hash of each blank's neighborhood, 3 rounds), then
+    # multiset equality of statements with blanks -> signatures
+    def canon(sts):
+        import hashlib
+
+        def h(x):
+            return hashlib.blake2b(repr(x).encode(), digest_size=8).hexdigest()
+
+        sig = {}
+        for s in sts:
+            for t in (s.subject, s.object):
+                if t.kind == BLANK:
+                    sig[t.value] = "b"
+        for _ in range(3):
+            new = {}
+            for b in sig:
+                ctx = []
+                for s in sts:
+                    su, o = s.subject, s.object
+                    if su.kind == BLANK and su.value == b:
+                        other = (
+                            sig[o.value]
+                            if o.kind == BLANK
+                            else repr((o.kind, o.value, o.datatype, o.lang))
+                        )
+                        ctx.append(("out", s.predicate.value, other))
+                    if o.kind == BLANK and o.value == b:
+                        other = (
+                            sig[su.value]
+                            if su.kind == BLANK
+                            else repr((su.kind, su.value))
+                        )
+                        ctx.append(("in", s.predicate.value, other))
+                new[b] = h((sig[b], sorted(ctx)))
+            sig = new
+
+        def lab(t):
+            if t.kind == BLANK:
+                return ("b", sig[t.value])
+            return (t.kind, t.value, t.datatype, t.lang)
+
+        return sorted(
+            str((lab(s.subject), lab(s.predicate), lab(s.object)))
+            for s in sts
+        )
+
+    assert canon(stmts) == canon(parsed)

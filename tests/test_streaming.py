@@ -85,3 +85,40 @@ def test_streaming_predicate_counts(spark, pages_dir):
         for r in spark.sql("select * from pred_counts").collect()
     }
     assert got.get("http://schema.org/name", 0) > 0
+
+
+def test_stream_dedup_urls(spark, tmp_path):
+    """Cross-batch stateful url dedup: re-crawled urls in later
+    micro-batches must not re-emit."""
+    from serd_spark.streaming.incremental import (
+        stream_dedup_urls,
+        stream_pages,
+    )
+
+    d = str(tmp_path / "pages_dup")
+    base = synthesize_pages(spark, 60, seed=42)
+    base.coalesce(1).write.mode("overwrite").parquet(d)
+    # second file: 30 re-crawls of the same urls + 10 new pages
+    dup = synthesize_pages(spark, 60, seed=42).limit(30).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 DAYS")
+    )
+    new = synthesize_pages(spark, 80, seed=42).filter(
+        F.col("url").rlike("/page/7[0-9]$")
+    )
+    dup.union(new).coalesce(1).write.mode("append").parquet(d)
+
+    out = stream_dedup_urls(stream_pages(spark, d, max_files_per_trigger=1))
+    ckpt = str(tmp_path / "ckpt_dedup")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped_pages")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url, count(*) n from deduped_pages group by url")
+    assert got.filter(F.col("n") > 1).count() == 0
+    total_distinct = spark.read.parquet(d).select("url").distinct().count()
+    assert got.count() == total_distinct
