@@ -188,6 +188,61 @@ def kg_bad_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abbreviating Turtle writer (serd op-12): serialize each
+    document, reparse, prove statement-count fixpoint."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from serd_spark.operators.serialize import serialize_turtle_documents
+    from serd_spark.rdf.turtle import parse_turtle
+
+    docs = serialize_turtle_documents(
+        _kg_triples(spark, sf_dir), prefixes={"s": "http://schema.org/"}
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = 0
+            for turtle, n in zip(pdf["turtle"], pdf["n_statements"]):
+                stmts, errs = parse_turtle(turtle, "")
+                if not errs and len(stmts) == n:
+                    ok += 1
+            yield pd.DataFrame(
+                {"n_docs": [len(pdf)], "n_roundtrip": [ok]}
+            )
+
+    return docs.mapInPandas(
+        verify, schema="n_docs long, n_roundtrip long"
+    ).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_roundtrip").alias("n_roundtrip"),
+    )
+
+
+def kg_hub_salting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handling: hub detection + content-derived salting; output
+    = per-salt row counts for the detected hub subjects (must spread
+    across salts, non-hubs all salt 0)."""
+    from serd_spark.operators.materialize import bucket_and_salt, detect_hubs
+
+    triples = _kg_triples(spark, sf_dir)
+    # sf-proportional threshold: ~1% of pages reference a hub, so a
+    # few refs each at sf0.01 — production uses min_hub_refs=10_000
+    hubs = detect_hubs(triples, top_k=8)
+    bucketed = bucket_and_salt(triples, hubs, min_hub_refs=2)
+    return (
+        bucketed.groupBy((F.col("salt") > 0).alias("is_salted"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("salt").alias("n_salts"),
+            F.count_distinct("subj_bucket").alias("n_buckets"),
+        )
+        .orderBy("is_salted")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import simhash_near_dups
 
@@ -518,6 +573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_roundtrip": kg_roundtrip,
         "kg_linking": kg_linking,
         "kg_bad_docs": kg_bad_docs,
+        "kg_turtle": kg_turtle,
+        "kg_hub_salting": kg_hub_salting,
         "dedup_simhash": dedup_simhash,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_embedding": dedup_embedding,

@@ -36,7 +36,9 @@ def detect_hubs(triples: DataFrame, top_k: int = 64) -> DataFrame:
     return (
         triples.groupBy("s")
         .agg(F.count(F.lit(1)).alias("ref_count"))
-        .orderBy(F.desc("ref_count"))
+        # tie-break on s: limit() over equal counts is otherwise
+        # nondeterministic across runs/retries
+        .orderBy(F.desc("ref_count"), F.col("s"))
         .limit(top_k)
         .select("s", "ref_count")
     )
