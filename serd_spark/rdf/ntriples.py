@@ -179,25 +179,45 @@ _ESCAPE_RE = re.compile(r'[\x00-\x1f"\\\x7f]')
 _IRI_ESCAPE_RE = re.compile(r'[\x00-\x20<>"{}|^`\\\x7f]')
 
 
-def _escape_literal(s: str) -> str:
-    return _ESCAPE_RE.sub(lambda m: _ESCAPES[m.group(0)], s)
+def _u_escape(cp: int) -> str:
+    return f"\\u{cp:04X}" if cp <= 0xFFFF else f"\\U{cp:08X}"
 
 
-def _escape_iri(s: str) -> str:
-    return _IRI_ESCAPE_RE.sub(lambda m: f"\\u{ord(m.group(0)):04X}", s)
+def _escape_literal(s: str, ascii_only: bool = False) -> str:
+    s = _ESCAPE_RE.sub(lambda m: _ESCAPES[m.group(0)], s)
+    if ascii_only:
+        s = "".join(
+            c if ord(c) < 0x80 else _u_escape(ord(c)) for c in s
+        )
+    return s
 
 
-def format_term(t: Term, blank_map: dict[str, str] | None = None) -> str:
+def _escape_iri(s: str, ascii_only: bool = False) -> str:
+    s = _IRI_ESCAPE_RE.sub(lambda m: f"\\u{ord(m.group(0)):04X}", s)
+    if ascii_only:
+        s = "".join(
+            c if ord(c) < 0x80 else _u_escape(ord(c)) for c in s
+        )
+    return s
+
+
+def format_term(
+    t: Term,
+    blank_map: dict[str, str] | None = None,
+    ascii_only: bool = False,
+) -> str:
+    """``ascii_only`` ≙ the reference's SERD_STYLE_ASCII (serdi -a):
+    non-ASCII codepoints become \\u/\\U escapes."""
     if t.kind == IRI:
-        return f"<{_escape_iri(t.value)}>"
+        return f"<{_escape_iri(t.value, ascii_only)}>"
     if t.kind == BLANK:
         label = blank_map[t.value] if blank_map is not None else t.value
         return f"_:{label}"
-    out = f'"{_escape_literal(t.value)}"'
+    out = f'"{_escape_literal(t.value, ascii_only)}"'
     if t.lang:
         return f"{out}@{t.lang}"
     if t.datatype:
-        return f"{out}^^<{_escape_iri(t.datatype)}>"
+        return f"{out}^^<{_escape_iri(t.datatype, ascii_only)}>"
     return out
 
 
@@ -212,30 +232,39 @@ def canonical_blank_relabel(statements: list[Statement]) -> dict[str, str]:
     return m
 
 
-def write_ntriples(statements: list[Statement], relabel: bool = True) -> str:
+def write_ntriples(
+    statements: list[Statement],
+    relabel: bool = True,
+    ascii_only: bool = False,
+) -> str:
     """Serialize to N-Triples, one statement per line, trailing
     newline iff non-empty (graph components are dropped — use
-    :func:`write_nquads` to keep them)."""
+    :func:`write_nquads` to keep them). ``ascii_only`` ≙ serdi -a."""
     bm = canonical_blank_relabel(statements) if relabel else None
     lines = [
-        f"{format_term(st.subject, bm)} {format_term(st.predicate)} "
-        f"{format_term(st.object, bm)} ."
+        f"{format_term(st.subject, bm, ascii_only)} "
+        f"{format_term(st.predicate, None, ascii_only)} "
+        f"{format_term(st.object, bm, ascii_only)} ."
         for st in statements
     ]
     return "\n".join(lines) + ("\n" if lines else "")
 
 
-def write_nquads(statements: list[Statement], relabel: bool = True) -> str:
+def write_nquads(
+    statements: list[Statement],
+    relabel: bool = True,
+    ascii_only: bool = False,
+) -> str:
     bm = canonical_blank_relabel(statements) if relabel else None
     lines = []
     for st in statements:
         parts = [
-            format_term(st.subject, bm),
-            format_term(st.predicate),
-            format_term(st.object, bm),
+            format_term(st.subject, bm, ascii_only),
+            format_term(st.predicate, None, ascii_only),
+            format_term(st.object, bm, ascii_only),
         ]
         if st.graph is not None:
-            parts.append(format_term(st.graph, bm))
+            parts.append(format_term(st.graph, bm, ascii_only))
         parts.append(".")
         lines.append(" ".join(parts))
     return "\n".join(lines) + ("\n" if lines else "")

@@ -108,3 +108,23 @@ def test_iri_escaping_in_writer():
     )
     out = write_ntriples([st])
     assert "\\u003C" in out and "\\u0020" in out
+
+
+def test_ascii_mode_escapes_non_ascii():
+    """serdi -a equivalent: non-ASCII → \\u/\\U escapes, and the
+    output still parses back to identical values."""
+    from serd_spark.rdf.model import Statement, iri, literal
+    from serd_spark.rdf.ntriples import parse_ntriples, write_ntriples
+
+    stmts = [
+        Statement(
+            iri("http://e/ünï"), iri("http://p/x"), literal("漢字 \U0001F600")
+        )
+    ]
+    out = write_ntriples(stmts, ascii_only=True)
+    assert out == out.encode("ascii").decode("ascii")
+    assert "\\u00FC" in out and "\\U0001F600" in out
+    parsed, errs = parse_ntriples(out)
+    assert not errs
+    assert parsed[0].subject.value == "http://e/ünï"
+    assert parsed[0].object.value == "漢字 \U0001F600"
