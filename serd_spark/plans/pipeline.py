@@ -151,10 +151,13 @@ def run_pipeline(
     hub_top_k: int = 64,
     min_hub_refs: int = 10_000,
     resume: bool = True,
+    link: bool = True,
+    link_threshold: float = 0.7,
 ) -> RunResult:
     """One resumable pipeline run: ingest-dedup → extract (with
-    canonicalize+dedup fused, +lineage) → snapshot commit →
-    bucket/salt → materialize graph."""
+    canonicalize+dedup fused, +lineage) → snapshot commit → minhash
+    entity linking (links/ + entities/ tables, canonical surface-IRI
+    rewrite) → bucket/salt → materialize graph."""
     t0 = time.time()
     os.makedirs(os.path.join(warehouse, "manifests"), exist_ok=True)
 
@@ -207,6 +210,23 @@ def run_pipeline(
     # url-disjoint (resume anti-join), so no cross-snapshot dedup is
     # needed either
     triples = triples_only(all_ext)
+
+    if link:
+        # minhash entity linking across ALL documents (north star):
+        # links + canonical-entity map land as warehouse tables and
+        # the graph is rewritten through the canonical surface IRIs
+        from serd_spark.operators.linking import apply_canonical, link_entities
+
+        links, entities = link_entities(triples, threshold=link_threshold)
+        links.write.mode("overwrite").parquet(
+            os.path.join(warehouse, "links")
+        )
+        entities.write.mode("overwrite").parquet(
+            os.path.join(warehouse, "entities")
+        )
+        entities = spark.read.parquet(os.path.join(warehouse, "entities"))
+        triples = apply_canonical(triples, entities)
+
     hubs = detect_hubs(triples, top_k=hub_top_k)
     bucketed = bucket_and_salt(
         triples, hubs, n_buckets=n_buckets, min_hub_refs=min_hub_refs

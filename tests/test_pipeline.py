@@ -94,3 +94,32 @@ def test_time_travel_reads(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_triples(spark, str(tmp_path / "empty_wh"))
+
+
+def test_pipeline_linking_stage(spark, tmp_path):
+    """The full run writes links/ + entities/ and rewrites linked
+    surface IRIs through their canonical form in the graph."""
+    import os
+
+    from serd_spark.plans.pipeline import run_pipeline
+    from serd_spark.sources.pages import synthesize_pages
+
+    wh = str(tmp_path / "wh_link")
+    run_pipeline(
+        spark,
+        synthesize_pages(spark, 150, seed=42),
+        wh,
+        run_id="r1",
+        link=True,
+        link_threshold=0.6,
+    )
+    assert os.path.isdir(os.path.join(wh, "links"))
+    entities = spark.read.parquet(os.path.join(wh, "entities"))
+    graph = spark.read.parquet(os.path.join(wh, "triples"))
+    n_links = spark.read.parquet(os.path.join(wh, "links")).count()
+    assert n_links > 0 and entities.count() > 0
+    # every non-canonical linked surface IRI is gone from subjects
+    non_canon = entities.filter(F.col("entity") != F.col("canon")).select(
+        F.col("entity").alias("s")
+    )
+    assert graph.join(non_canon, "s", "left_semi").count() == 0
