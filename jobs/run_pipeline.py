@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--strict", action="store_true")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--no-link", action="store_true",
+                    help="skip the entity-linking stage")
     args = ap.parse_args()
 
     from serd_spark.plans.pipeline import run_pipeline
@@ -57,6 +59,7 @@ def main() -> int:
         run_id,
         lax=not args.strict,
         n_buckets=args.buckets,
+        link=not args.no_link,
     )
     print(
         json.dumps(
