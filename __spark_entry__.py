@@ -544,6 +544,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, list(q), k=10)
 
 
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cos ≥ 0.45, brute force) —
+    the DuckDB-checkable baseline for the LSH-bucketed
+    ``dedup_embedding`` scale path."""
+    from serd_spark.operators.dedup import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import cosine
 
@@ -600,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_md5": q_minhash_md5,
         "q_cosine_topk": q_cosine_topk,
+        "q_embedding_dups": q_embedding_dups,
         "q_knn_join": q_knn_join,
     }
 
@@ -824,6 +847,22 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
             FROM embeddings e, q
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "q_embedding_dups": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(
+                    list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
         """,
         "q_knn_join": """
             WITH qs AS (
