@@ -129,6 +129,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_pages": n_pages,
                 "n_triples": n_triples,
+                "triples_per_sec": round(n_triples / wall, 2),
                 "pipeline_wall_sec": round(wall, 3),
             }
         )
