@@ -32,6 +32,13 @@ __all__ = ["ParsedURI", "parse", "resolve", "normalize", "remove_dot_segments"]
 _ABS_AUTHORITY = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*://")
 # scheme followed by ':' (match end tells us where)
 _SCHEME = re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*:")
+# already-canonical shape: lowercase scheme + lowercase reg-name host
+# with NO port, non-empty path, no percent triplets anywhere — for
+# these, normalize() is the identity (dot segments still checked
+# separately). The common case for machine-generated web IRIs.
+_CANONICAL = re.compile(
+    r"[a-z][a-z0-9+.\-]*://[a-z0-9\-._~]+/[^%\s]*\Z"
+)
 
 
 @dataclass(frozen=True, slots=True)
@@ -262,6 +269,13 @@ def normalize(uri: str) -> str:
     (RFC 3986 §6.2.2, §6.2.3). Non-absolute inputs are returned with
     percent-normalization only — the canonicalization stage never
     invents a base."""
+    if (
+        _CANONICAL.match(uri)
+        and "/./" not in uri
+        and "/../" not in uri
+        and not uri.endswith(("/.", "/.."))
+    ):
+        return uri
     p = parse(uri)
     if p.scheme is None:
         return _normalize_pct(uri)
