@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,26 @@ LANGS = {
     "es": ["el", "de", "que", "los", "una"],
     "de": ["der", "die", "und", "das", "ist"],
 }
+
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship serd_spark to Python workers regardless of the driver
+    process's cwd/PYTHONPATH (no-op when already importable there)."""
+    try:
+        import shutil
+
+        zip_path = "/tmp/serd_spark_pkg.zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(zip_path[:-4], "zip", root_dir=_REPO,
+                                base_dir="serd_spark")
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added, or local path import suffices
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,6 +81,7 @@ def _cents(col) -> F.Column:
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.sources.pages import synthesize_pages
 
+    _ensure_shipped(spark)
     return synthesize_pages(spark, _n_pages(sf_dir), seed=42)
 
 
