@@ -46,6 +46,22 @@ _IRIREF_L = re.compile(
 )
 _STRING_L = re.compile(r'"((?:[^"\\\n\r]|\\.)*)"')
 
+# fast path: the overwhelmingly common line shape — IRI subject/
+# predicate, escape-free IRI or escape-free literal object, optional
+# escape-free IRI graph term. Anything else (escapes, blank nodes,
+# comments mid-line, errors) falls back to the exact per-term parser.
+_FAST_IRI = r'<([^\x00-\x20<>"{}|^`\\]*)>'
+_FAST_LINE = re.compile(
+    r"[ \t]*" + _FAST_IRI +                      # subject
+    r"[ \t]+" + _FAST_IRI +                      # predicate
+    r"[ \t]+(?:" + _FAST_IRI.replace("(", "(", 1) +  # object iri
+    r'|"([^"\\\n\r]*)"'                          # or literal (no escapes)
+    r"(?:\^\^" + _FAST_IRI + r"|@([A-Za-z]+(?:-[A-Za-z0-9]+)*))?"
+    r")"
+    r"(?:[ \t]+" + _FAST_IRI + r")?"             # optional graph (NQ)
+    r"[ \t]*\.[ \t]*\Z"
+)
+
 
 class _LineParser:
     """One N-Triples/N-Quads statement line."""
@@ -120,6 +136,22 @@ def _parse_lines(
     statements: list[Statement] = []
     errors: list[tuple[int, int, str]] = []
     for lineno, line in enumerate(text.split("\n"), start=1):
+        fm = _FAST_LINE.match(line)
+        if fm is not None and (quads or fm.group(7) is None):
+            s_v, p_v, oi, lit, dt, lang, g_v = fm.groups()
+            if oi is not None:
+                obj = Term(IRI, oi)
+            else:
+                obj = Term(LITERAL, lit, dt or "", lang or "")
+            statements.append(
+                Statement(
+                    Term(IRI, s_v),
+                    Term(IRI, p_v),
+                    obj,
+                    Term(IRI, g_v) if g_v is not None else None,
+                )
+            )
+            continue
         lp = _LineParser(line, lineno)
         if lp.at_end_or_comment():
             continue
