@@ -213,7 +213,21 @@ class TurtleParser:
         raise ParseError(msg, line, col)
 
     def _skip_ws(self) -> None:
-        m = _WS.match(self.s, self.pos)
+        # fast path: zero-or-one plain space (the dominant case in
+        # machine-written Turtle) without a regex call
+        s, p, n = self.s, self.pos, self.n
+        if p < n:
+            c = s[p]
+            if c == " ":
+                p += 1
+                if p >= n:
+                    self.pos = p
+                    return
+                c = s[p]
+            if c not in " \t\r\n#":
+                self.pos = p
+                return
+        m = _WS.match(s, p)
         if m:
             self.pos = m.end()
 
