@@ -1,0 +1,45 @@
+"""Corpus-curation job: documents parquet → curated parquet +
+per-stage survival metrics (see serd_spark/plans/curate.py).
+
+    spark-submit --py-files dist/serd_spark.zip jobs/curate.py \\
+        --input /data/documents --out /data/curated
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--langs", default="en")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from serd_spark.plans.curate import curate_documents
+    from serd_spark.session import get_spark
+
+    spark = get_spark(app_name="curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+    res = curate_documents(
+        docs,
+        keep_langs=tuple(args.langs.split(",")),
+        min_tokens=args.min_tokens,
+        near_dup_threshold=args.near_dup_threshold,
+    )
+    res.curated.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"stages": res.metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Training-corpus curation pipeline — the end-to-end composition of
+the training-data operators (OPERATORS.md "Training-data pipeline
+ops") that a 100 TB pre-training corpus build runs after extraction:
+
+    documents → language filter → quality filter → exact dedup →
+    MinHash near-dup removal → curated corpus + per-stage survival
+    metrics
+
+Scale posture:
+- language + quality filters are pure WholeStageCodegen expressions —
+  they run at scan speed and Catalyst pushes projections down;
+- exact dedup shuffles only (fingerprint, id) pairs, never text;
+- near-dup removal reuses the banded-LSH machinery (cost ∝ duplicate
+  mass, bucket-capped) and keeps the MIN id of each near-dup pair
+  group (deterministic survivor selection);
+- every stage emits its survivor count into a metrics row, so the
+  curation yield is one tiny DataFrame, not a log grep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serd_spark.operators.dedup import drop_exact_dups, minhash_near_dups
+from serd_spark.operators.text import lang_id, quality_features
+
+
+@dataclass
+class CurationResult:
+    curated: DataFrame
+    metrics: list[tuple[str, int]] = field(default_factory=list)
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_mean_word_len: float = 20.0,
+    max_punct_ratio: float = 0.3,
+    near_dup_threshold: float = 0.8,
+    collect_metrics: bool = True,
+) -> CurationResult:
+    """Filter-and-dedup chain with per-stage survivor metrics.
+
+    ``collect_metrics=False`` skips the per-stage counts (each is an
+    action) for production runs that only want the final frame.
+    """
+    metrics: list[tuple[str, int]] = []
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if collect_metrics:
+            metrics.append((stage, df.count()))
+        return df
+
+    note("input", docs)
+
+    # 1. language filter (heuristic lang-ID, not the metadata column)
+    by_lang = docs.filter(lang_id(F.col(text_col)).isin(*keep_langs))
+    note("lang_filter", by_lang)
+
+    # 2. quality filter
+    q = quality_features(by_lang, text_col)
+    good = q.filter(
+        (F.col("q_tokens") >= min_tokens)
+        & (F.col("q_mean_word_len") <= max_mean_word_len)
+        & (F.col("q_punct_ratio") <= max_punct_ratio)
+    ).select(*docs.columns)
+    note("quality_filter", good)
+
+    # 3. exact dedup (normalized-content fingerprint, min-id survivor)
+    exact = drop_exact_dups(good, id_col, text_col)
+    note("exact_dedup", exact)
+
+    # 4. near-dup removal: from each MinHash-verified pair, drop the
+    # larger id (transitively: keeping ids that are never the larger
+    # member removes every near-dup cluster down to its min id when
+    # the cluster is LSH-connected pairwise; stragglers are bounded
+    # by LSH recall, the standard trade-off)
+    pairs = minhash_near_dups(
+        exact, id_col, text_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(
+        F.col("entity_b").cast(dict(exact.dtypes)[id_col]).alias(id_col)
+    ).distinct()
+    curated = exact.join(losers, id_col, "left_anti")
+    note("near_dup_removal", curated)
+
+    return CurationResult(curated=curated, metrics=metrics)
+
+
+def metrics_df(spark, result: CurationResult) -> DataFrame:
+    return spark.createDataFrame(
+        result.metrics, "stage string, n_docs long"
+    )

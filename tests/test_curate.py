@@ -1,0 +1,55 @@
+"""Corpus-curation pipeline (plans/curate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from serd_spark.plans.curate import curate_documents, metrics_df
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the cat and the hat is on the mat and the dog is here", "x"),
+        (1, "The cat and the hat  is on the mat and the dog is here", "x"),
+        (2, "the cat and the hat is on the mat and the dog is there", "x"),
+        (3, "le chat et les chapeaux le la et des rues", "x"),
+        (4, "the!!! cat??? ... ;;; ### $$$ %%% the and of", "x"),
+        (5, "of to is", "x"),
+        (6, "this is a perfectly normal english sentence about the weather and the sea", "x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_curate_stages(spark, docs):
+    res = curate_documents(
+        docs, keep_langs=("en",), min_tokens=5,
+        max_punct_ratio=0.2, near_dup_threshold=0.5,
+    )
+    m = dict(res.metrics)
+    assert m["input"] == 7
+    # french doc 3 dropped by lang filter
+    assert m["lang_filter"] == 6
+    # punct-heavy 4 and too-short 5 dropped by quality
+    assert m["quality_filter"] == 4
+    # 1 is an exact (normalized) dup of 0
+    assert m["exact_dedup"] == 3
+    # 2 is a near dup of 0 → min id 0 survives
+    kept = {r.doc_id for r in res.curated.collect()}
+    assert kept == {0, 6}
+    assert m["near_dup_removal"] == 2
+
+    mdf = metrics_df(spark, res)
+    assert mdf.columns == ["stage", "n_docs"]
+    assert mdf.count() == 5
+
+
+def test_curate_on_testdata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = curate_documents(docs, keep_langs=("en",), near_dup_threshold=0.9)
+    m = dict(res.metrics)
+    assert 0 < m["near_dup_removal"] <= m["input"]
+    # survivors are a subset of the input ids
+    n_bad = res.curated.join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    assert n_bad == 0
