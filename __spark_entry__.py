@@ -306,6 +306,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cents, list(q), k=10, n_probe=4)
 
 
+def curate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (lang → quality → exact dedup →
+    near-dup removal) with per-stage survivor counts."""
+    from serd_spark.plans.curate import curate_documents, metrics_df
+
+    docs = _t(spark, sf_dir, "documents")
+    res = curate_documents(docs, keep_langs=("en",), near_dup_threshold=0.9)
+    return metrics_df(spark, res)
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.multimodal import (
         extract_features,
@@ -623,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_embedding": dedup_embedding,
         "ann_ivf": ann_ivf,
+        "curate_metrics": curate_metrics,
         "mm_features": mm_features,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,

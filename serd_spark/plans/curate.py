@@ -54,27 +54,33 @@ def curate_documents(
 
     def note(stage: str, df: DataFrame) -> DataFrame:
         if collect_metrics:
+            # checkpoint so each stage is computed once (the count
+            # would otherwise re-run every upstream stage per action)
+            df = df.localCheckpoint(eager=True)
             metrics.append((stage, df.count()))
         return df
 
-    note("input", docs)
+    docs = note("input", docs)
 
     # 1. language filter (heuristic lang-ID, not the metadata column)
-    by_lang = docs.filter(lang_id(F.col(text_col)).isin(*keep_langs))
-    note("lang_filter", by_lang)
+    by_lang = note(
+        "lang_filter",
+        docs.filter(lang_id(F.col(text_col)).isin(*keep_langs)),
+    )
 
     # 2. quality filter
     q = quality_features(by_lang, text_col)
-    good = q.filter(
-        (F.col("q_tokens") >= min_tokens)
-        & (F.col("q_mean_word_len") <= max_mean_word_len)
-        & (F.col("q_punct_ratio") <= max_punct_ratio)
-    ).select(*docs.columns)
-    note("quality_filter", good)
+    good = note(
+        "quality_filter",
+        q.filter(
+            (F.col("q_tokens") >= min_tokens)
+            & (F.col("q_mean_word_len") <= max_mean_word_len)
+            & (F.col("q_punct_ratio") <= max_punct_ratio)
+        ).select(*docs.columns),
+    )
 
     # 3. exact dedup (normalized-content fingerprint, min-id survivor)
-    exact = drop_exact_dups(good, id_col, text_col)
-    note("exact_dedup", exact)
+    exact = note("exact_dedup", drop_exact_dups(good, id_col, text_col))
 
     # 4. near-dup removal: from each MinHash-verified pair, drop the
     # larger id (transitively: keeping ids that are never the larger
@@ -87,8 +93,9 @@ def curate_documents(
     losers = pairs.select(
         F.col("entity_b").cast(dict(exact.dtypes)[id_col]).alias(id_col)
     ).distinct()
-    curated = exact.join(losers, id_col, "left_anti")
-    note("near_dup_removal", curated)
+    curated = note(
+        "near_dup_removal", exact.join(losers, id_col, "left_anti")
+    )
 
     return CurationResult(curated=curated, metrics=metrics)
 
