@@ -54,7 +54,7 @@ _FAST_IRI = r'<([^\x00-\x20<>"{}|^`\\]*)>'
 _FAST_LINE = re.compile(
     r"[ \t]*" + _FAST_IRI +                      # subject
     r"[ \t]+" + _FAST_IRI +                      # predicate
-    r"[ \t]+(?:" + _FAST_IRI.replace("(", "(", 1) +  # object iri
+    r"[ \t]+(?:" + _FAST_IRI +                   # object iri
     r'|"([^"\\\n\r]*)"'                          # or literal (no escapes)
     r"(?:\^\^" + _FAST_IRI + r"|@([A-Za-z]+(?:-[A-Za-z0-9]+)*))?"
     r")"
