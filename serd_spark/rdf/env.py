@@ -14,7 +14,7 @@ from serd_spark.rdf import uri as urimod
 
 
 class Env:
-    __slots__ = ("prefixes", "base", "_rcache")
+    __slots__ = ("prefixes", "base", "_rcache", "pn_cache")
 
     def __init__(self, base: str = ""):
         self.prefixes: dict[str, str] = {}
@@ -22,17 +22,23 @@ class Env:
         # per-base memo of resolve() results: web documents repeat
         # vocabulary IRIs heavily; bounded, cleared on @base
         self._rcache: dict[str, str] = {}
+        # raw prefixed-name token → expanded Term, owned by the
+        # parser's hot path; MUST be cleared whenever a prefix
+        # mapping changes (set_prefix does)
+        self.pn_cache: dict = {}
 
     def set_prefix(self, name: str, namespace: str) -> None:
         # Namespace IRIs are themselves resolved against the current
         # base (Turtle spec: "Relative IRIs are resolved with base
         # IRIs as per RFC 3986" — applies to directive IRIs too).
         self.prefixes[name] = self.resolve(namespace)
+        self.pn_cache.clear()
 
     def set_base(self, base_iri: str) -> None:
         # A new @base is resolved against the previous base.
         self.base = self.resolve(base_iri)
         self._rcache.clear()
+        self.pn_cache.clear()
 
     def expand(self, prefix: str, local: str) -> str:
         """CURIE expansion: namespace ⧺ suffix. Raises ``KeyError``

@@ -655,18 +655,26 @@ class TurtleParser:
         pre_end = m.end() if m else p0
         if pre_end >= self.n or self.s[pre_end] != ":":
             self._err("expected prefixed name")
+        ml = _PN_LOCAL.match(self.s, pre_end + 1)
+        tok_end = ml.end() if ml else pre_end + 1
+        # token-level memo (env-owned, cleared on prefix/base change):
+        # vocabularies repeat the same handful of p-names endlessly
+        token = self.s[p0:tok_end]
+        cached = self.env.pn_cache.get(token)
+        if cached is not None:
+            self.pos = tok_end
+            return cached
         prefix = self.s[p0:pre_end]
-        self.pos = pre_end + 1
-        ml = _PN_LOCAL.match(self.s, self.pos)
-        local = ""
-        if ml:
-            local = _unescape_pn_local(ml.group(0))
-            self.pos = ml.end()
+        local = _unescape_pn_local(ml.group(0)) if ml else ""
+        self.pos = tok_end
         try:
-            return Term(IRI, self.env.expand(prefix, local))
+            term = Term(IRI, self.env.expand(prefix, local))
         except KeyError:
             self.pos = p0
             self._err(f"undefined prefix '{prefix}:'")
+        if len(self.env.pn_cache) < 4096:
+            self.env.pn_cache[token] = term
+        return term
 
     def _read_literal(self) -> Term:
         value = self._read_string_body()
