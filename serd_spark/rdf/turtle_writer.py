@@ -232,9 +232,11 @@ class TurtleWriter:
         # blank node object
         if o.value in self._lists and (BLANK, o.value) not in self._emitted:
             return self._collection(o.value)
-        if o.value in self._inlinable and (o.value,) is not None and (
-            (BLANK, o.value) in self._by_subject
-        ) and (BLANK, o.value) not in self._emitted:
+        if (
+            o.value in self._inlinable
+            and (BLANK, o.value) in self._by_subject
+            and (BLANK, o.value) not in self._emitted
+        ):
             inner = self._predicate_object_list((BLANK, o.value), indent)
             return f"[ {inner} ]"
         return f"_:{o.value}"
