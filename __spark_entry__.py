@@ -269,7 +269,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=16).orderBy("id_a", "id_b")
+    # max_hamming=3 is the chunk-LSH recall guarantee (4×16-bit
+    # chunks cover Hamming ≤3 fully; beyond that recall is partial)
+    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,7 +91,13 @@ def entity_names(triples: DataFrame) -> DataFrame:
     input. Filter is JVM-side so the scan prunes to 4 columns."""
     return (
         triples.filter(
-            F.col("p").isin(*NAME_PREDICATES) & (F.col("o_kind") == 1)
+            F.col("p").isin(*NAME_PREDICATES)
+            & (F.col("o_kind") == 1)
+            # only IRI subjects are linkable entities: blank-node
+            # subjects (e.g. microdata items without itemid) have
+            # document-scoped labels — rewriting them to/from IRIs
+            # would corrupt the kind/value pairing
+            & (F.col("s_kind") == 0)
         )
         .select(F.col("s").alias("entity"), F.col("o").alias("name"))
         .dropDuplicates(["entity", "name"])
@@ -333,7 +339,12 @@ def apply_canonical(triples: DataFrame, entities: DataFrame) -> DataFrame:
     return (
         triples.join(s_map, triples["s"] == s_map["_s"], "left")
         .join(o_map, triples["o"] == o_map["_o"], "left")
-        .withColumn("s", F.coalesce("_s_canon", "s"))
+        .withColumn(
+            "s",
+            F.when(
+                F.col("s_kind") == 0, F.coalesce("_s_canon", "s")
+            ).otherwise(F.col("s")),
+        )
         .withColumn(
             "o",
             F.when(F.col("o_kind") == 0, F.coalesce("_o_canon", "o")).otherwise(

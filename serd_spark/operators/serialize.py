@@ -70,10 +70,16 @@ def nt_lines(triples: DataFrame, quads: bool = False) -> DataFrame:
     ) -> pd.Series:
         return _format_series(v, k, d, lg)
 
+    @pandas_udf("string")
+    def fmt_p(v: pd.Series) -> pd.Series:
+        # predicates need the same \u escaping as any IRI — a raw
+        # concat would emit invalid NT for IRIs containing '>' etc.
+        return pd.Series([f"<{_escape_iri(x)}>" for x in v])
+
     line = F.concat_ws(
         " ",
         fmt_s("s", "s_kind"),
-        F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+        fmt_p("p"),
         fmt_o("o", "o_kind", "o_dt", "o_lang"),
     )
     if quads:

@@ -60,6 +60,9 @@ _DOUBLE_RE = re.compile(
 # escape machinery; fall back to <IRI> when the suffix needs escapes)
 _SAFE_LOCAL = re.compile(r"(?:[A-Za-z_][A-Za-z0-9_.\-]*)?\Z")
 _SAFE_PREFIX = re.compile(r"(?:[A-Za-z][A-Za-z0-9_.\-]*)?\Z")
+# emitted-label safety: ASCII subset of BLANK_NODE_LABEL with no
+# leading/trailing '.'
+_SAFE_BLANK = re.compile(r"[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?\Z")
 
 
 class TurtleWriter:
@@ -93,10 +96,10 @@ class TurtleWriter:
             if t.datatype == XSD_BOOLEAN and t.value in ("true", "false"):
                 return t.value
         if "\n" in t.value or "\r" in t.value:
-            # long string: only escape backslash and triple quotes
-            body = t.value.replace("\\", "\\\\").replace('"""', '\\"""')
-            if body.endswith('"'):
-                body = body[:-1] + '\\"'
+            # long string: escape backslashes and EVERY quote — runs
+            # of quotes otherwise form an early terminator (a bare
+            # '"""' replace mishandles 4+ consecutive quotes)
+            body = t.value.replace("\\", "\\\\").replace('"', '\\"')
             s = f'"""{body}"""'
         else:
             s = f'"{_escape_literal(t.value)}"'
@@ -108,9 +111,42 @@ class TurtleWriter:
 
     # ------------------------------------------------------- document
 
-    def write(self, statements: list[Statement]) -> str:
+    def write(
+        self, statements: list[Statement], emit_prefixes: bool = True
+    ) -> str:
         """Serialize one document's statements (single graph) as
         abbreviated Turtle."""
+        # emitted blank labels must be valid BLANK_NODE_LABELs —
+        # parser-generated anon labels contain '=' (deliberately not
+        # a PN char); relabel anything unsafe to a fresh gN label
+        relabel: dict[str, str] = {}
+        existing = set()
+        for st in statements:
+            for t in (st.subject, st.object, st.graph):
+                if t is not None and t.kind == BLANK:
+                    existing.add(t.value)
+        n = 0
+        for label in sorted(existing):
+            if not _SAFE_BLANK.match(label):
+                while True:
+                    n += 1
+                    fresh = f"g{n}"
+                    if fresh not in existing:
+                        break
+                relabel[label] = fresh
+        if relabel:
+            def fix(t: Term | None) -> Term | None:
+                if t is not None and t.kind == BLANK and t.value in relabel:
+                    return Term(BLANK, relabel[t.value])
+                return t
+
+            statements = [
+                Statement(
+                    fix(st.subject), st.predicate, fix(st.object), fix(st.graph)
+                )
+                for st in statements
+            ]
+
         by_subject: dict[tuple, list[Statement]] = {}
         subj_order: list[tuple] = []
         obj_refs: dict[str, int] = {}
@@ -141,9 +177,9 @@ class TurtleWriter:
         self._emitted: set[tuple] = set()
 
         out: list[str] = []
-        for name, ns in self.env.prefixes.items():
-            out.append(f"@prefix {name}: <{_escape_iri(ns)}> .")
-        if self.env.prefixes:
+        if emit_prefixes and self.env.prefixes:
+            for name, ns in self.env.prefixes.items():
+                out.append(f"@prefix {name}: <{_escape_iri(ns)}> .")
             out.append("")
         for key in subj_order:
             if key in self._emitted:
@@ -284,25 +320,18 @@ def write_trig(
         out.append(f"@prefix {name}: <{_escape_iri(ns)}> .")
     if w.env.prefixes:
         out.append("")
-    inner_env = Env()
-    inner_env.prefixes = dict(w.env.prefixes)
     for g in order:
         doc = TurtleWriter(Env())
         doc.env.prefixes = dict(w.env.prefixes)
-        body = doc.write(by_graph[g])
-        # strip the per-graph prefix header (already emitted once)
-        lines = [
-            line
-            for line in body.splitlines()
-            if not line.startswith("@prefix")
-        ]
-        while lines and lines[0] == "":
-            lines.pop(0)
+        # header suppressed (emitted once above); the body is used
+        # VERBATIM — no line-level stripping or re-indentation, which
+        # would corrupt multi-line literal content
+        body = doc.write(by_graph[g], emit_prefixes=False)
         if g is None:
-            out.extend(lines)
+            out.append(body.rstrip("\n"))
         else:
             gterm = g if g.startswith("_:") else doc._iri(g)
             out.append(gterm + " {")
-            out.extend("  " + line for line in lines)
+            out.append(body.rstrip("\n"))
             out.append("}")
     return "\n".join(out) + ("\n" if out else "")

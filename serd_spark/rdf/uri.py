@@ -41,6 +41,24 @@ _CANONICAL = re.compile(
 )
 
 
+def _no_dot_segments(uri: str) -> bool:
+    """True iff the PATH portion provably has no dot segments — the
+    checks must run on the part before '?'/'#', or 'a/..#f' slips
+    through (dot segments just before the query/fragment)."""
+    head = uri
+    q = head.find("?")
+    if q >= 0:
+        head = head[:q]
+    h = head.find("#")
+    if h >= 0:
+        head = head[:h]
+    return (
+        "/./" not in head
+        and "/../" not in head
+        and not head.endswith(("/.", "/.."))
+    )
+
+
 @dataclass(frozen=True, slots=True)
 class ParsedURI:
     """Component view of a URI reference — equivalent of ``SerdURI``
@@ -175,12 +193,7 @@ def resolve(base_str: str, ref_str: str) -> str:
     # absolute with an authority and its path has no dot segments →
     # §5.2.2 is the identity. Conservative checks — anything unusual
     # falls through to the full algorithm.
-    if (
-        _ABS_AUTHORITY.match(ref_str)
-        and "/./" not in ref_str
-        and "/../" not in ref_str
-        and not ref_str.endswith(("/.", "/.."))
-    ):
+    if _ABS_AUTHORITY.match(ref_str) and _no_dot_segments(ref_str):
         return ref_str
     ref = parse(ref_str)
     base = parse(base_str)
@@ -269,12 +282,7 @@ def normalize(uri: str) -> str:
     (RFC 3986 §6.2.2, §6.2.3). Non-absolute inputs are returned with
     percent-normalization only — the canonicalization stage never
     invents a base."""
-    if (
-        _CANONICAL.match(uri)
-        and "/./" not in uri
-        and "/../" not in uri
-        and not uri.endswith(("/.", "/.."))
-    ):
+    if _CANONICAL.match(uri) and _no_dot_segments(uri):
         return uri
     p = parse(uri)
     if p.scheme is None:

@@ -219,8 +219,10 @@ def latest_crawl(pages: DataFrame) -> DataFrame:
     (SURVEY.md §2B "late data")."""
     from pyspark.sql.window import Window
 
+    # content-hash tie-break: equal-timestamp re-crawls must pick a
+    # deterministic winner or resume/retry idempotency breaks
     w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts")
+        F.desc("warc_ts"), F.desc(F.xxhash64("html"))
     )
     return (
         pages.withColumn("_rn", F.row_number().over(w))

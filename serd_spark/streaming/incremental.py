@@ -26,6 +26,8 @@ equivalent increment is *one micro-batch of newly crawled pages*:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,10 +78,14 @@ def run_incremental(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent per-batch landing: each micro-batch owns its
+        # batch_id=N directory and OVERWRITES it, so a batch replayed
+        # after a crash between this write and the streaming commit
+        # lands exactly once (a plain append would duplicate it)
         (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
         )
 
     writer = (

@@ -163,3 +163,39 @@ def test_spark_serialize_turtle(spark):
         stmts, errs = parse_turtle(r.turtle, "")
         assert not errs
         assert len(stmts) == r.n_statements
+
+
+def test_trig_multiline_literal_not_corrupted():
+    """Review finding: line-level post-processing used to delete
+    '@prefix'-looking lines inside long strings and re-indent literal
+    content in graph blocks."""
+    g = iri("http://e/g1")
+    tricky = "line1\n@prefix trap\nline3"
+    stmts = [Statement(iri("http://e/1"), iri("http://p/x"), literal(tricky), g)]
+    out = write_trig(stmts, _env())
+    parsed, errs = parse_trig(out, "")
+    assert not errs
+    assert parsed[0].object.value == tricky
+
+
+def test_long_string_quote_runs():
+    """Review finding: 4+ consecutive quotes terminated the long
+    string early."""
+    for v in ['a""""b\nc', '"\nx"', 'a"""b\n', '""""\n""""']:
+        stmts = [Statement(iri("http://e/1"), iri("http://p/t"), literal(v))]
+        out = write_turtle(stmts)
+        parsed, errs = parse_turtle(out, "")
+        assert not errs, (v, out)
+        assert parsed[0].object.value == v, (v, out)
+
+
+def test_unsafe_anon_labels_relabeled():
+    """Review finding: parser-generated '_:a=1' labels are not valid
+    BLANK_NODE_LABELs; a lone '[ ... ] .' subject must still write
+    valid Turtle."""
+    stmts, errs = parse_turtle("[ <http://e/p> <http://e/o> ] .", "")
+    assert not errs
+    out = write_turtle(stmts)
+    parsed, errs2 = parse_turtle(out, "")
+    assert not errs2
+    assert len(parsed) == 1 and parsed[0].subject.kind == 2

@@ -115,3 +115,13 @@ def test_normalize_idempotent():
 def test_remove_dot_segments():
     assert uri.remove_dot_segments("/a/b/c/./../../g") == "/a/g"
     assert uri.remove_dot_segments("mid/content=5/../6") == "mid/6"
+
+
+def test_fast_path_dot_segments_before_query_fragment():
+    """Review finding: '/a/..#f' slipped past the fast-path guards."""
+    from serd_spark.rdf.uri import normalize, resolve
+
+    assert resolve("http://b/x", "http://e.com/a/..#f") == "http://e.com/#f"
+    assert resolve("http://b/x", "http://e.com/a/.?q") == "http://e.com/a/?q"
+    assert normalize("http://e.com/a/..#f") == "http://e.com/#f"
+    assert normalize("http://e.com/a/.?q") == "http://e.com/a/?q"
