@@ -139,3 +139,16 @@ def test_hub_entities_present(extracted):
     t = triples_only(extracted)
     hubs = t.filter(F.col("o").startswith("http://hub.example/")).count()
     assert hubs > 0
+
+
+def test_strict_mode_fails_task_on_malformed_island(spark):
+    """lax=False ≙ serdi strict: a malformed island must fail the
+    Spark job (SERD_ERR_BAD_SYNTAX aborts), not produce a side
+    output."""
+    import pytest
+    from serd_spark.operators.extract import extract_triples
+
+    rows = [("http://bad.example/", b'<script type="text/turtle"><broken {{{</script>')]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    with pytest.raises(Exception, match="ParseError|bad|expected"):
+        extract_triples(pages, lax=False).count()
