@@ -508,11 +508,13 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.text import bpe_ish_token_count, token_count
 
     d = _t(spark, sf_dir, "documents")
+    # Counts cast to LONG so the Arrow dtype matches DuckDB's BIGINT
+    # (the driver compare is representation-sensitive).
     return d.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        bpe_ish_token_count(F.col("text")).alias("n_pieces"),
-        F.length(F.trim(F.col("text"))).alias("n_chars_trim"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_pieces"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars_trim"),
     )
 
 
@@ -527,7 +529,16 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.text import quality_features
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return quality_features(d).drop("text")
+    out = quality_features(d).drop("text")
+    # Integer feature columns → LONG to match DuckDB BIGINT in the oracle.
+    return out.select(
+        *[
+            F.col(c).cast("long").alias(c)
+            if t in ("int", "smallint", "tinyint")
+            else F.col(c)
+            for c, t in out.dtypes
+        ]
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,10 +714,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-                     AS sum_disc_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_base_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                     AS BIGINT) AS sum_disc_cents,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -715,14 +727,15 @@ def oracle_sql() -> dict[str, str]:
         "q_join_agg": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "q_multi_join": """
             SELECT r_name, n_name,
-                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-                     AS revenue_cents
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -759,17 +772,19 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup": """
             SELECT o_orderpriority, o_orderstatus,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-            ORDER BY o_orderpriority, o_orderstatus
+            ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
         """,
         "q_events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                      AS hour_start,
                    event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
@@ -784,9 +799,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_sessionize": """
             SELECT user_id,
-                   SUM(CASE WHEN prev_us IS NULL
+                   CAST(SUM(CASE WHEN prev_us IS NULL
                              OR epoch_us(ts) - prev_us > 1800 * 1000000
-                            THEN 1 ELSE 0 END) AS n_sessions,
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM (
               SELECT user_id, ts,

@@ -1,7 +1,14 @@
 """Local stand-in for the driver's correctness gate: run every
 ``queries()`` entry on Spark at sf0.01 and, where an ``oracle_sql()``
 entry exists, the same SQL in DuckDB — compare row count, column
-names, and order-insensitive values (exact equality after sorting).
+names, **Arrow-level column types**, and order-insensitive values.
+
+The type compare is the important part: round 1 shipped 6 queries whose
+values matched but whose driver value-hash failed because DuckDB
+promotes SUM(BIGINT) to HUGEINT (Arrow decimal128(38,0)) while Spark
+emits LONG (int64).  Comparing Python values via ``fetchall()`` hides
+that — DuckDB converts hugeint to Python int — so this tool now pulls
+both results as Arrow tables and fails on any dtype divergence.
 
 Usage: python tools/check_oracles.py [query ...]
 """
@@ -41,11 +48,33 @@ def norm_cell(v):
     return v
 
 
-def to_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(norm_cell(r[i]) for i in order) for r in rows
-    ), [cols[i] for i in order]
+def norm_type(t) -> str:
+    """Canonical Arrow type string so cosmetic engine differences don't
+    trip the gate while genuine width/kind differences (int64 vs
+    decimal128) still do."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        # tz label differs (Spark attaches the session tz); unit matters.
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+
+def typed_table(tbl):
+    """pyarrow.Table -> (name->type signature, row-sorted tuples),
+    columns sorted by name to mirror the driver's compare."""
+    names = sorted(tbl.column_names)
+    tbl = tbl.select(names)
+    sig = [(n, norm_type(tbl.schema.field(n).type)) for n in names]
+    cols = [tbl.column(n).to_pylist() for n in names]
+    rows = sorted(tuple(norm_cell(c) for c in row) for row in zip(*cols))
+    return sig, rows
 
 
 def main() -> int:
@@ -71,43 +100,38 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
+            stbl = sdf.toArrow()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL] {name}: spark error: {e}")
             continue
         if name not in oracles:
             print(
-                f"[rows-only] {name}: {len(srows)} rows, cols={scols} "
-                f"({time.time()-t0:.1f}s)"
+                f"[rows-only] {name}: {stbl.num_rows} rows, "
+                f"cols={stbl.column_names} ({time.time()-t0:.1f}s)"
             )
             continue
         try:
-            rel = con.sql(oracles[name])
-            drows = rel.fetchall()
-            dcols = rel.columns
+            dtbl = con.sql(oracles[name]).arrow()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
-        s_sorted, s_cols = to_rows([c for c in scols], [tuple(r) for r in srows])
-        d_sorted, d_cols = to_rows(list(dcols), drows)
+        s_sig, s_rows = typed_table(stbl)
+        d_sig, d_rows = typed_table(dtbl)
         ok = True
-        if s_cols != d_cols:
-            failures.append((name, f"cols {s_cols} != {d_cols}"))
+        if s_sig != d_sig:
+            failures.append((name, f"schema {s_sig} != {d_sig}"))
             ok = False
-        elif len(s_sorted) != len(d_sorted):
-            failures.append((name, f"rows {len(s_sorted)} != {len(d_sorted)}"))
+        elif len(s_rows) != len(d_rows):
+            failures.append((name, f"rows {len(s_rows)} != {len(d_rows)}"))
             ok = False
-        elif s_sorted != d_sorted:
-            diff = [
-                (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
-            ][:3]
+        elif s_rows != d_rows:
+            diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
             failures.append((name, f"values differ, first: {diff}"))
             ok = False
         print(
-            f"[{'OK  ' if ok else 'FAIL'}] {name}: {len(s_sorted)} rows "
+            f"[{'OK  ' if ok else 'FAIL'}] {name}: {len(s_rows)} rows "
             f"({time.time()-t0:.1f}s)"
         )
     print()
