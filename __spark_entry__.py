@@ -45,16 +45,40 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _pkg_hash() -> str:
+    """Content hash of the serd_spark source tree, so the shipped zip
+    is invalidated the moment any module changes (a fixed /tmp path
+    would keep shadowing executors with stale code after edits)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=6)
+    pkg = os.path.join(_REPO, "serd_spark")
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                h.update(os.path.relpath(p, pkg).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship serd_spark to Python workers regardless of the driver
-    process's cwd/PYTHONPATH (no-op when already importable there)."""
+    process's cwd/PYTHONPATH (no-op when already importable there).
+    The zip is keyed by a content hash of the package, so executors
+    always see the current code and concurrent sessions never race on
+    one shared file."""
     try:
         import shutil
 
-        zip_path = "/tmp/serd_spark_pkg.zip"
+        zip_path = f"/tmp/serd_spark_pkg_{_pkg_hash()}.zip"
         if not os.path.exists(zip_path):
-            shutil.make_archive(zip_path[:-4], "zip", root_dir=_REPO,
+            tmp = f"{zip_path}.{os.getpid()}.tmp"
+            shutil.make_archive(tmp, "zip", root_dir=_REPO,
                                 base_dir="serd_spark")
+            os.replace(f"{tmp}.zip", zip_path)
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # already added, or local path import suffices
@@ -115,12 +139,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# KG pipeline queries (non-SQL-expressible → rows-only checks)
+# KG pipeline queries
+#
+# The extraction/canonicalization output is ALSO materialized to
+# parquet under ORACLE_DIR so DuckDB can independently re-aggregate it:
+# the Spark side of each query recomputes from the source pages (a
+# second, fresh extraction run), so a hash match proves both (a) the
+# extraction is deterministic across executions and (b) the Spark
+# aggregation agrees with an independent SQL engine over the same rows.
 # ---------------------------------------------------------------------
+
+ORACLE_DIR = "/tmp/serd_spark_oracle"
+_MATERIALIZED: set[str] = set()
+
+
+def _oracle_path(sf_dir: str, what: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(ORACLE_DIR, base, what)
+
+
+def _materialize(sf_dir: str, what: str, df_fn) -> None:
+    """Write ``df_fn()`` to the oracle dir, once per process, and only
+    at the driver's correctness scale (sf0.01) — bench runs the same
+    queries at sf0.1 and must not pay the extra write job."""
+    if os.path.basename(os.path.normpath(sf_dir)) != "sf0.01":
+        return
+    out = _oracle_path(sf_dir, what)
+    if out not in _MATERIALIZED:
+        df_fn().write.mode("overwrite").parquet(out)
+        _MATERIALIZED.add(out)
+
+
+def _materialize_extraction(spark: SparkSession, sf_dir: str) -> None:
+    """Write one fresh raw-extraction run (triple rows rec='t' + error
+    rows rec='e') where the DuckDB oracle can read it.  Overwritten on
+    the first use per process so oracles never see stale rounds."""
+    from serd_spark.operators.extract import extract_triples
+
+    _materialize(
+        sf_dir, "extract",
+        lambda: extract_triples(_pages(spark, sf_dir), lax=True),
+    )
+
+
+def _materialize_triples(spark: SparkSession, sf_dir: str) -> None:
+    """Same, for the canonicalized+deduped triple table."""
+    _materialize(sf_dir, "triples", lambda: _kg_triples(spark, sf_dir))
+
 
 def kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.extract import extract_triples
 
+    _materialize_extraction(spark, sf_dir)
     ext = extract_triples(_pages(spark, sf_dir), lax=True)
     return (
         ext.groupBy("syntax", "rec")
@@ -130,6 +200,7 @@ def kg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_triples(spark, sf_dir)
     return (
         _kg_triples(spark, sf_dir)
         .groupBy("p")
@@ -181,8 +252,14 @@ def kg_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes of linked surface IRIs."""
     from serd_spark.operators.linking import link_entities
 
-    _links, entities = link_entities(
+    links, entities = link_entities(
         _kg_triples(spark, sf_dir), threshold=0.6
+    )
+    # Materialize the verified-link edge list: DuckDB recomputes the
+    # connected components (recursive-CTE reachability closure + min
+    # label) independently of Spark's union-find / label propagation.
+    _materialize(
+        sf_dir, "links", lambda: links.select("entity_a", "entity_b")
     )
     return (
         entities.groupBy("canon")
@@ -198,6 +275,7 @@ def kg_bad_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≙ serdi -l skip-and-count)."""
     from serd_spark.operators.extract import errors_only, extract_triples
 
+    _materialize_extraction(spark, sf_dir)
     ext = extract_triples(_pages(spark, sf_dir), lax=True)
     return (
         errors_only(ext)
@@ -254,6 +332,13 @@ def kg_hub_salting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few refs each at sf0.01 — production uses min_hub_refs=10_000
     hubs = detect_hubs(triples, top_k=8)
     bucketed = bucket_and_salt(triples, hubs, min_hub_refs=2)
+    # Materialize the salted/bucketed table: the fresh Spark recompute
+    # below must agree with DuckDB's re-aggregation of this file
+    # (determinism of xxhash64 bucketing + content-derived salts).
+    _materialize(
+        sf_dir, "bucketed",
+        lambda: bucketed.select("s", "subj_bucket", "salt"),
+    )
     return (
         bucketed.groupBy((F.col("salt") > 0).alias("is_salted"))
         .agg(
@@ -266,9 +351,17 @@ def kg_hub_salting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from serd_spark.operators.dedup import simhash_near_dups
+    from serd_spark.operators.dedup import (
+        simhash_near_dups,
+        simhash_signatures,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    # Materialize per-doc signatures so DuckDB can BRUTE-FORCE the
+    # Hamming-≤3 pair set independently — a genuine oracle for the
+    # chunk-LSH recall guarantee (4×16-bit chunks cover Hamming ≤3
+    # fully by pigeonhole), not just a re-aggregation.
+    _materialize(sf_dir, "simhash_sigs", lambda: simhash_signatures(docs))
     # max_hamming=3 is the chunk-LSH recall guarantee (4×16-bit
     # chunks cover Hamming ≤3 fully; beyond that recall is partial)
     return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
@@ -276,17 +369,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import minhash_near_dups
+    from serd_spark.operators.linking import lsh_bands, signatures
 
     docs = _t(spark, sf_dir, "documents")
+    # Materialize signatures + band hashes so DuckDB can replay the
+    # ENTIRE candidate pipeline (bucket-cap pruning → band equi-join →
+    # signature-agreement verify) independently.
+    named = docs.select(
+        F.col("doc_id").cast("string").alias("entity"),
+        F.col("text").alias("name"),
+    )
+    _materialize(sf_dir, "minhash/sigs", lambda: signatures(named))
+    _materialize(
+        sf_dir, "minhash/bands",
+        lambda: lsh_bands(
+            spark.read.parquet(_oracle_path(sf_dir, "minhash/sigs"))
+        ),
+    )
     return minhash_near_dups(docs, threshold=0.5).orderBy(
         "entity_a", "entity_b"
     )
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from serd_spark.operators.dedup import embedding_near_dups
+    from serd_spark.operators.dedup import (
+        embedding_near_dups,
+        hyperplane_buckets,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Materialize the LSH bucket assignment so DuckDB can replay the
+    # bucket join + exact cosine independently (same plane seed).
+    _materialize(
+        sf_dir, "emb_buckets",
+        lambda: hyperplane_buckets(emb, dim=64, n_planes=4).select(
+            "vec_id", "bucket"
+        ),
+    )
     # testdata embeddings are near-random (max pairwise cos ≈ 0.51):
     # threshold 0.4 + 4 planes yields a non-trivial pair set
     return embedding_near_dups(emb, dim=64, threshold=0.4, n_planes=4).orderBy(
@@ -700,11 +819,141 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i
           FROM norm WHERE length(t) >= 3
         ), grams AS (
+          -- mirror Spark char_ngrams: a doc shorter than n yields the
+          -- whole (possibly empty) string as its single gram
           SELECT doc_id, list(DISTINCT substring(t, i::INT, 3)) AS gr
           FROM expanded GROUP BY doc_id
+          UNION ALL
+          SELECT doc_id, [t] AS gr FROM norm WHERE length(t) < 3
         )
     """
     return {
+        "kg_extract": f"""
+            SELECT syntax, rec, COUNT(*) AS n
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/extract/*.parquet')
+            GROUP BY syntax, rec
+            ORDER BY syntax NULLS FIRST, rec NULLS FIRST
+        """,
+        "kg_bad_docs": f"""
+            SELECT syntax, COUNT(*) AS n_errors,
+                   COUNT(DISTINCT url) AS n_docs
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/extract/*.parquet')
+            WHERE rec = 'e'
+            GROUP BY syntax ORDER BY syntax
+        """,
+        "kg_predicates": f"""
+            SELECT p, COUNT(*) AS n_triples,
+                   COUNT(DISTINCT s) AS n_subjects
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            GROUP BY p
+            ORDER BY n_triples DESC, p
+            LIMIT 20
+        """,
+        # Independent connected-components over the materialized
+        # verified-link edges: reachability closure via recursive CTE,
+        # canon = min reachable node — must equal Spark's union-find /
+        # pointer-jumping label propagation exactly.
+        "kg_linking": f"""
+            WITH RECURSIVE l AS (
+              SELECT entity_a, entity_b
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/links/*.parquet')
+            ), edges AS (
+              SELECT entity_a AS a, entity_b AS b FROM l
+              UNION
+              SELECT entity_b AS a, entity_a AS b FROM l
+            ), reach(entity, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e
+              JOIN reach ON reach.entity = e.b
+            ), labels AS (
+              SELECT entity, MIN(r) AS canon FROM reach GROUP BY entity
+            )
+            SELECT canon, COUNT(*) AS n_members
+            FROM labels GROUP BY canon
+            HAVING COUNT(*) > 1
+            ORDER BY n_members DESC, canon
+            LIMIT 50
+        """,
+        "kg_hub_salting": f"""
+            SELECT (salt > 0) AS is_salted, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT salt) AS n_salts,
+                   COUNT(DISTINCT subj_bucket) AS n_buckets
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/bucketed/*.parquet')
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Replay the full MinHash+LSH candidate pipeline from the
+        # materialized signatures/band hashes: bucket-cap pruning
+        # (max_bucket=1024), band equi-join, exact signature-agreement
+        # Jaccard estimate, threshold 0.5 — all independently in SQL.
+        "dedup_minhash_lsh": f"""
+            WITH bands AS (
+              SELECT entity, band, band_hash
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/minhash/bands/*.parquet')
+            ), sigs AS (
+              SELECT entity, sig
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/minhash/sigs/*.parquet')
+            ), counts AS (
+              SELECT band, band_hash, COUNT(*) AS m
+              FROM bands GROUP BY band, band_hash
+            ), pruned AS (
+              SELECT b.entity, b.band, b.band_hash
+              FROM bands b JOIN counts c USING (band, band_hash)
+              WHERE c.m <= 1024
+            ), pairs AS (
+              SELECT DISTINCT a.entity AS entity_a, b.entity AS entity_b
+              FROM pruned a JOIN pruned b USING (band, band_hash)
+              WHERE a.entity < b.entity
+            )
+            SELECT p.entity_a, p.entity_b,
+                   len(list_filter(list_zip(sa.sig, sb.sig),
+                                   x -> x[1] = x[2])) / 64.0 AS jaccard_est
+            FROM pairs p
+            JOIN sigs sa ON sa.entity = p.entity_a
+            JOIN sigs sb ON sb.entity = p.entity_b
+            WHERE len(list_filter(list_zip(sa.sig, sb.sig),
+                                  x -> x[1] = x[2])) / 64.0 >= 0.5
+            ORDER BY entity_a, entity_b
+        """,
+        # Replay the hyperplane-LSH bucket join + exact cosine over the
+        # materialized bucket assignment (planes are seed-deterministic,
+        # so the Spark recompute must land in the same buckets).
+        "dedup_embedding": f"""
+            WITH bk AS (
+              SELECT vec_id, bucket
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/emb_buckets/*.parquet')
+            ), e AS (
+              SELECT em.vec_id, bk.bucket, em.embedding::DOUBLE[] AS v
+              FROM embeddings em JOIN bk USING (vec_id)
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM e a JOIN e b ON a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id
+            WHERE round(
+                    list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+            ORDER BY id_a, id_b
+        """,
+        # Brute-force all-pairs Hamming over the materialized SimHash
+        # signatures: independently certifies that the Spark chunk-LSH
+        # join recovers EVERY Hamming-<=3 pair (recall guarantee).
+        "dedup_simhash": f"""
+            WITH s AS (
+              SELECT doc_id, simhash
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/simhash_sigs/*.parquet')
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                     AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """,
         "q_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
@@ -877,6 +1126,9 @@ def oracle_sql() -> dict[str, str]:
               FROM norm WHERE length(t) >= 3
             ), grams AS (
               SELECT doc_id, substring(t, i::INT, 3) AS gram FROM expanded
+              UNION ALL
+              -- mirror Spark char_ngrams' short-text case (whole string)
+              SELECT doc_id, t AS gram FROM norm WHERE length(t) < 3
             )
             SELECT doc_id,
                    MIN(md5(gram || '0')) AS h0,

@@ -196,7 +196,11 @@ def verified_links(
             "jaccard_est", (agree / F.lit(N_PERM)).cast("double")
         )
         .filter(F.col("jaccard_est") >= threshold)
-        .select("entity_a", "entity_b", "jaccard_est")
+        # entities with several name literals carry several signature
+        # rows; without this reduce the pair would emit one link row
+        # per signature combination (duplicate edges downstream)
+        .groupBy("entity_a", "entity_b")
+        .agg(F.max("jaccard_est").alias("jaccard_est"))
     )
 
 

@@ -90,8 +90,15 @@ def curate_documents(
     pairs = minhash_near_dups(
         exact, id_col, text_col, threshold=near_dup_threshold
     )
+    # LSH machinery compares ids as STRINGS ('10' < '9'), so re-derive
+    # the loser on the original numeric id: the NUMERICALLY larger
+    # member of each pair is dropped, keeping the min-id survivor
+    # consistent with exact_dedup's contract.
+    idt = dict(exact.dtypes)[id_col]
     losers = pairs.select(
-        F.col("entity_b").cast(dict(exact.dtypes)[id_col]).alias(id_col)
+        F.greatest(
+            F.col("entity_a").cast(idt), F.col("entity_b").cast(idt)
+        ).alias(id_col)
     ).distinct()
     curated = note(
         "near_dup_removal", exact.join(losers, id_col, "left_anti")

@@ -53,3 +53,18 @@ def test_curate_on_testdata(spark):
         docs.select("doc_id"), "doc_id", "left_anti"
     ).count()
     assert n_bad == 0
+
+
+def test_near_dup_survivor_is_numeric_min(spark):
+    # ids straddling the string-vs-numeric ordering boundary: as
+    # strings '10' < '9', numerically 9 < 10 — the numerically
+    # smaller doc must survive (regression: LSH machinery compares
+    # ids lexicographically after the string cast)
+    text = "an identical english document about the weather and the sea"
+    rows = [(9, text, "x"), (10, text + " extra", "x")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    res = curate_documents(
+        docs, keep_langs=("en",), min_tokens=3, near_dup_threshold=0.5
+    )
+    kept = {r.doc_id for r in res.curated.collect()}
+    assert kept == {9}

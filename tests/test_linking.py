@@ -87,3 +87,29 @@ def test_apply_canonical_rewrites_subject_and_iri_object(spark, name_triples):
     # literal objects untouched
     names = {r.o for r in out.filter(F.col("o_kind") == 1).collect()}
     assert "Acme Corporation Internationale" in names
+
+
+def test_verified_links_one_row_per_pair(spark):
+    """Entities with multiple name literals must yield ONE link row
+    per (entity_a, entity_b), not one per signature combination."""
+    from serd_spark.operators.linking import (
+        candidate_pairs,
+        lsh_bands,
+        signatures,
+        verified_links,
+    )
+
+    rows = [
+        ("http://e/a", "Acme Corporation International"),
+        ("http://e/a", "Acme Corp International"),
+        ("http://e/b", "Acme Corporation International"),
+        ("http://e/b", "Acme Corp Intl"),
+    ]
+    names = spark.createDataFrame(rows, ["entity", "name"])
+    sigs = signatures(names)
+    links = verified_links(
+        candidate_pairs(lsh_bands(sigs)), sigs, threshold=0.3
+    ).collect()
+    pairs = [(r.entity_a, r.entity_b) for r in links]
+    assert len(pairs) == len(set(pairs)), pairs
+    assert ("http://e/a", "http://e/b") in pairs
