@@ -59,19 +59,27 @@ def train_centroids(
     n_iter: int = 8,
     sample_rows: int = 4096,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 11,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means on a driver-side sample — the
-    coarse quantizer. The sample is tiny and fixed-size regardless of
-    table size (at 100 TB: F.rand(seed)-ordered limit would be a full
-    scan; a per-partition limit via mapInPandas keeps it one cheap
-    pass — here the simple limit() is fine for the sandbox and the
-    interface is what matters)."""
+    coarse quantizer.
+
+    The sample is the ``sample_rows`` vectors whose ``xxhash64(id)``
+    is smallest — a pure function of ids, so it is IDENTICAL across
+    partition layouts, task retries, and cluster sizes (a bare
+    ``limit()`` depends on partition order).  Spark compiles the
+    ordered limit to TakeOrderedAndProject: one scan with a
+    per-partition top-N heap and an N-row merge on the driver — no
+    global sort shuffle, no full collect, at any table size."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_rows)
+        .collect()
+    )
     sample = np.array(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in emb.select(vec_col).limit(sample_rows).collect()
-        ]
+        [np.asarray(r[1], dtype=np.float64) for r in rows]
     )
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]

@@ -108,11 +108,18 @@ def extract_with_lineage(pages: DataFrame, lax: bool = True) -> DataFrame:
     Canonicalization and quad dedup are FUSED into this stage
     (extract.py: one Python crossing instead of three; dedup is
     document-local because its key includes url, and urls are unique
-    here — latest_crawl ran at ingest and resume anti-joins done
-    urls)."""
+    here — latest_crawl ran at ingest).
+
+    If ``pages`` carries a boolean ``_skip`` column (set by the resume
+    left-join against committed urls), skipped pages bypass parsing
+    and emit a single ``rec='s'`` marker row — the resume-skip count
+    then falls out of the SAME metrics aggregation as everything else,
+    instead of two extra full input scans just to diff counts."""
     from serd_spark.operators.extract import _NORM_MEMO
 
-    src = pages.select("url", "html")
+    has_skip = "_skip" in pages.columns
+    cols = ["url", "html"] + (["_skip"] if has_skip else [])
+    src = pages.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -120,10 +127,21 @@ def extract_with_lineage(pages: DataFrame, lax: bool = True) -> DataFrame:
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in batches:
             rows: list[tuple] = []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(
-                    _extract_rows(url, html, lax, _NORM_MEMO, dedup=True)
-                )
+            skips = pdf["_skip"] if has_skip else [False] * len(pdf)
+            for url, html, skip in zip(pdf["url"], pdf["html"], skips):
+                if skip:
+                    rows.append(
+                        (
+                            url, None, None, None,
+                            None, None, None, None,
+                            None, None, None, None,
+                            "s", None, None, None,
+                        )
+                    )
+                else:
+                    rows.extend(
+                        _extract_rows(url, html, lax, _NORM_MEMO, dedup=True)
+                    )
             out = rows_to_pdf(rows)
             out["part_id"] = pid
             yield out
@@ -162,13 +180,16 @@ def run_pipeline(
     os.makedirs(os.path.join(warehouse, "manifests"), exist_ok=True)
 
     pages = latest_crawl(pages)
-    skipped = 0
     if resume:
         done = done_urls(spark, warehouse)
         if done is not None:
-            before = pages.count()
-            pages = pages.join(done, "url", "left_anti")
-            skipped = before - pages.count()
+            # left-join marker instead of anti-join + two count
+            # actions: skipped pages flow through the extraction pass
+            # as cheap 's' marker rows, so the skip count comes from
+            # the same single metrics aggregation as everything else
+            pages = pages.join(
+                done.withColumn("_skip", F.lit(True)), "url", "left"
+            ).withColumn("_skip", F.coalesce("_skip", F.lit(False)))
 
     # --- extraction pass (snapshot-scoped) -----------------------------
     ext_path = os.path.join(warehouse, "extracted", f"snapshot={run_id}")
@@ -182,11 +203,21 @@ def run_pipeline(
     lin_path = os.path.join(warehouse, "lineage", f"snapshot={run_id}")
     lineage.write.mode("overwrite").parquet(lin_path)
 
-    pages_in = extracted.filter(F.col("rec") == "d").count()
-    triples_n = extracted.filter(F.col("rec") == "t").count()
-    bad_docs = (
-        extracted.filter(F.col("rec") == "e").select("url").distinct().count()
-    )
+    # ALL run metrics in ONE job over the (snapshot-local, already
+    # column-pruned) parquet — previously 3 separate count actions
+    # plus 2 input-table counts for the resume diff
+    m = extracted.agg(
+        F.sum((F.col("rec") == "d").cast("long")).alias("pages_in"),
+        F.sum((F.col("rec") == "t").cast("long")).alias("triples"),
+        F.count_distinct(
+            F.when(F.col("rec") == "e", F.col("url"))
+        ).alias("bad_docs"),
+        F.sum((F.col("rec") == "s").cast("long")).alias("skipped"),
+    ).first()
+    pages_in = int(m["pages_in"] or 0)
+    triples_n = int(m["triples"] or 0)
+    bad_docs = int(m["bad_docs"] or 0)
+    skipped = int(m["skipped"] or 0)
 
     # commit point: manifest written only after data+lineage landed
     with open(_manifest_path(warehouse, run_id), "w") as f:

@@ -156,3 +156,18 @@ def test_multimodal_features_and_plans(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         multimodal.extract_features(media, strict=True).collect()
+
+
+def test_train_centroids_layout_invariant(spark):
+    """The k-means sample is a pure function of ids (xxhash64-ordered
+    top-N), so centroids must be identical across partition layouts."""
+    import numpy as np
+
+    from serd_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.train_centroids(emb.repartition(1), n_centroids=4,
+                                   sample_rows=64)
+    b = similarity.train_centroids(emb.repartition(13, "vec_id"),
+                                   n_centroids=4, sample_rows=64)
+    assert np.array_equal(a, b)
