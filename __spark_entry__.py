@@ -417,6 +417,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.similarity import (
         assign_centroids,
         ivf_topk,
+        probe_ids,
         train_centroids,
     )
 
@@ -424,6 +425,17 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_centroids(emb, n_centroids=16)
     assigned = assign_centroids(emb, cents)
     q = emb.filter(F.col("vec_id") == 0).first().embedding
+    # Materialize the centroid assignment and probe list: DuckDB then
+    # independently reruns the probe-filtered exact top-k search.
+    _materialize(
+        sf_dir, "ann_assign", lambda: assigned.select("vec_id", "centroid")
+    )
+    _materialize(
+        sf_dir, "ann_probes",
+        lambda: spark.createDataFrame(
+            [(c,) for c in probe_ids(cents, list(q), 4)], "centroid int"
+        ),
+    )
     return ivf_topk(assigned, cents, list(q), k=10, n_probe=4)
 
 
@@ -434,6 +446,10 @@ def curate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     res = curate_documents(docs, keep_langs=("en",), near_dup_threshold=0.9)
+    # The filter stages (lang, quality, exact dedup) are replayed
+    # fully independently in the DuckDB mirror; only the LSH loser set
+    # (non-SQL minhash) is materialized for the final subtraction.
+    _materialize(sf_dir, "curate_losers", lambda: res.losers)
     return metrics_df(spark, res)
 
 
@@ -445,10 +461,16 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(spark, max(64, _n_pages(sf_dir) // 8))
     feats = extract_features(media)
+    _materialize(sf_dir, "mm_features", lambda: extract_features(media))
+    # f0 summed in integer millionths (per-row round, then exact
+    # integer sum) so the cross-engine compare is order-insensitive
     return feats.agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.sum(F.element_at("feature", 1)), 4).alias("f0_sum"),
+        F.sum(
+            F.round(F.element_at("feature", 1).cast("double") * 1000000)
+            .cast("long")
+        ).alias("f0_millionths"),
     )
 
 
@@ -848,6 +870,88 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p
             ORDER BY n_triples DESC, p
             LIMIT 20
+        """,
+        # Replay the curation funnel: lang filter, quality filter and
+        # exact dedup recomputed INDEPENDENTLY in SQL; the near-dup
+        # stage subtracts the materialized LSH loser set.
+        "curate_metrics": f"""
+            WITH lang_keep AS (
+              SELECT doc_id, text FROM documents
+              WHERE {_lang_case_sql()} = 'en'
+            ), q AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS q_tokens,
+                     round(
+                       (length(text) - length(regexp_replace(text,
+                           '[^\\sA-Za-z0-9]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE, 6)
+                       AS q_punct_ratio,
+                     round(
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                       / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                          END, 1)::DOUBLE, 6) AS q_mean_word_len
+              FROM lang_keep
+            ), quality_keep AS (
+              SELECT doc_id, text FROM q
+              WHERE q_tokens >= 5 AND q_mean_word_len <= 20.0
+                AND q_punct_ratio <= 0.3
+            ), exact_keep AS (
+              SELECT doc_id FROM quality_keep
+              WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM quality_keep
+                GROUP BY md5(lower(regexp_replace(trim(text), '\\s+',
+                                                  ' ', 'g')))
+              )
+            ), losers AS (
+              SELECT doc_id
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/curate_losers/*.parquet')
+            )
+            SELECT 'input' AS stage,
+                   (SELECT COUNT(*) FROM documents) AS n_docs
+            UNION ALL SELECT 'lang_filter', COUNT(*) FROM lang_keep
+            UNION ALL SELECT 'quality_filter', COUNT(*) FROM quality_keep
+            UNION ALL SELECT 'exact_dedup', COUNT(*) FROM exact_keep
+            UNION ALL SELECT 'near_dup_removal',
+              (SELECT COUNT(*) FROM exact_keep
+               WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        """,
+        # Rerun the IVF probe search independently: candidates from
+        # the materialized (assignment ∈ probes) filter, exact cosine
+        # + top-k with the id tie-break, all in SQL.
+        "ann_ivf": f"""
+            WITH probes AS (
+              SELECT centroid
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/ann_probes/*.parquet')
+            ), assign AS (
+              SELECT vec_id, centroid
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/ann_assign/*.parquet')
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0
+            ), cand AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+              FROM embeddings e
+              JOIN assign a USING (vec_id)
+              JOIN probes p ON a.centroid = p.centroid
+            )
+            SELECT vec_id,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cos
+            FROM cand, q
+            ORDER BY cos DESC, vec_id
+            LIMIT 10
+        """,
+        "mm_features": f"""
+            SELECT COUNT(*) AS n_media,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(SUM(CAST(round(feature[1]::DOUBLE * 1000000)
+                       AS BIGINT)) AS BIGINT) AS f0_millionths
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/mm_features/*.parquet')
         """,
         # Independent connected-components over the materialized
         # verified-link edges: reachability closure via recursive CTE,

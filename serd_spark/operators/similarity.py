@@ -121,6 +121,17 @@ def assign_centroids(
     return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
+def probe_ids(
+    centroids: np.ndarray, query_vec: list[float], n_probe: int = 4
+) -> list[int]:
+    """The ``n_probe`` centroid ids nearest the query by cosine —
+    driver-side (centroid count is tiny by construction)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    return [int(c) for c in (cn @ qn).argsort()[::-1][:n_probe]]
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -134,10 +145,7 @@ def ivf_topk(
     cosine inside them. The centroid filter is an IN-list literal →
     partition pruning when ``assigned`` is stored partitioned by
     centroid."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probes = [int(c) for c in (cn @ qn).argsort()[::-1][:n_probe]]
+    probes = probe_ids(centroids, query_vec, n_probe)
     return brute_force_topk(
         assigned.filter(F.col("centroid").isin(probes)),
         query_vec,

@@ -32,6 +32,9 @@ from serd_spark.operators.text import lang_id, quality_features
 class CurationResult:
     curated: DataFrame
     metrics: list[tuple[str, int]] = field(default_factory=list)
+    # the near-dup ids dropped in stage 4 (one column named id_col) —
+    # exposed so external oracles can replay the final subtraction
+    losers: DataFrame | None = None
 
 
 def curate_documents(
@@ -104,7 +107,7 @@ def curate_documents(
         "near_dup_removal", exact.join(losers, id_col, "left_anti")
     )
 
-    return CurationResult(curated=curated, metrics=metrics)
+    return CurationResult(curated=curated, metrics=metrics, losers=losers)
 
 
 def metrics_df(spark, result: CurationResult) -> DataFrame:

@@ -171,3 +171,42 @@ def test_train_centroids_layout_invariant(spark):
     b = similarity.train_centroids(emb.repartition(13, "vec_id"),
                                    n_centroids=4, sample_rows=64)
     assert np.array_equal(a, b)
+
+
+def test_bmp_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for w, h in [(1, 1), (3, 2), (8, 8), (5, 7)]:  # odd widths → padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32767, size=777, dtype=np.int16)
+    out, rate = multimodal.decode_wav(multimodal.encode_wav(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(out, s)
+
+
+def test_real_content_features():
+    """A solid-color BMP must yield its exact channel means — proves
+    features derive from decoded pixel content, not digest fakes."""
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[..., 0] = 255  # pure red
+    f = multimodal.payload_features(multimodal.encode_bmp(px))
+    assert abs(f[0] - 1.0) < 1e-9 and abs(f[1]) < 1e-9 and abs(f[2]) < 1e-9
+    # silent WAV → zero RMS; loud sine → nonzero RMS
+    silent = multimodal.encode_wav(np.zeros(100, dtype=np.int16))
+    assert multimodal.payload_features(silent)[0] == 0.0
+    t = np.arange(800)
+    sine = multimodal.encode_wav(
+        (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+    )
+    # amplitude 12000/32768 ≈ 0.366 → RMS ≈ 0.366/√2 ≈ 0.259
+    assert abs(multimodal.payload_features(sine)[0] - 0.259) < 0.01
