@@ -104,13 +104,27 @@ def entity_names(triples: DataFrame) -> DataFrame:
     )
 
 
+# worker-lifetime name→signature memo (mirrors extract.py's _NORM_MEMO):
+# surface names repeat endlessly across the web (vocabulary labels,
+# boilerplate titles), so the Python minhash runs once per DISTINCT
+# name per worker — shuffle-free, unlike a distinct+join pre-pass.
+_SIG_MEMO: dict[str, list] = {}
+
+
 def signatures(names: DataFrame) -> DataFrame:
     """entity → minhash signature. Shuffle-free map stage; numpy per
-    batch."""
+    batch, memoized per worker on the name string."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [minhash_signature(n).tolist() for n in pdf["name"]]
+            sigs = []
+            for n in pdf["name"]:
+                s = _SIG_MEMO.get(n)
+                if s is None:
+                    s = minhash_signature(n).tolist()
+                    if len(_SIG_MEMO) < 65536:
+                        _SIG_MEMO[n] = s
+                sigs.append(s)
             yield pd.DataFrame({"entity": pdf["entity"], "sig": sigs})
 
     return names.mapInPandas(run, schema=SIG_SCHEMA)
@@ -229,8 +243,12 @@ def connected_components(
     ``max_iter`` bounds the worst case. Both paths emit identical
     labels (min entity id per component) — deterministic.
     """
-    n_edges = edges.limit(driver_threshold).count()
-    if n_edges < driver_threshold:
+    # ONE evaluation of the edge plan decides the path AND feeds the
+    # union-find: collect up to the threshold — if the limit wasn't
+    # hit, these are all the edges (the old limit().count() probe +
+    # separate collect() computed the band-join/verify plan twice).
+    head = edges.select("entity_a", "entity_b").limit(driver_threshold).collect()
+    if len(head) < driver_threshold:
         spark = edges.sparkSession
         parent: dict[str, str] = {}
 
@@ -242,7 +260,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.select("entity_a", "entity_b").collect():
+        for row in head:
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
