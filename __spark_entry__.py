@@ -53,14 +53,18 @@ def _pkg_hash() -> str:
 
     h = hashlib.blake2b(digest_size=6)
     pkg = os.path.join(_REPO, "serd_spark")
-    for root, dirs, files in sorted(os.walk(pkg)):
+    paths = []
+    for root, dirs, files in os.walk(pkg):
+        # prune in place BEFORE the walk descends (sorted(os.walk(...))
+        # would exhaust the generator first, making pruning a no-op)
         dirs[:] = sorted(d for d in dirs if d != "__pycache__")
-        for fn in sorted(files):
-            if fn.endswith(".py"):
-                p = os.path.join(root, fn)
-                h.update(os.path.relpath(p, pkg).encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
+        paths.extend(
+            os.path.join(root, fn) for fn in files if fn.endswith(".py")
+        )
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, pkg).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
     return h.hexdigest()
 
 

@@ -108,7 +108,10 @@ def entity_names(triples: DataFrame) -> DataFrame:
 # surface names repeat endlessly across the web (vocabulary labels,
 # boilerplate titles), so the Python minhash runs once per DISTINCT
 # name per worker — shuffle-free, unlike a distinct+join pre-pass.
-_SIG_MEMO: dict[str, list] = {}
+# Values are int64 ndarrays (512 B each ⇒ the full 64 Ki-entry memo
+# is ~32 MB/worker; a Python list of 64 boxed 2^61-range ints would
+# be ~5× that).
+_SIG_MEMO: dict[str, np.ndarray] = {}
 
 
 def signatures(names: DataFrame) -> DataFrame:
@@ -121,10 +124,10 @@ def signatures(names: DataFrame) -> DataFrame:
             for n in pdf["name"]:
                 s = _SIG_MEMO.get(n)
                 if s is None:
-                    s = minhash_signature(n).tolist()
+                    s = minhash_signature(n)
                     if len(_SIG_MEMO) < 65536:
                         _SIG_MEMO[n] = s
-                sigs.append(s)
+                sigs.append(s.tolist())
             yield pd.DataFrame({"entity": pdf["entity"], "sig": sigs})
 
     return names.mapInPandas(run, schema=SIG_SCHEMA)
@@ -243,12 +246,17 @@ def connected_components(
     ``max_iter`` bounds the worst case. Both paths emit identical
     labels (min entity id per component) — deterministic.
     """
-    # ONE evaluation of the edge plan decides the path AND feeds the
-    # union-find: collect up to the threshold — if the limit wasn't
-    # hit, these are all the edges (the old limit().count() probe +
-    # separate collect() computed the band-join/verify plan twice).
-    head = edges.select("entity_a", "entity_b").limit(driver_threshold).collect()
-    if len(head) < driver_threshold:
+    # Materialize the edge plan ONCE (the old limit().count() probe +
+    # separate collect() computed the band-join/verify plan twice),
+    # then the count probe is a cheap metadata scan and the driver
+    # collect happens ONLY when the graph is actually small — never
+    # transfer driver_threshold rows just to discard them. The
+    # distributed path also reuses the materialized edges (it reads
+    # them twice for the symmetrized union). At cluster scale:
+    # reliable checkpoint dir instead of localCheckpoint.
+    edges = edges.select("entity_a", "entity_b").localCheckpoint(eager=True)
+    if edges.count() < driver_threshold:
+        head = edges.collect()
         spark = edges.sparkSession
         parent: dict[str, str] = {}
 
@@ -282,7 +290,6 @@ def connected_components(
     )
     nodes = sym.select(F.col("src").alias("entity")).distinct()
     labels = nodes.withColumn("canon", F.col("entity"))
-    sym = sym.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # (1) candidate label per node = min over neighbors' labels ∪ own

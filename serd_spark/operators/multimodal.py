@@ -62,13 +62,11 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     info = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    body = bytearray()
-    for y in range(h - 1, -1, -1):  # bottom-up
-        for x in range(w):
-            r, g, b = pixels[y, x]
-            body += bytes((b, g, r))  # BGR on disk
-        body += b"\x00" * pad
-    return header + info + bytes(body)
+    # vectorized: RGB→BGR, bottom-up row order, per-row stride padding
+    bgr = pixels[::-1, :, ::-1].reshape(h, row_raw)
+    if pad:
+        bgr = np.pad(bgr, ((0, 0), (0, pad)), constant_values=0)
+    return header + info + bgr.tobytes()
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -194,11 +192,21 @@ def payload_features(payload: bytes, dim: int = FEATURE_DIM,
                      strict: bool = False) -> np.ndarray:
     """Per-payload feature dispatch on magic bytes: real content
     features for BMP and WAV, deterministic digest-fake otherwise
-    (or NotImplementedError when ``strict``)."""
-    if payload[:2] == b"BM":
-        return _bmp_features(payload, dim)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _wav_features(payload, dim)
+    (or raise when ``strict``).
+
+    Magic bytes can occur by chance in arbitrary binary (a video
+    payload starting with 'BM' is a corrupt/unsupported 'BMP'), so
+    under ``strict=False`` ANY decode failure falls back to the fake —
+    lax mode must never kill a 100 TB task over one malformed blob."""
+    try:
+        if payload[:2] == b"BM":
+            return _bmp_features(payload, dim)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _wav_features(payload, dim)
+    except Exception:
+        if strict:
+            raise
+        return _fake_decode(payload, dim)
     if strict:
         raise NotImplementedError(
             f"no stdlib decoder for payload magic {payload[:4]!r}; "
@@ -294,10 +302,16 @@ def synthesize_media(
     exercised end-to-end; video rows stay opaque (no stdlib codec)."""
     base = spark.range(0, n_rows, 1, partitions)
 
+    mimes = {"image": "image/bmp", "audio": "audio/wav",
+             "video": "video/mp4"}
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "image", "audio", "video"]
         for pdf in batches:
-            rows = []
+            # column lists, not rows-of-tuples (CLAUDE.md: per-cell
+            # type inference on tuple rows is several times slower)
+            c_id, c_kind, c_payload, c_mime = [], [], [], []
+            c_w, c_h, c_dur = [], [], []
             for i in pdf["id"]:
                 i = int(i)
                 kind = kinds[i % 4]
@@ -330,20 +344,19 @@ def synthesize_media(
                     payload = encode_wav(samples, rate)
                 else:
                     payload = digest * (4 + i % 8)
-                rows.append(
-                    (
-                        i, kind, payload,
-                        {"image": "image/bmp", "audio": "audio/wav",
-                         "video": "video/mp4"}[kind],
-                        w, h, dur,
-                    )
-                )
+                c_id.append(i)
+                c_kind.append(kind)
+                c_payload.append(payload)
+                c_mime.append(mimes[kind])
+                c_w.append(w)
+                c_h.append(h)
+                c_dur.append(dur)
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "kind", "payload", "mime",
-                    "width", "height", "duration_ms",
-                ],
+                {
+                    "media_id": c_id, "kind": c_kind, "payload": c_payload,
+                    "mime": c_mime, "width": c_w, "height": c_h,
+                    "duration_ms": c_dur,
+                }
             )
 
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)

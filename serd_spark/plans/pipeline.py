@@ -118,8 +118,19 @@ def extract_with_lineage(pages: DataFrame, lax: bool = True) -> DataFrame:
     from serd_spark.operators.extract import _NORM_MEMO
 
     has_skip = "_skip" in pages.columns
-    cols = ["url", "html"] + (["_skip"] if has_skip else [])
-    src = pages.select(*cols)
+    if has_skip:
+        # null the payload JVM-side for skipped rows: a mostly-done
+        # resume must not ship already-committed page bytes across the
+        # Arrow boundary just to hit `if skip:` in Python
+        src = pages.select(
+            "url",
+            F.when(F.col("_skip"), F.lit(None))
+            .otherwise(F.col("html"))
+            .alias("html"),
+            "_skip",
+        )
+    else:
+        src = pages.select("url", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

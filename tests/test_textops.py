@@ -210,3 +210,23 @@ def test_real_content_features():
     )
     # amplitude 12000/32768 ≈ 0.366 → RMS ≈ 0.366/√2 ≈ 0.259
     assert abs(multimodal.payload_features(sine)[0] - 0.259) < 0.01
+
+
+def test_payload_features_bm_magic_fallback():
+    """Arbitrary binary starting with 'BM'/'RIFF' magic must not kill
+    lax feature extraction — it falls back to the digest fake (and
+    still raises under strict)."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    fake_bmp = b"BM" + hashlib.blake2b(b"x").digest() * 4
+    f = multimodal.payload_features(fake_bmp)  # must not raise
+    assert np.array_equal(f, multimodal._fake_decode(fake_bmp))
+    truncated = multimodal.encode_bmp(
+        np.zeros((4, 4, 3), dtype=np.uint8)
+    )[:20]
+    assert multimodal.payload_features(truncated) is not None
+    with pytest.raises(Exception):
+        multimodal.payload_features(fake_bmp, strict=True)

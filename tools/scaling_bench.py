@@ -112,15 +112,40 @@ def main() -> None:
             results[cores]["times"].extend(r["times"])
             results[cores]["n_triples"] = r["n_triples"]
             print(line)
+    # merge with any previous invocation of the SAME configuration AND
+    # the same engine code (pkg content hash): the host has
+    # epoch-scale external interference (±30%, sometimes 5×), so the
+    # least-contended estimate is the min across ALL repeats of all
+    # epochs — but mins from different code versions must never mix
+    # (an efficiency number describing no single version of the code)
+    from __spark_entry__ import _pkg_hash
+
+    pkg_hash = _pkg_hash()
+    out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.exists(out_path):
+        try:
+            prev = json.load(open(out_path))
+            if (
+                prev.get("n_pages") == N_PAGES
+                and prev.get("richness") == RICHNESS
+                and prev.get("pkg_hash") == pkg_hash
+                and set(prev.get("all_times", {})) == {str(SMALL), str(BIG)}
+            ):
+                results[SMALL]["times"].extend(prev["all_times"][str(SMALL)])
+                results[BIG]["times"].extend(prev["all_times"][str(BIG)])
+        except Exception:
+            pass
     t_small = min(results[SMALL]["times"])
     t_big = min(results[BIG]["times"])
     eff = (t_small / t_big) / (BIG / SMALL)
     summary = {
         "protocol": f"pinned local[{SMALL}] (taskset 0-{SMALL-1}) vs "
         f"pinned local[{BIG}] (taskset 0-{BIG-1}), same job+input, "
-        f"min of {REPEATS} repeats",
+        f"interleaved, min of {REPEATS} repeats per session merged "
+        "across sessions/epochs",
         "n_pages": N_PAGES,
         "richness": RICHNESS,
+        "pkg_hash": pkg_hash,
         "n_triples": results[BIG]["n_triples"],
         "wall_small_s": t_small,
         "wall_big_s": t_big,
@@ -131,7 +156,7 @@ def main() -> None:
         "all_times": {str(k): v["times"] for k, v in results.items()},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
 
