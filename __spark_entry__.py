@@ -228,6 +228,7 @@ def kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.serialize import nt_lines
     from serd_spark.rdf.ntriples import parse_ntriples, write_ntriples
 
+    _materialize_triples(spark, sf_dir)
     triples = _kg_triples(spark, sf_dir)
     lines = nt_lines(triples)
 
@@ -302,6 +303,7 @@ def kg_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.serialize import serialize_turtle_documents
     from serd_spark.rdf.turtle import parse_turtle
 
+    _materialize_triples(spark, sf_dir)
     docs = serialize_turtle_documents(
         _kg_triples(spark, sf_dir), prefixes={"s": "http://schema.org/"}
     )
@@ -956,6 +958,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(feature[1]::DOUBLE * 1000000)
                        AS BIGINT)) AS BIGINT) AS f0_millionths
             FROM read_parquet('{ORACLE_DIR}/sf0.01/mm_features/*.parquet')
+        """,
+        # Round-trip INVARIANT oracles: the writer→parser fixpoint must
+        # hold for EVERY statement/document, so the expected counts are
+        # exactly the triple-table counts DuckDB derives independently —
+        # one lost or mutated statement breaks the hash compare.
+        "kg_roundtrip": f"""
+            SELECT COUNT(*) AS n_lines, COUNT(*) AS n_roundtrip
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+        """,
+        "kg_turtle": f"""
+            SELECT COUNT(DISTINCT url) AS n_docs,
+                   COUNT(DISTINCT url) AS n_roundtrip
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
         """,
         # Independent connected-components over the materialized
         # verified-link edges: reachability closure via recursive CTE,
