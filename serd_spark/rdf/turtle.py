@@ -314,23 +314,28 @@ class TurtleParser:
     def _read_statement(self) -> None:
         s = self.s
         p = self.pos
-        if s.startswith("@prefix", p):
-            self.pos = p + 7
-            self._read_prefix_directive(sparql=False)
-            return
-        if s.startswith("@base", p):
-            self.pos = p + 5
-            self._read_base_directive(sparql=False)
-            return
-        word = s[p : p + 7]
-        if word.upper().startswith("PREFIX") and not self._is_pname_ahead():
-            self.pos = p + 6
-            self._read_prefix_directive(sparql=True)
-            return
-        if word.upper().startswith("BASE") and not self._is_pname_ahead():
-            self.pos = p + 4
-            self._read_base_directive(sparql=True)
-            return
+        # cheap first-char gate before any slicing/upper-casing: the
+        # overwhelmingly common statement starts with an IRI/pname
+        c0 = s[p] if p < self.n else ""
+        if c0 == "@":
+            if s.startswith("@prefix", p):
+                self.pos = p + 7
+                self._read_prefix_directive(sparql=False)
+                return
+            if s.startswith("@base", p):
+                self.pos = p + 5
+                self._read_base_directive(sparql=False)
+                return
+        elif c0 in "PpBb":
+            word = s[p : p + 7]
+            if word.upper().startswith("PREFIX") and not self._is_pname_ahead():
+                self.pos = p + 6
+                self._read_prefix_directive(sparql=True)
+                return
+            if word.upper().startswith("BASE") and not self._is_pname_ahead():
+                self.pos = p + 4
+                self._read_base_directive(sparql=True)
+                return
         if self.trig:
             self._read_trig_block()
         else:
@@ -659,6 +664,8 @@ class TurtleParser:
         tok_end = ml.end() if ml else pre_end + 1
         # token-level memo (env-owned, cleared on prefix/base change):
         # vocabularies repeat the same handful of p-names endlessly
+        # (a combined prefix+colon+local single-regex variant was
+        # measured ~6% SLOWER — optional-group backtracking)
         token = self.s[p0:tok_end]
         cached = self.env.pn_cache.get(token)
         if cached is not None:
