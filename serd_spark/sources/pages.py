@@ -216,16 +216,22 @@ def synthesize_pages(
 
 def latest_crawl(pages: DataFrame) -> DataFrame:
     """Re-crawl dedup at ingest: latest ``warc_ts`` wins per url
-    (SURVEY.md §2B "late data")."""
-    from pyspark.sql.window import Window
+    (SURVEY.md §2B "late data").
 
-    # content-hash tie-break: equal-timestamp re-crawls must pick a
-    # deterministic winner or resume/retry idempotency breaks
-    w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.xxhash64("html"))
-    )
+    ``max_by`` hash aggregation, not a window: a window over
+    ``partitionBy(url)`` sort-shuffles every page payload; ``max_by``
+    is a declarative aggregate with MAP-SIDE partial merge — each
+    mapper forwards at most one candidate row per url, so re-crawl
+    duplicates are pruned before the shuffle and nothing is sorted.
+    Strictly ≤ the window's shuffle volume at any scale.
+
+    Content-hash tie-break: equal-timestamp re-crawls must pick a
+    deterministic winner or resume/retry idempotency breaks."""
+    cols = pages.columns
+    key = F.struct(F.col("warc_ts"), F.xxhash64("html").alias("_h"))
+    row = F.struct(*[F.col(c) for c in cols])
     return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        pages.groupBy("url")
+        .agg(F.max_by(row, key).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
     )
