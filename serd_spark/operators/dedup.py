@@ -82,7 +82,9 @@ def minhash_near_dups(
     )
     sigs = signatures(named).localCheckpoint(eager=False)
     return verified_links(
-        candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket),
+        # verified_links' per-pair groupBy dedups band multiplicity —
+        # skip candidate_pairs' distinct shuffle
+        candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket, dedup=False),
         sigs,
         threshold=threshold,
     )

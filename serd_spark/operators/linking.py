@@ -155,7 +155,7 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    bands: DataFrame, max_bucket: int = 256
+    bands: DataFrame, max_bucket: int = 256, dedup: bool = True
 ) -> DataFrame:
     """Self-join on (band, band_hash) → distinct unordered id pairs.
 
@@ -164,6 +164,11 @@ def candidate_pairs(
     "home" bucket would dominate the stage, so oversized buckets are
     dropped (their members still pair through their OTHER bands,
     which is exactly LSH's redundancy).
+
+    ``dedup=False`` skips the distinct shuffle — correct whenever the
+    consumer already aggregates per pair (``verified_links`` does);
+    verifying a pair twice is cheap JVM work, a whole extra shuffle
+    of the pair table is not.
     """
     w_count = bands.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("_m")
@@ -178,12 +183,12 @@ def candidate_pairs(
     b = pruned.select(
         "band", "band_hash", F.col("entity").alias("entity_b")
     )
-    return (
+    out = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("entity_a") < F.col("entity_b"))
         .select("entity_a", "entity_b")
-        .dropDuplicates(["entity_a", "entity_b"])
     )
+    return out.dropDuplicates(["entity_a", "entity_b"]) if dedup else out
 
 
 def verified_links(
@@ -343,7 +348,9 @@ def link_entities(
     # (bands + both verify joins) — materialize it once
     sigs = signatures(names).localCheckpoint(eager=False)
     links = verified_links(
-        candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket),
+        # no distinct shuffle here: verified_links' per-pair groupBy
+        # dedups band-multiplicity anyway
+        candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket, dedup=False),
         sigs,
         threshold=threshold,
     )
