@@ -459,6 +459,50 @@ def curate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_df(spark, res)
 
 
+def stream_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end check: pages parquet dir →
+    availableNow micro-batched extraction (maxFilesPerTrigger=2, so
+    the corpus really flows through MULTIPLE batches + the streaming
+    checkpoint/foreachBatch sink) → per-(syntax, rec) counts. The
+    DuckDB oracle aggregates a BATCH extraction of the same pages —
+    streaming-vs-batch equivalence, verified cross-engine."""
+    import shutil
+
+    from serd_spark.operators.extract import extract_triples
+    from serd_spark.sources.pages import latest_crawl, synthesize_pages
+    from serd_spark.streaming.incremental import run_incremental
+
+    n = max(100, _n_pages(sf_dir) // 4)
+    base = os.path.join(
+        "/tmp/serd_spark_stream", os.path.basename(os.path.normpath(sf_dir))
+    )
+    pages_dir = os.path.join(base, "pages")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    latest_crawl(synthesize_pages(spark, n, seed=42)).repartition(
+        6
+    ).write.parquet(pages_dir)
+    q = run_incremental(
+        spark, pages_dir, out_dir, ckpt, max_files_per_trigger=2
+    )
+    q.awaitTermination()
+    _materialize(
+        sf_dir, "stream_batch_extract",
+        lambda: extract_triples(
+            spark.read.parquet(pages_dir),
+            lax=True, canonicalize=True, dedup=True,
+        ),
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("syntax", "rec")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("syntax", "rec")
+    )
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.multimodal import (
         extract_features,
@@ -794,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "ann_ivf": ann_ivf,
         "curate_metrics": curate_metrics,
+        "stream_extract_counts": stream_extract_counts,
         "mm_features": mm_features,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
@@ -951,6 +996,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cand, q
             ORDER BY cos DESC, vec_id
             LIMIT 10
+        """,
+        # Streaming-vs-batch equivalence: the Spark side went through
+        # availableNow micro-batches + checkpointed foreachBatch; the
+        # oracle re-extracts the same pages in ONE batch pass and
+        # re-aggregates in DuckDB.
+        "stream_extract_counts": f"""
+            SELECT syntax, rec, COUNT(*) AS n
+            FROM read_parquet(
+              '{ORACLE_DIR}/sf0.01/stream_batch_extract/*.parquet')
+            GROUP BY syntax, rec
+            ORDER BY syntax NULLS FIRST, rec NULLS FIRST
         """,
         "mm_features": f"""
             SELECT COUNT(*) AS n_media,
