@@ -53,6 +53,19 @@ GOOD = [
      lambda s: [t.object.value for t in s] == ["true", "false"]),
     ("iri-with-query", "<http://e/x?a=1&b=2#f> <http://p> <http://o> .",
      lambda s: s[0].subject.value == "http://e/x?a=1&b=2#f"),
+    # PNAME_NS alone is a valid term (empty prefix AND empty local)
+    ("colon-only-pname", "@prefix : <http://e/> . :s :p : .",
+     lambda s: s[0].object.value == "http://e/"),
+    ("digit-start-local", "@prefix e: <http://e/> . e:123 e:p e:o .",
+     lambda s: s[0].subject.value == "http://e/123"),
+    # "1." lexes as INTEGER 1 + statement terminator
+    ("integer-then-dot", "<http://s> <http://p> 1.",
+     lambda s: s[0].object.value == "1"),
+    ("prefixed-datatype",
+     '@prefix x: <http://www.w3.org/2001/XMLSchema#> . '
+     '<http://s> <http://p> "1"^^x:int .',
+     lambda s: s[0].object.datatype
+     == "http://www.w3.org/2001/XMLSchema#int"),
 ]
 
 BAD = [
@@ -62,6 +75,14 @@ BAD = [
     ("unclosed-string", '<http://s> <http://p> "x .'),
     ("double-dot-number", "<http://s> <http://p> 1.2.3 ."),
     ("undefined-prefix", "e:s <http://p> <http://o> ."),
+    # sparqlPrefix takes NO trailing dot — the '.' is then a bare
+    # statement terminator, which is a syntax error
+    ("sparql-prefix-with-dot", "PREFIX e: <http://e/> .\ne:s e:p e:o ."),
+    ("dangling-datatype-carets", '<http://s> <http://p> "x"^^ .'),
+    ("empty-object-item", "<http://s> <http://p> <http://o> ,, ."),
+    ("anon-as-predicate",
+     "[ <http://p> <http://o> ] [ <http://q> 1 ] <http://o2> ."),
+    ("dangling-langtag", '<http://s> <http://p> "x"@ .'),
 ]
 
 
