@@ -223,15 +223,19 @@ def simhash_near_dups(
         "chunk", "chunk_val",
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
     )
+    # Hamming verify BEFORE the distinct: bit_count is free codegen on
+    # the join output, so duplicates (pairs sharing >1 chunk) are
+    # filtered for ~nothing, and the dedup shuffle carries only the
+    # ≤max_hamming survivors instead of every candidate pair.
     return (
         a.join(b, ["chunk", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
