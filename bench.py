@@ -83,12 +83,17 @@ def main() -> None:
         _warm, schema="id long"
     ).count()
 
+    # min of 2 per query (same epoch-interference rationale as the
+    # headline; the second run is also closer to steady-state codegen)
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         _ = n
 
     # headline: pages/sec through the fused extraction pipeline
