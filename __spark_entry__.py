@@ -883,6 +883,11 @@ def _lang_case_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Mirrors that read ORACLE_DIR parquet depend on their Spark query
+    # having run first in this process (each query fn materializes its
+    # own oracle inputs before returning its DataFrame). Any driver
+    # that evaluates the Spark side before the SQL side — per query or
+    # in bulk — satisfies this; tools/check_oracles.py replicates it.
     grams_cte = """
         WITH norm AS (
           SELECT doc_id,
