@@ -186,3 +186,38 @@ def test_turtle_writer_round_trip(stmts):
         )
 
     assert canon(stmts) == canon(parsed)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_lax_parse_never_crashes_on_arbitrary_text(doc):
+    """Web pages are adversarial: lax-mode parsing of ARBITRARY text
+    must always return (statements, errors) — never raise, never hang.
+    (Strict mode may raise ParseError; nothing may raise anything
+    else.)"""
+    from serd_spark.rdf.ntriples import parse_ntriples
+    from serd_spark.rdf.turtle import parse_trig, parse_turtle
+
+    for fn in (parse_turtle, parse_trig):
+        stmts, errs = fn(doc, "http://b/", lax=True)
+        assert isinstance(stmts, list) and isinstance(errs, list)
+    stmts, errs = parse_ntriples(doc, lax=True)
+    assert isinstance(stmts, list) and isinstance(errs, list)
+
+
+@given(st.text(alphabet='<>"\'{}[]().;,@\\#^_:%0aeIPb \n\t', max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_lax_parse_never_crashes_on_syntax_soup(doc):
+    """Denser variant: draw only from RDF syntax-significant
+    characters so the fuzz actually reaches deep parser states."""
+    from serd_spark.rdf.html_islands import extract_document
+    from serd_spark.rdf.turtle import parse_turtle
+
+    stmts, errs = parse_turtle(doc, "http://b/", lax=True)
+    assert isinstance(stmts, list) and isinstance(errs, list)
+    # and through the full per-document extraction surface
+    triples, errors = extract_document(
+        f'<html><script type="text/turtle">{doc}</script></html>',
+        "http://page/", lax=True,
+    )
+    assert isinstance(triples, list) and isinstance(errors, list)
