@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from serd_spark.rdf.jsonld import parse_jsonld
 from serd_spark.rdf.microdata import parse_microdata
-from serd_spark.rdf.model import ParseError, Statement
+from serd_spark.rdf.model import BLANK, ParseError, Statement, Term
 from serd_spark.rdf.ntriples import parse_nquads, parse_ntriples
 from serd_spark.rdf.turtle import parse_trig, parse_turtle
 
@@ -107,6 +107,26 @@ def extract_document(
     errors: list[tuple[int, str, int, int, str]] = []
     base = document_base(html_text, url)
 
+    def scoped(st: Statement, ord_: int) -> Statement:
+        # island-unique blank labels as documented: two islands both
+        # emitting 'a=1' are DISTINCT nodes; without the prefix any
+        # direct caller silently merges them (the Spark extract stage
+        # additionally namespaces by url)
+        def fix(t: Term | None) -> Term | None:
+            if t is not None and t.kind == BLANK:
+                return Term(BLANK, f"{ord_}~{t.value}")
+            return t
+
+        if (
+            st.subject.kind != BLANK
+            and st.object.kind != BLANK
+            and (st.graph is None or st.graph.kind != BLANK)
+        ):
+            return st
+        return Statement(
+            fix(st.subject), st.predicate, fix(st.object), fix(st.graph)
+        )
+
     islands = find_islands(html_text)
     for ord_, (syntax, content) in enumerate(islands):
         parser = PARSERS[syntax]
@@ -127,7 +147,7 @@ def extract_document(
             continue
         for le in errs:
             errors.append((ord_, syntax, le[0], le[1], le[2]))
-        triples.extend((ord_, syntax, st) for st in stmts)
+        triples.extend((ord_, syntax, scoped(st, ord_)) for st in stmts)
 
     md_ord = len(islands)
     try:
@@ -140,5 +160,7 @@ def extract_document(
         md_stmts, md_errs = [], [(0, 0, "DOM nesting depth exceeded")]
     for le in md_errs:
         errors.append((md_ord, "microdata", le[0], le[1], le[2]))
-    triples.extend((md_ord, "microdata", st) for st in md_stmts)
+    triples.extend(
+        (md_ord, "microdata", scoped(st, md_ord)) for st in md_stmts
+    )
     return triples, errors

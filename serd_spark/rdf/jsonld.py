@@ -155,19 +155,24 @@ class _JsonLdToRdf:
         return out
 
     def _expand_iri(
-        self, ctx: _Context, value: str, vocab: bool, doc_relative: bool = False
+        self, ctx: _Context, value: str, vocab: bool,
+        doc_relative: bool = False, _seen: frozenset = frozenset(),
     ) -> str | None:
         """Expand a term / compact IRI / IRI reference. Returns None
-        when it expands to nothing (dropped, per spec)."""
+        when it expands to nothing (dropped, per spec). ``_seen``
+        breaks cyclic term aliases ({"a": "b", "b": "a"}) — adversarial
+        embedded JSON-LD must never recurse unboundedly."""
         if value.startswith("@"):
             return value if value in _KEYWORDS else None
         td = ctx.terms.get(value)
-        if td is not None:
+        if td is not None and value not in _seen:
             tid = td.get("@id", value)
             if tid is None:
                 return None
             if tid != value and isinstance(tid, str):
-                return self._expand_iri(ctx, tid, vocab=True)
+                return self._expand_iri(
+                    ctx, tid, vocab=True, _seen=_seen | {value}
+                )
         # compact IRI pre:suffix
         colon = value.find(":")
         if colon > 0:

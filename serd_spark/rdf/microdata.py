@@ -155,8 +155,20 @@ class _MicrodataToRdf:
                 for name in names:
                     if ":" in name or name.startswith("http"):
                         pred = name
+                    elif vocab:
+                        pred = vocab + name
                     else:
-                        pred = vocab + name if vocab else name
+                        # untyped item, bare name: predicates must be
+                        # ABSOLUTE IRIs (a bare 'name' would serialize
+                        # as the invalid '<name>'), so anchor them in
+                        # the document: <base#name>, falling back to a
+                        # urn: namespace when no base exists —
+                        # deterministic per (url, name) either way
+                        pred = (
+                            self._resolve("#" + name)
+                            if self.base
+                            else "urn:md:prop:" + name
+                        )
                     if pred:
                         self.statements.append(
                             Statement(subj, Term(IRI, pred), value)

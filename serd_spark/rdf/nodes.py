@@ -32,11 +32,10 @@ def new_decimal(d: float, frac_digits: int) -> Term:
     one ('x.0' keeps a digit — a Turtle DECIMAL needs '.d+')."""
     if math.isnan(d) or math.isinf(d):
         raise ValueError("decimal nodes require finite values")
-    s = f"{d:.{frac_digits}f}"
-    if "." in s:
-        s = s.rstrip("0")
-        if s.endswith("."):
-            s += "0"
+    s = f"{d:.{max(frac_digits, 1)}f}"  # a Turtle DECIMAL needs '.d+'
+    s = s.rstrip("0")
+    if s.endswith("."):
+        s += "0"
     return literal(s, XSD_DECIMAL)
 
 
@@ -90,22 +89,23 @@ def file_uri_parse(uri: str) -> tuple[str, str]:
             hostname, rest = rest[:slash], rest[slash:]
         if hostname == "localhost":
             hostname = ""
-    # percent-decode
+    # percent-decode; invalid escapes pass through literally.
+    # Strict two-hex-digit check — int(hx, 16) alone would accept
+    # signs/whitespace ('%+1' → control byte 0x01)
+    hexdigits = set("0123456789abcdefABCDEF")
     out = bytearray()
     i, n = 0, len(rest)
     while i < n:
         c = rest[i]
-        if c == "%" and i + 2 < n + 1 and len(rest[i + 1 : i + 3]) == 2:
+        if c == "%" and i + 2 < n:
             hx = rest[i + 1 : i + 3]
-            try:
+            if hx[0] in hexdigits and hx[1] in hexdigits:
                 out.append(int(hx, 16))
                 i += 3
                 continue
-            except ValueError:
-                pass
         out.extend(c.encode("utf-8"))
         i += 1
-    return out.decode("utf-8"), hostname
+    return out.decode("utf-8", errors="replace"), hostname
 
 
 def uri_to_path(uri: str) -> str:

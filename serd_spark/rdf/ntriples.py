@@ -136,6 +136,10 @@ def _parse_lines(
     statements: list[Statement] = []
     errors: list[tuple[int, int, str]] = []
     for lineno, line in enumerate(text.split("\n"), start=1):
+        # EOL is [#xD#xA]+ — CRLF files are everywhere on the web;
+        # without this every line of a CRLF document fails on '\r'
+        if line.endswith("\r"):
+            line = line[:-1]
         fm = _FAST_LINE.match(line)
         if fm is not None and (quads or fm.group(7) is None):
             s_v, p_v, oi, lit, dt, lang, g_v = fm.groups()

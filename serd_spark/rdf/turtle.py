@@ -563,9 +563,21 @@ class TurtleParser:
         # boolean keywords
         for kw in ("true", "false"):
             if self.s.startswith(kw, self.pos):
-                after = self.s[self.pos + len(kw) : self.pos + len(kw) + 1]
+                end = self.pos + len(kw)
+                after = self.s[end : end + 1]
+                if after == ".":
+                    # '.' is a boolean-follower ONLY as a statement
+                    # terminator; 'true.x:y' is a conforming PNAME_LN
+                    # ('.' is medial in PN_PREFIX), so look one
+                    # further: a PN char or another '.' means we are
+                    # inside a prefixed name, not at statement end
+                    # (':' is NOT included — a prefix cannot end with
+                    # '.', so 'true.:x' is boolean, dot, then ':x')
+                    nxt = self.s[end + 1 : end + 2]
+                    if nxt and (chars.is_pn_chars(nxt) or nxt == "."):
+                        continue
                 if after == "" or after in _BOOL_FOLLOW:
-                    self.pos += len(kw)
+                    self.pos = end
                     self._emit(subj, pred, Term(LITERAL, kw, XSD_BOOLEAN, ""))
                     return
         self._emit(subj, pred, self._read_prefixed_name())

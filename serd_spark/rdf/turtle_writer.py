@@ -111,14 +111,19 @@ class TurtleWriter:
 
     # ------------------------------------------------------- document
 
-    def write(
-        self, statements: list[Statement], emit_prefixes: bool = True
-    ) -> str:
-        """Serialize one document's statements (single graph) as
-        abbreviated Turtle."""
-        # emitted blank labels must be valid BLANK_NODE_LABELs —
-        # parser-generated anon labels contain '=' (deliberately not
-        # a PN char); relabel anything unsafe to a fresh gN label
+    # nested [ … ] / ( … ) blocks recurse through Python frames; flat
+    # blank chains from adversarial NT input would otherwise blow the
+    # stack (the PARSER caps nesting at 128 for the same reason) —
+    # beyond this depth the node is referenced by label and emitted as
+    # its own top-level block by the catch-all pass
+    MAX_INLINE_DEPTH = 64
+
+    @staticmethod
+    def relabel_unsafe(statements: list[Statement]) -> list[Statement]:
+        """Emitted blank labels must be valid BLANK_NODE_LABELs —
+        parser-generated anon labels contain '=' (deliberately not a
+        PN char); relabel anything unsafe (in subject, object AND
+        graph position) to a fresh gN label."""
         relabel: dict[str, str] = {}
         existing = set()
         for st in statements:
@@ -134,18 +139,28 @@ class TurtleWriter:
                     if fresh not in existing:
                         break
                 relabel[label] = fresh
-        if relabel:
-            def fix(t: Term | None) -> Term | None:
-                if t is not None and t.kind == BLANK and t.value in relabel:
-                    return Term(BLANK, relabel[t.value])
-                return t
+        if not relabel:
+            return statements
 
-            statements = [
-                Statement(
-                    fix(st.subject), st.predicate, fix(st.object), fix(st.graph)
-                )
-                for st in statements
-            ]
+        def fix(t: Term | None) -> Term | None:
+            if t is not None and t.kind == BLANK and t.value in relabel:
+                return Term(BLANK, relabel[t.value])
+            return t
+
+        return [
+            Statement(
+                fix(st.subject), st.predicate, fix(st.object), fix(st.graph)
+            )
+            for st in statements
+        ]
+
+    def write(
+        self, statements: list[Statement], emit_prefixes: bool = True
+    ) -> str:
+        """Serialize one document's statements (single graph) as
+        abbreviated Turtle."""
+        statements = self.relabel_unsafe(statements)
+        self._depth = 0
 
         by_subject: dict[tuple, list[Statement]] = {}
         subj_order: list[tuple] = []
@@ -218,18 +233,34 @@ class TurtleWriter:
                     cells[value] = (first, None)
                 elif rest.kind == BLANK:
                     cells[value] = (first, rest.value)
-        # a cell is usable only if its whole tail is made of cells
-        def tail_ok(label: str, seen: set[str]) -> bool:
-            while label is not None:
-                if label in seen or label not in cells:
-                    return False
-                seen.add(label)
-                label = cells[label][1]
-            return True
+        # a cell is usable only if its whole tail is made of cells —
+        # memoized so the total walk is O(n), not O(n²) per-cell
+        # re-walks (a single 100k-element collection would otherwise
+        # hang the writer)
+        state: dict[str, bool] = {}
 
-        return {
-            lab: cell for lab, cell in cells.items() if tail_ok(lab, set())
-        }
+        def tail_ok(start: str) -> bool:
+            path: list[str] = []
+            on_path: set[str] = set()
+            label: str | None = start
+            while True:
+                if label is None:
+                    result = True
+                    break
+                if label in state:
+                    result = state[label]
+                    break
+                if label in on_path or label not in cells:
+                    result = False  # cycle or broken tail
+                    break
+                path.append(label)
+                on_path.add(label)
+                label = cells[label][1]
+            for p in path:
+                state[p] = result
+            return result
+
+        return {lab: cell for lab, cell in cells.items() if tail_ok(lab)}
 
     def _subject_block(self, key: tuple) -> str:
         kind, value = key
@@ -265,7 +296,10 @@ class TurtleWriter:
             return self._literal(o)
         if o.kind == IRI:
             return self._iri(o.value)
-        # blank node object
+        # blank node object; past the depth cap, reference by label —
+        # the catch-all pass emits the node as a top-level block
+        if self._depth >= self.MAX_INLINE_DEPTH:
+            return f"_:{o.value}"
         if o.value in self._lists and (BLANK, o.value) not in self._emitted:
             return self._collection(o.value)
         if (
@@ -273,18 +307,26 @@ class TurtleWriter:
             and (BLANK, o.value) in self._by_subject
             and (BLANK, o.value) not in self._emitted
         ):
-            inner = self._predicate_object_list((BLANK, o.value), indent)
+            self._depth += 1
+            try:
+                inner = self._predicate_object_list((BLANK, o.value), indent)
+            finally:
+                self._depth -= 1
             return f"[ {inner} ]"
         return f"_:{o.value}"
 
     def _collection(self, label: str) -> str:
         items: list[str] = []
         cur: str | None = label
-        while cur is not None:
-            self._emitted.add((BLANK, cur))
-            first, nxt = self._lists[cur]
-            items.append(self._object(first, "  "))
-            cur = nxt
+        self._depth += 1
+        try:
+            while cur is not None:
+                self._emitted.add((BLANK, cur))
+                first, nxt = self._lists[cur]
+                items.append(self._object(first, "  "))
+                cur = nxt
+        finally:
+            self._depth -= 1
         return "( " + " ".join(items) + " )"
 
 
@@ -299,6 +341,11 @@ def write_trig(
 ) -> str:
     """TriG: default-graph statements at top level, named graphs in
     ``<g> { … }`` blocks (graph order = first appearance)."""
+    # sanitize unsafe blank labels ONCE across the whole document
+    # (graph position included) — per-graph write() calls would
+    # otherwise relabel bodies while the graph HEADER kept the raw
+    # label (e.g. '_:j=1 {', which does not re-parse)
+    statements = TurtleWriter.relabel_unsafe(statements)
     by_graph: dict[str | None, list[Statement]] = {}
     order: list[str | None] = []
     for st in statements:

@@ -1,0 +1,121 @@
+"""Regression tests for the round-2 package-wide review findings —
+web-input robustness of the RDF core."""
+
+import time
+
+import pytest
+
+from serd_spark.rdf.model import BLANK, IRI, Statement, Term
+from serd_spark.rdf.ntriples import parse_ntriples, write_ntriples
+from serd_spark.rdf.turtle import parse_trig, parse_turtle
+from serd_spark.rdf.turtle_writer import write_trig, write_turtle
+
+
+def test_crlf_ntriples_parse():
+    doc = (
+        "<http://a> <http://b> <http://c> .\r\n"
+        '<http://a> <http://b> "lit" .\r\n'
+    )
+    stmts, errs = parse_ntriples(doc, lax=True)
+    assert errs == [] and len(stmts) == 2
+
+
+def test_jsonld_cyclic_context_alias_no_crash():
+    from serd_spark.rdf.jsonld import parse_jsonld
+
+    doc = '{"@context":{"a":"b","b":"a"},"a":1,"@id":"http://s"}'
+    stmts, errs = parse_jsonld(doc, "http://base/", lax=True)
+    assert isinstance(stmts, list)  # must terminate, not RecursionError
+
+
+def test_writer_deep_blank_chain_no_stack_blowup():
+    p = Term(IRI, "http://p")
+    stmts = [
+        Statement(Term(BLANK, f"b{i}"), p, Term(BLANK, f"b{i+1}"))
+        for i in range(2000)
+    ]
+    out = write_turtle(stmts)
+    # every statement survives the depth-capped re-chunking
+    back, errs = parse_turtle(out, "")
+    assert errs == [] and len(back) == len(stmts)
+
+
+def test_trig_blank_graph_label_reparses():
+    st = Statement(
+        Term(IRI, "http://s"), Term(IRI, "http://p"),
+        Term(IRI, "http://o"), Term(BLANK, "j=1"),
+    )
+    out = write_trig([st])
+    back, errs = parse_trig(out, "")
+    assert errs == [] and len(back) == 1
+    assert back[0].graph is not None and back[0].graph.kind == BLANK
+
+
+def test_writer_large_collection_linear_time():
+    first = Term(IRI, "http://www.w3.org/1999/02/22-rdf-syntax-ns#first")
+    rest = Term(IRI, "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest")
+    nil = Term(IRI, "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")
+    n = 20_000
+    stmts = [
+        Statement(Term(IRI, "http://s"), Term(IRI, "http://p"),
+                  Term(BLANK, "c0"))
+    ]
+    for i in range(n):
+        cell = Term(BLANK, f"c{i}")
+        stmts.append(Statement(cell, first, Term(IRI, f"http://e/{i}")))
+        nxt = nil if i == n - 1 else Term(BLANK, f"c{i+1}")
+        stmts.append(Statement(cell, rest, nxt))
+    t0 = time.time()
+    out = write_turtle(stmts)
+    assert time.time() - t0 < 20  # was O(n²): effectively hung
+    back, errs = parse_turtle(out, "")
+    assert errs == [] and len(back) == len(stmts)
+
+
+def test_microdata_untyped_item_absolute_predicates():
+    from serd_spark.rdf.microdata import parse_microdata
+
+    html = '<div itemscope><span itemprop="name">Bob</span></div>'
+    stmts, _ = parse_microdata(html, base_iri="http://page/")
+    assert stmts and all(":" in st.predicate.value for st in stmts)
+    assert stmts[0].predicate.value == "http://page/#name"
+    # no base at all → urn fallback, still absolute
+    stmts2, _ = parse_microdata(html)
+    assert stmts2[0].predicate.value == "urn:md:prop:name"
+
+
+def test_boolean_dot_prefix_lookahead():
+    doc = "@prefix true.x: <http://ex/> . <http://s> <http://p> true.x:y ."
+    stmts, errs = parse_turtle(doc, "")
+    assert errs == [] and stmts[0].object.value == "http://ex/y"
+    # plain boolean+terminator still lexes as boolean
+    stmts2, errs2 = parse_turtle("<http://s> <http://p> true.", "")
+    assert errs2 == [] and stmts2[0].object.value == "true"
+
+
+def test_file_uri_invalid_escape_passthrough():
+    from serd_spark.rdf.nodes import file_uri_parse
+
+    assert file_uri_parse("file:///a%+1b")[0] == "/a%+1b"
+    assert file_uri_parse("file:///a%2Fb")[0] == "/a/b"
+    assert file_uri_parse("file:///a%g")[0] == "/a%g"
+
+
+def test_new_decimal_zero_frac_digits_keeps_point():
+    from serd_spark.rdf.nodes import new_decimal
+
+    assert new_decimal(3.7, 0).value in ("3.7", "4.0")  # never "4"
+    assert "." in new_decimal(4.0, 0).value
+
+
+def test_island_blank_scoping_distinct():
+    from serd_spark.rdf.html_islands import extract_document
+
+    html = (
+        '<script type="text/turtle">[ <http://p> 1 ] .</script>'
+        '<script type="text/turtle">[ <http://p> 2 ] .</script>'
+    )
+    triples, errs = extract_document(html, "http://page/", lax=True)
+    assert errs == []
+    subs = {t[2].subject.value for t in triples}
+    assert len(subs) == 2  # one distinct blank per island
