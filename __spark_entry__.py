@@ -30,8 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-STOP_PAT = r"(?i)\b(the|and|of|to|is)\b"
-PUNCT_PAT = r"[^\sA-Za-z0-9]"
 LANGS = {
     "en": ["the", "and", "of", "to", "is"],
     "fr": ["le", "la", "et", "les", "des"],
@@ -369,8 +367,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully by pigeonhole), not just a re-aggregation.
     _materialize(sf_dir, "simhash_sigs", lambda: simhash_signatures(docs))
     # max_hamming=3 is the chunk-LSH recall guarantee (4×16-bit
-    # chunks cover Hamming ≤3 fully; beyond that recall is partial)
-    return simhash_near_dups(docs, max_hamming=3).orderBy("id_a", "id_b")
+    # chunks cover Hamming ≤3 fully; beyond that recall is partial).
+    # max_bucket=None: the DuckDB brute-force oracle expects the
+    # COMPLETE pair set; the production default caps degenerate
+    # buckets (tested separately in test_textops).
+    return simhash_near_dups(docs, max_hamming=3, max_bucket=None).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,7 +944,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS q_tokens,
                      round(
                        (length(text) - length(regexp_replace(text,
-                           '[^\\sA-Za-z0-9]', '', 'g')))
+                           '[^\\s\\p{{L}}\\p{{N}}]', '', 'g')))
                        / greatest(length(text), 1)::DOUBLE, 6)
                        AS q_punct_ratio,
                      round(
@@ -1272,7 +1275,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS q_tokens,
                    round(
                      (length(text) - length(regexp_replace(text,
-                         '[^\\sA-Za-z0-9]', '', 'g')))
+                         '[^\\s\\p{L}\\p{N}]', '', 'g')))
                      / greatest(length(text), 1)::DOUBLE, 6) AS q_punct_ratio,
                    round(
                      len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is)\\b'))

@@ -193,10 +193,20 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     fast: bool = True,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Hamming-≤k candidate pairs via 4×16-bit chunk equality (any
     pair within Hamming 3 of a 64-bit sig agrees on ≥1 of 4 chunks),
-    then exact Hamming verify with bit_count (JVM-side)."""
+    then exact Hamming verify with bit_count (JVM-side).
+
+    ``max_bucket`` caps degenerate (chunk, chunk_val) buckets — e.g.
+    every empty/whitespace-only document hashes to signature 0 and
+    shares ALL four buckets, making the self-join quadratic in their
+    count at web scale. Members of a pruned bucket can still pair
+    through their other three chunks; pairs whose EVERY shared chunk
+    is pruned are lost, so the Hamming-≤3 recall guarantee is exact
+    only below the cap (pass ``None`` for guaranteed-complete
+    output on bounded inputs)."""
     sigs = simhash_signatures(docs, id_col, text_col, fast=fast)
     chunks = sigs.select(
         id_col,
@@ -215,6 +225,15 @@ def simhash_near_dups(
             )
         ).alias("ch"),
     ).select(id_col, "simhash", "ch.chunk", "ch.chunk_val")
+    if max_bucket is not None:
+        hot = (
+            chunks.groupBy("chunk", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") > max_bucket)
+        )
+        chunks = chunks.join(
+            F.broadcast(hot), ["chunk", "chunk_val"], "left_anti"
+        )
     a = chunks.select(
         "chunk", "chunk_val",
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),

@@ -353,7 +353,10 @@ def link_entities(
         candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket, dedup=False),
         sigs,
         threshold=threshold,
-    )
+    ).localCheckpoint(eager=True)
+    # links materialized ONCE here: connected_components, the caller's
+    # links.write, and any oracle materialization all reuse it instead
+    # of re-running the band self-join + verify joins per action
     entities = connected_components(links)
     return links, entities
 

@@ -83,9 +83,16 @@ def nt_lines(triples: DataFrame, quads: bool = False) -> DataFrame:
         fmt_o("o", "o_kind", "o_dt", "o_lang"),
     )
     if quads:
-        gterm = F.when(F.col("g").startswith("_:"), F.col("g")).otherwise(
-            F.concat(F.lit("<"), F.col("g"), F.lit(">"))
-        )
+        @pandas_udf("string")
+        def fmt_g(v: pd.Series) -> pd.Series:
+            # graph IRIs need the same \u escaping as any IRI — raw
+            # concat would emit invalid NQ for IRIs containing '>'
+            return pd.Series(
+                [x if x.startswith("_:") else f"<{_escape_iri(x)}>"
+                 for x in v]
+            )
+
+        gterm = fmt_g("g")
         line = F.concat_ws(
             " ", line, F.when(F.col("g") != "", gterm).otherwise(F.lit(""))
         )

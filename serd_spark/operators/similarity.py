@@ -81,12 +81,22 @@ def train_centroids(
     sample = np.array(
         [np.asarray(r[1], dtype=np.float64) for r in rows]
     )
+    if len(sample) == 0:
+        raise ValueError("train_centroids: embedding table is empty")
+    # clamp: a table smaller than n_centroids must not crash the
+    # seeding draw (rng.choice with replace=False needs size <= pop)
+    n_centroids = min(n_centroids, len(sample))
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
     for _ in range(n_iter):
-        # cosine assignment: normalize then argmax dot
-        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        # cosine assignment: normalize then argmax dot (zero-norm
+        # guard: one all-zero vector must not NaN-poison every mean)
+        sn = sample / np.maximum(
+            np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+        )
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
         assign = (sn @ cn.T).argmax(axis=1)
         for c in range(n_centroids):
             members = sample[assign == c]
@@ -127,8 +137,10 @@ def probe_ids(
     """The ``n_probe`` centroid ids nearest the query by cosine —
     driver-side (centroid count is tiny by construction)."""
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
     return [int(c) for c in (cn @ qn).argsort()[::-1][:n_probe]]
 
 

@@ -64,7 +64,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ntok = token_count(c)
     stop_pat = "(?i)\\b(" + "|".join(_STOPWORDS) + ")\\b"
     nstop = F.size(F.regexp_extract_all(c, F.lit(stop_pat), 0))
-    npunct = _count_matches(c, r"[^\sA-Za-z0-9]")
+    # \p{L}\p{N}: non-ASCII letters/digits are NOT punctuation —
+    # the ASCII class scored accented French or CJK text as ~100%
+    # punctuation and the quality filter silently dropped it
+    npunct = _count_matches(c, r"[^\s\p{L}\p{N}]")
     return df.select(
         "*",
         F.length(c).alias("q_chars"),

@@ -95,7 +95,11 @@ def done_urls(spark: SparkSession, warehouse: str) -> DataFrame | None:
         os.path.join(warehouse, "extracted", f"snapshot={r}") for r in runs
     ]
     return (
-        spark.read.parquet(*paths).select("url").distinct()
+        spark.read.parquet(*paths)
+        .select("url")
+        # per-partition lineage marker rows (rec='p') carry no url
+        .filter(F.col("url").isNotNull())
+        .distinct()
     )
 
 
@@ -133,9 +137,12 @@ def extract_with_lineage(pages: DataFrame, lax: bool = True) -> DataFrame:
         src = pages.select("url", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        t0 = _time.time()
         for pdf in batches:
             rows: list[tuple] = []
             skips = pdf["_skip"] if has_skip else [False] * len(pdf)
@@ -156,6 +163,23 @@ def extract_with_lineage(pages: DataFrame, lax: bool = True) -> DataFrame:
             out = rows_to_pdf(rows)
             out["part_id"] = pid
             yield out
+        # one rec='p' marker per partition: ACTUAL per-partition wall
+        # (measured inside the pass), stashed in err_line — this is
+        # what makes the lineage table useful for finding slow/skewed
+        # partitions instead of a run-global constant
+        wall_ms = int((_time.time() - t0) * 1000)
+        marker = rows_to_pdf(
+            [
+                (
+                    None, None, None, None,
+                    None, None, None, None,
+                    None, None, None, None,
+                    "p", wall_ms, None, None,
+                )
+            ]
+        )
+        marker["part_id"] = pid
+        yield marker
 
     return src.mapInPandas(run, schema=_EXTRACT_WITH_PART)
 
@@ -167,6 +191,9 @@ def lineage_from_extracted(extracted: DataFrame) -> DataFrame:
         F.count_distinct(
             F.when(F.col("rec") == "e", F.col("url"))
         ).alias("bad_docs"),
+        F.max(
+            F.when(F.col("rec") == "p", F.col("err_line"))
+        ).cast("long").alias("wall_ms"),
     )
 
 
@@ -208,9 +235,7 @@ def run_pipeline(
     extracted.write.mode("overwrite").parquet(ext_path)
     extracted = spark.read.parquet(ext_path)
 
-    lineage = lineage_from_extracted(extracted).withColumn(
-        "wall_ms", F.lit(int((time.time() - t0) * 1000))
-    )
+    lineage = lineage_from_extracted(extracted)
     lin_path = os.path.join(warehouse, "lineage", f"snapshot={run_id}")
     lineage.write.mode("overwrite").parquet(lin_path)
 

@@ -193,22 +193,28 @@ def synthesize_pages(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # column lists, not rows-of-tuples (CLAUDE.md: pandas's
+            # row-wise constructor pays per-cell type inference)
+            c_url, c_ts, c_html, c_text, c_lang = [], [], [], [], []
             for i in pdf["id"]:
                 i = int(i)
                 url, ts, html, text, lang = _page_for(i, seed, richness)
                 if i % recrawl_every == recrawl_every - 1:
                     # re-crawl of the previous page, later timestamp
-                    url0, _, html0, text0, lang0 = _page_for(
+                    url, _, html, text, lang = _page_for(
                         i - 1, seed, richness
                     )
-                    rows.append(
-                        (url0, ts + timedelta(days=1), html0, text0, lang0)
-                    )
-                else:
-                    rows.append((url, ts, html, text, lang))
+                    ts = ts + timedelta(days=1)
+                c_url.append(url)
+                c_ts.append(ts)
+                c_html.append(html)
+                c_text.append(text)
+                c_lang.append(lang)
             yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                {
+                    "url": c_url, "warc_ts": c_ts, "html": c_html,
+                    "text": c_text, "lang": c_lang,
+                }
             )
 
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -153,11 +153,18 @@ def stream_dedup_urls(pages_stream: DataFrame) -> DataFrame:
     reference has no equivalent for; its state lives in the streaming
     state store, checkpointed with the query).
 
-    Within a batch AND across batches, only the FIRST row per url
-    passes; re-crawls are dropped. State per url is one marker byte —
-    bounded by distinct urls, and evictable by adding a processing-
-    time timeout where crawl recency bounds re-crawl windows.
+    Within a batch, the DETERMINISTIC winner is kept — max
+    (warc_ts, blake2b(html)), the same tie-break as batch
+    ``latest_crawl`` (group row order after a shuffle is undefined, so
+    "first row" would differ across retries, violating the
+    pure-function-of-(url, bytes) invariant). Across batches the
+    first-arriving batch wins; re-crawls in later batches are dropped.
+    State per url is one marker byte — bounded by distinct urls, and
+    evictable by adding a processing-time timeout where crawl recency
+    bounds re-crawl windows.
     """
+    import hashlib
+
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -165,15 +172,23 @@ def stream_dedup_urls(pages_stream: DataFrame) -> DataFrame:
     def dedup(key, pdfs, state: GroupState):
         if state.exists:
             return  # url already emitted in an earlier batch
-        first = None
+        best = None
+        best_key = None
         for pdf in pdfs:
-            if len(pdf):
-                row = pdf.iloc[[0]]
-                first = row if first is None else first
-                break
+            for i in range(len(pdf)):
+                row = pdf.iloc[[i]]
+                h = row.iloc[0]["html"]
+                k = (
+                    row.iloc[0]["warc_ts"],
+                    hashlib.blake2b(
+                        bytes(h) if h is not None else b"", digest_size=8
+                    ).digest(),
+                )
+                if best_key is None or k > best_key:
+                    best, best_key = row, k
         state.update((1,))
-        if first is not None:
-            yield first
+        if best is not None:
+            yield best
 
     return pages_stream.groupBy("url").applyInPandasWithState(
         dedup,

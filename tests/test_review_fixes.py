@@ -119,3 +119,72 @@ def test_island_blank_scoping_distinct():
     assert errs == []
     subs = {t[2].subject.value for t in triples}
     assert len(subs) == 2  # one distinct blank per island
+
+
+def test_nquads_graph_iri_escaped(spark):
+    from serd_spark.operators.serialize import nt_lines
+    from serd_spark.rdf.ntriples import parse_nquads
+
+    rows = [("u", 0, 0, "turtle", "http://g/é>x", "http://s", 0,
+             "http://p", "http://o", 0, "", "")]
+    cols = ("url island stmt_ord syntax g s s_kind p o o_kind o_dt "
+            "o_lang").split()
+    df = spark.createDataFrame(rows, cols)
+    line = nt_lines(df, quads=True).first().nt
+    stmts, errs = parse_nquads(line)
+    assert errs == [] and stmts[0].graph.value == "http://g/é>x"
+
+
+def test_train_centroids_small_table_clamps(spark):
+    import numpy as np
+
+    from serd_spark.operators import similarity
+
+    rows = [(i, [float(i + 1)] * 4) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.train_centroids(emb, n_centroids=16, sample_rows=10)
+    assert 1 <= len(cents) <= 3
+    # zero vector must not NaN-poison the centroids
+    rows.append((9, [0.0] * 4))
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents2 = similarity.train_centroids(emb2, n_centroids=2, sample_rows=10)
+    assert np.isfinite(cents2).all()
+
+
+def test_simhash_bucket_cap_prunes_degenerate(spark):
+    from serd_spark.operators import dedup
+
+    # 30 empty docs (signature 0) + 2 near-identical real docs
+    rows = [(i, "") for i in range(30)]
+    # identical token sets → Hamming 0, guaranteed pair
+    rows += [(100, "the quick brown fox jumps over the dog"),
+             (101, "the  quick brown fox jumps over the dog")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.simhash_near_dups(docs, max_bucket=8)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got           # real pair survives the cap
+    assert not any(a < 30 and b < 30 for a, b in got)  # degenerate gone
+    full = dedup.simhash_near_dups(docs, max_bucket=None)
+    assert full.count() == 30 * 29 // 2 + 1  # uncapped keeps everything
+
+
+def test_unicode_text_not_punctuation(spark):
+    from serd_spark.operators.text import quality_features
+
+    rows = [(0, "équipe déjà évoluée près des rivières et châteaux")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = quality_features(df).first()
+    assert row.q_punct_ratio == 0.0
+
+
+def test_lineage_has_per_partition_wall(spark):
+    from serd_spark.plans.pipeline import (
+        extract_with_lineage,
+        lineage_from_extracted,
+    )
+    from serd_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 40, seed=42, partitions=4)
+    lin = lineage_from_extracted(extract_with_lineage(pages)).collect()
+    assert len(lin) == 4
+    assert all(r.wall_ms is not None and r.wall_ms >= 0 for r in lin)
