@@ -62,7 +62,10 @@ def main(argv: list[str] | None = None) -> None:
     else:
         # one document per file; synthesize the pages shape so the
         # same extraction stage applies (the document becomes one
-        # island of its detected syntax)
+        # island of its detected syntax). Known limitation: a document
+        # whose CONTENT contains the literal text '</script>' (legal
+        # inside a Turtle string) would truncate its island early —
+        # lax mode surfaces this as a parse error rather than silence.
         raw = spark.read.format("text").option("wholetext", "true").load(
             args.input + "/*"
         )
