@@ -273,6 +273,31 @@ def kg_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_linking_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same linking stage forced down the DISTRIBUTED
+    pointer-jumping connected-components path (driver_threshold=0 —
+    the code that actually runs on a 100 TB link graph, linking.py
+    label-propagation loop).  The DuckDB oracle recomputes the
+    components with a recursive-CTE reachability closure over the
+    independently-materialized edge list, so a hash match certifies
+    the distributed path, not just the driver union-find."""
+    from serd_spark.operators.linking import link_entities
+
+    links, entities = link_entities(
+        _kg_triples(spark, sf_dir), threshold=0.6, driver_threshold=0
+    )
+    _materialize(
+        sf_dir, "links_dist", lambda: links.select("entity_a", "entity_b")
+    )
+    return (
+        entities.groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .orderBy(F.desc("n_members"), "canon")
+        .limit(50)
+    )
+
+
 def kg_bad_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lax-mode side output: malformed-island counts by syntax
     (≙ serdi -l skip-and-count)."""
@@ -833,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicates": kg_predicates,
         "kg_roundtrip": kg_roundtrip,
         "kg_linking": kg_linking,
+        "kg_linking_dist": kg_linking_dist,
         "kg_bad_docs": kg_bad_docs,
         "kg_turtle": kg_turtle,
         "kg_hub_salting": kg_hub_salting,
@@ -1044,6 +1070,30 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE l AS (
               SELECT entity_a, entity_b
               FROM read_parquet('{ORACLE_DIR}/sf0.01/links/*.parquet')
+            ), edges AS (
+              SELECT entity_a AS a, entity_b AS b FROM l
+              UNION
+              SELECT entity_b AS a, entity_a AS b FROM l
+            ), reach(entity, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e
+              JOIN reach ON reach.entity = e.b
+            ), labels AS (
+              SELECT entity, MIN(r) AS canon FROM reach GROUP BY entity
+            )
+            SELECT canon, COUNT(*) AS n_members
+            FROM labels GROUP BY canon
+            HAVING COUNT(*) > 1
+            ORDER BY n_members DESC, canon
+            LIMIT 50
+        """,
+        # Same closure, over the edge list the distributed-CC run
+        # materialized — certifies linking.py's pointer-jumping path.
+        "kg_linking_dist": f"""
+            WITH RECURSIVE l AS (
+              SELECT entity_a, entity_b
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/links_dist/*.parquet')
             ), edges AS (
               SELECT entity_a AS a, entity_b AS b FROM l
               UNION

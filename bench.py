@@ -100,10 +100,23 @@ def main() -> None:
     from serd_spark.operators.extract import extract_triples, triples_only
     from serd_spark.sources.pages import latest_crawl, synthesize_pages
 
-    corpus = f"/tmp/serd_spark_bench_corpus_{n_pages}"
+    # cache key = (rows, seed, richness, generator-code hash): editing
+    # sources/pages.py invalidates the cached corpus — a cache keyed
+    # only by row count would silently benchmark stale input across
+    # rounds
+    import hashlib
+
+    import serd_spark.sources.pages as _pages_mod
+
+    seed, richness = 42, 8
+    with open(_pages_mod.__file__, "rb") as fh:
+        gen_hash = hashlib.blake2b(fh.read(), digest_size=6).hexdigest()
+    corpus = (
+        f"/tmp/serd_spark_bench_corpus_{n_pages}_s{seed}_r{richness}_{gen_hash}"
+    )
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         latest_crawl(
-            synthesize_pages(spark, n_pages, seed=42, richness=8)
+            synthesize_pages(spark, n_pages, seed=seed, richness=richness)
         ).repartition(96).write.mode("overwrite").parquet(corpus)
     pages = spark.read.parquet(corpus)
 

@@ -58,7 +58,9 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name="serd-convert", master=args.master)
 
     if args.in_format == "pages":
-        pages = spark.read.parquet(args.input)
+        from serd_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, args.input)
     else:
         # one document per file; synthesize the pages shape so the
         # same extraction stage applies (the document becomes one

@@ -42,13 +42,15 @@ def main() -> int:
 
     from serd_spark.plans.pipeline import run_pipeline
     from serd_spark.session import get_spark
-    from serd_spark.sources.pages import synthesize_pages
+    from serd_spark.sources.pages import read_pages, synthesize_pages
 
     spark = get_spark(app_name="kg-pipeline", master=args.master)
     run_id = args.run_id or f"run-{int(time.time())}"
 
     if args.input:
-        pages = spark.read.parquet(args.input)
+        # decoded-size-aware split sizing (pages parquet compresses
+        # ~15×; the 128 MB default under-splits the extraction stage)
+        pages = read_pages(spark, args.input)
     else:
         pages = synthesize_pages(spark, args.rows, seed=args.seed)
 

@@ -336,12 +336,19 @@ def link_entities(
     triples: DataFrame,
     threshold: float = 0.7,
     max_bucket: int = 256,
+    driver_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Full linking stage: triples → (links, entities).
 
     links(entity_a, entity_b, jaccard_est); entities(entity, canon)
     maps every linked surface IRI to its component-canonical IRI
     (min IRI in component — deterministic).
+
+    ``driver_threshold`` is forwarded to ``connected_components``:
+    pass 0 to force the distributed pointer-jumping path (what a real
+    100 TB link graph runs) — the oracle query ``kg_linking_dist`` and
+    ``tests/test_linking.py`` exercise it and assert it emits labels
+    identical to the driver union-find.
     """
     names = entity_names(triples)
     # the signature stage (Python minhash) feeds three plan branches
@@ -357,7 +364,7 @@ def link_entities(
     # links materialized ONCE here: connected_components, the caller's
     # links.write, and any oracle materialization all reuse it instead
     # of re-running the band self-join + verify joins per action
-    entities = connected_components(links)
+    entities = connected_components(links, driver_threshold=driver_threshold)
     return links, entities
 
 

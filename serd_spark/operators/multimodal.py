@@ -30,6 +30,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -84,6 +85,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # empty pixel grid: feature means/stds over empty slices are
+        # NaN (numpy warns, doesn't raise) and would bypass the
+        # lax-mode fallback — reject structurally-empty BMPs here
+        raise ValueError(f"degenerate BMP dimensions {w}x{h}")
     row_raw = w * 3
     stride = row_raw + (4 - row_raw % 4) % 4
     out = np.empty((h, w, 3), dtype=np.uint8)
@@ -124,10 +130,133 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
-def _bmp_features(payload: bytes, dim: int) -> np.ndarray:
-    """Content-derived image features: per-channel means/stds,
-    luminance stats, dimensions — padded deterministically to dim."""
-    px = decode_bmp(payload).astype(np.float64) / 255.0
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# IHDR color type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 pixel array → non-interlaced 8-bit PNG (stdlib zlib).
+    Accepts (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) RGBA.
+    Rows use filter type 0 (None) — simplest valid stream; any
+    conformant decoder (including ``decode_png``) reads it."""
+    if pixels.ndim == 2:
+        h, w, ch = pixels.shape[0], pixels.shape[1], 1
+    else:
+        h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = pixels.reshape(h, w * ch)
+    body = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → (h, w, channels) uint8 (channels ∈
+    {1, 2, 3, 4} for gray / gray+alpha / RGB / RGBA).  Pure stdlib
+    (``struct`` + ``zlib``); all five scanline filter types
+    (None/Sub/Up/Average/Paeth) are implemented — the vectorizable
+    ones (None/Up) as whole-row numpy, the serially-dependent ones as
+    per-byte loops (correct for arbitrary encoders; our own encoder
+    emits filter 0 so the fast path dominates in-repo)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    h = depth = color = interlace = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit PNG supported (depth={depth}, "
+            f"color={color}, interlace={interlace})"
+        )
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)],
+            dtype=np.uint8,
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ft == 1:
+                    v = row[x] + a
+                elif ft == 3:
+                    v = row[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    v = row[x] + pr
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def _to_rgb(px: np.ndarray) -> np.ndarray:
+    """Any decoded pixel layout → (h, w, 3) RGB uint8 (alpha dropped,
+    grayscale broadcast) so feature math is layout-independent."""
+    ch = px.shape[2]
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray + alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]
+
+
+def _rgb_features(px: np.ndarray, dim: int) -> np.ndarray:
+    """Content-derived image features from an (h, w, 3) uint8 array:
+    per-channel means/stds, luminance stats, dimensions — padded
+    deterministically to dim."""
+    px = px.astype(np.float64) / 255.0
     lum = px @ np.array([0.299, 0.587, 0.114])
     feats = [
         px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
@@ -138,6 +267,14 @@ def _bmp_features(payload: bytes, dim: int) -> np.ndarray:
     out = np.zeros(dim)
     out[: min(dim, len(feats))] = feats[:dim]
     return out
+
+
+def _bmp_features(payload: bytes, dim: int) -> np.ndarray:
+    return _rgb_features(decode_bmp(payload), dim)
+
+
+def _png_features(payload: bytes, dim: int) -> np.ndarray:
+    return _rgb_features(_to_rgb(decode_png(payload)), dim)
 
 
 def _wav_features(payload: bytes, dim: int) -> np.ndarray:
@@ -178,13 +315,17 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: REAL for 24-bit BMP (stdlib); PNG/JPEG/… would
-    need Pillow/opencv, which are not in this container."""
+    """Image decode → (h, w, 3) RGB uint8: REAL for 24-bit BMP and
+    non-interlaced 8-bit PNG (pure stdlib); JPEG/WebP/… would need
+    Pillow/opencv, which are not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _to_rgb(decode_png(payload))
     raise NotImplementedError(
-        "only BMP decodes without Pillow/opencv (not installed in this "
-        "sandbox); use strict=False for the deterministic fake decode"
+        "only BMP and PNG decode without Pillow/opencv (not installed "
+        "in this sandbox); use strict=False for the deterministic fake "
+        "decode"
     )
 
 
@@ -201,6 +342,8 @@ def payload_features(payload: bytes, dim: int = FEATURE_DIM,
     try:
         if payload[:2] == b"BM":
             return _bmp_features(payload, dim)
+        if payload[:8] == _PNG_MAGIC:
+            return _png_features(payload, dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _wav_features(payload, dim)
     except Exception:
@@ -298,12 +441,10 @@ def synthesize_media(
 ) -> DataFrame:
     """Deterministic media table for tests/bench (payload bytes are a
     pure function of (seed, id)). Image rows are REAL 24-bit BMPs and
-    audio rows REAL PCM16 WAVs, so the stdlib decode paths are
-    exercised end-to-end; video rows stay opaque (no stdlib codec)."""
+    REAL 8-bit PNGs (alternating; some PNGs RGBA) and audio rows REAL
+    PCM16 WAVs, so every stdlib decode path is exercised end-to-end;
+    video rows stay opaque (no stdlib codec)."""
     base = spark.range(0, n_rows, 1, partitions)
-
-    mimes = {"image": "image/bmp", "audio": "audio/wav",
-             "video": "video/mp4"}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "image", "audio", "video"]
@@ -322,17 +463,25 @@ def synthesize_media(
                 h = 8 + (i * 53) % 16 if kind == "image" else None
                 dur = 1000 + (i * 101) % 60000 if kind != "image" else None
                 if kind == "image":
-                    # pixels = rolling blake2b stream → real BMP
-                    need, out, c = w * h * 3, b"", 0
+                    # pixels = rolling blake2b stream → real BMP or
+                    # PNG (alternating; every 4th PNG is RGBA so the
+                    # alpha decode path runs end-to-end too)
+                    n_ch = 4 if i % 16 == 12 else 3
+                    need, out, c = w * h * n_ch, b"", 0
                     while len(out) < need:
                         out += hashlib.blake2b(
                             digest + c.to_bytes(4, "big"), digest_size=32
                         ).digest()
                         c += 1
                     px = np.frombuffer(out[:need], dtype=np.uint8).reshape(
-                        h, w, 3
+                        h, w, n_ch
                     )
-                    payload = encode_bmp(px)
+                    if i % 8 >= 4 or n_ch == 4:
+                        payload = encode_png(px)
+                        mime = "image/png"
+                    else:
+                        payload = encode_bmp(px)
+                        mime = "image/bmp"
                 elif kind == "audio":
                     rate = 8000
                     n = rate * dur // 1000 // 50  # keep rows small
@@ -342,12 +491,14 @@ def synthesize_media(
                         np.sin(2 * np.pi * freq * t / rate) * 12000
                     ).astype(np.int16)
                     payload = encode_wav(samples, rate)
+                    mime = "audio/wav"
                 else:
                     payload = digest * (4 + i % 8)
+                    mime = "video/mp4"
                 c_id.append(i)
                 c_kind.append(kind)
                 c_payload.append(payload)
-                c_mime.append(mimes[kind])
+                c_mime.append(mime)
                 c_w.append(w)
                 c_h.append(h)
                 c_dur.append(dur)

@@ -86,9 +86,12 @@ def nt_lines(triples: DataFrame, quads: bool = False) -> DataFrame:
         @pandas_udf("string")
         def fmt_g(v: pd.Series) -> pd.Series:
             # graph IRIs need the same \u escaping as any IRI — raw
-            # concat would emit invalid NQ for IRIs containing '>'
+            # concat would emit invalid NQ for IRIs containing '>'.
+            # Null g (public API over arbitrary quad tables; in-repo
+            # extraction emits '') must not reach startswith.
             return pd.Series(
-                [x if x.startswith("_:") else f"<{_escape_iri(x)}>"
+                [None if x is None
+                 else (x if x.startswith("_:") else f"<{_escape_iri(x)}>")
                  for x in v]
             )
 

@@ -114,7 +114,9 @@ def assign_centroids(
     """Vector → nearest centroid id. numpy matmul per Arrow batch
     (shuffle-free); write the result partitioned by ``centroid`` to
     get partition-pruned probes."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -220,6 +220,29 @@ def synthesize_pages(
     return base.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+# Decoded-size-aware split sizing for pages scans: the pages table
+# (repetitive HTML in a binary column) compresses ~15× in parquet, so
+# the 128 MB default maxPartitionBytes turns a whole corpus into ~2
+# input splits and the extraction stage runs on 2 cores
+# (BENCH/BASELINE.md "What it took"). 2 MB compressed ≈ 30 MB decoded
+# keeps every core busy without tiny-split scheduling overhead.
+PAGES_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": "0",
+}
+
+
+def read_pages(spark, path: str) -> DataFrame:
+    """Scan a pages parquet/Iceberg directory with split sizing that
+    accounts for the ~15× parquet compression of HTML payloads.  Every
+    production path that scans a pages table must come through here
+    (bench.py and tools/scaling_bench.py set the same conf) — the
+    settings are runtime SQL confs, applied before planning."""
+    for k, v in PAGES_SCAN_CONF.items():
+        spark.conf.set(k, v)
+    return spark.read.parquet(path)
+
+
 def latest_crawl(pages: DataFrame) -> DataFrame:
     """Re-crawl dedup at ingest: latest ``warc_ts`` wins per url
     (SURVEY.md §2B "late data").

@@ -154,43 +154,41 @@ def stream_dedup_urls(pages_stream: DataFrame) -> DataFrame:
     state store, checkpointed with the query).
 
     Within a batch, the DETERMINISTIC winner is kept — max
-    (warc_ts, blake2b(html)), the same tie-break as batch
-    ``latest_crawl`` (group row order after a shuffle is undefined, so
-    "first row" would differ across retries, violating the
-    pure-function-of-(url, bytes) invariant). Across batches the
+    (warc_ts, xxhash64(html)), the EXACT key batch ``latest_crawl``
+    uses (group row order after a shuffle is undefined, so "first row"
+    would differ across retries, violating the
+    pure-function-of-(url, bytes) invariant; and a different hash than
+    batch would silently break streaming-vs-batch equivalence on
+    equal-timestamp re-crawls with differing bytes). The hash is
+    computed JVM-side by ``F.xxhash64`` BEFORE the stateful UDF and
+    arrives as a column; winner selection inside the UDF is columnar
+    (one sort over the group, no per-row Python). Across batches the
     first-arriving batch wins; re-crawls in later batches are dropped.
     State per url is one marker byte — bounded by distinct urls, and
     evictable by adding a processing-time timeout where crawl recency
     bounds re-crawl windows.
     """
-    import hashlib
-
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    out_cols = [c.strip().split()[0] for c in PAGES_SCHEMA.split(",")]
+
     def dedup(key, pdfs, state: GroupState):
         if state.exists:
             return  # url already emitted in an earlier batch
-        best = None
-        best_key = None
-        for pdf in pdfs:
-            for i in range(len(pdf)):
-                row = pdf.iloc[[i]]
-                h = row.iloc[0]["html"]
-                k = (
-                    row.iloc[0]["warc_ts"],
-                    hashlib.blake2b(
-                        bytes(h) if h is not None else b"", digest_size=8
-                    ).digest(),
-                )
-                if best_key is None or k > best_key:
-                    best, best_key = row, k
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         state.update((1,))
-        if best is not None:
-            yield best
+        if not chunks:
+            return
+        allp = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        best = allp.sort_values(
+            ["warc_ts", "_h"], ascending=False, kind="mergesort"
+        ).iloc[[0]]
+        yield best[out_cols]
 
-    return pages_stream.groupBy("url").applyInPandasWithState(
+    withkey = pages_stream.withColumn("_h", F.xxhash64("html"))
+    return withkey.groupBy("url").applyInPandasWithState(
         dedup,
         outputStructType=PAGES_SCHEMA,
         stateStructType="seen byte",

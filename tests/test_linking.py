@@ -76,6 +76,47 @@ def test_connected_components_chain(spark):
     assert labels["x"] == labels["y"] == "x"
 
 
+def test_connected_components_distributed_matches_driver(spark):
+    """The distributed pointer-jumping path (driver_threshold=0 —
+    what actually runs on a 100 TB link graph) must emit labels
+    IDENTICAL to the driver union-find on the same edge set.  The
+    edge set mixes a long chain (exercises >1 pointer-jump round), a
+    hub star, a cycle, and disjoint pairs."""
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}", 1.0) for i in range(20)]
+    star = [("hub", f"leaf{i}", 1.0) for i in range(8)]
+    cycle = [("r0", "r1", 1.0), ("r1", "r2", 1.0), ("r2", "r0", 1.0)]
+    pairs = [("p0", "p1", 1.0), ("q0", "q1", 1.0)]
+    # reversed-order edges: label must still be min id per component
+    rev = [("zz", "aa", 1.0), ("mm", "aa", 1.0)]
+    edges = spark.createDataFrame(
+        chain + star + cycle + pairs + rev,
+        ["entity_a", "entity_b", "jaccard_est"],
+    )
+    driver = {
+        r.entity: r.canon for r in connected_components(edges).collect()
+    }
+    dist = {
+        r.entity: r.canon
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == driver
+    # sanity on content, not just agreement
+    assert driver["c20"] == "c00"
+    assert driver["zz"] == driver["mm"] == "aa"
+
+
+def test_link_entities_distributed_path(spark, name_triples):
+    """link_entities(driver_threshold=0) runs the distributed CC and
+    must produce the same entities map as the default driver path."""
+    _, ent_driver = link_entities(name_triples, threshold=0.5)
+    _, ent_dist = link_entities(
+        name_triples, threshold=0.5, driver_threshold=0
+    )
+    d1 = {r.entity: r.canon for r in ent_driver.collect()}
+    d2 = {r.entity: r.canon for r in ent_dist.collect()}
+    assert d1 == d2 and d1
+
+
 def test_apply_canonical_rewrites_subject_and_iri_object(spark, name_triples):
     entities = spark.createDataFrame(
         [("http://e/1", "http://e/0"), ("http://e/2", "http://e/0")],

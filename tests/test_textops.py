@@ -182,6 +182,96 @@ def test_bmp_roundtrip():
         assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
 
 
+def test_png_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1, 3), (2, 3, 3), (7, 5, 4), (8, 8, 1), (4, 4, 2)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = multimodal.decode_png(multimodal.encode_png(px))
+        assert np.array_equal(out, px.reshape(shape[0], shape[1], shape[2]))
+
+
+def test_png_all_filter_types():
+    """Our encoder emits filter 0, but arbitrary PNGs use Sub/Up/
+    Average/Paeth — hand-build a stream per filter type and check the
+    unfilter math against the spec's reconstruction functions."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    h, w, ch = px.shape
+    for ft in (1, 2, 3, 4):
+        # forward-filter each row with type ft (spec §9.2)
+        rows = []
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur = px[y].reshape(-1).astype(np.int32)
+            filt = np.empty(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                filt[x] = (cur[x] - pred) & 0xFF
+            rows.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+        body = b"".join(rows)
+
+        def chunk(tag, data):
+            c = tag + data
+            return struct.pack(">I", len(data)) + c + struct.pack(
+                ">I", zlib.crc32(c)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(multimodal.decode_png(payload), px), ft
+
+
+def test_png_features_real_content():
+    """A solid-color PNG must yield its exact channel means — the
+    PNG path derives features from decoded pixels, not digest fakes."""
+    import numpy as np
+
+    px = np.zeros((6, 6, 3), dtype=np.uint8)
+    px[..., 2] = 255  # pure blue
+    f = multimodal.payload_features(multimodal.encode_png(px))
+    assert abs(f[2] - 1.0) < 1e-9 and abs(f[0]) < 1e-9 and abs(f[1]) < 1e-9
+    # strict mode no longer raises for PNG
+    f2 = multimodal.payload_features(
+        multimodal.encode_png(px), strict=True
+    )
+    assert np.array_equal(f, f2)
+    # corrupt PNG still falls back (lax) / raises (strict)
+    bad = b"\x89PNG\r\n\x1a\n" + b"junkjunkjunk"
+    assert np.array_equal(
+        multimodal.payload_features(bad), multimodal._fake_decode(bad)
+    )
+    import pytest
+
+    with pytest.raises(Exception):
+        multimodal.payload_features(bad, strict=True)
+
+
 def test_wav_roundtrip():
     import numpy as np
 
