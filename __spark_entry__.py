@@ -531,6 +531,139 @@ def stream_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming url dedup (applyInPandasWithState) driven
+    end-to-end: raw pages (WITH re-crawl duplicates) flow through a
+    multi-batch availableNow stream; the stateful operator keeps the
+    deterministic (warc_ts, xxhash64(html))-max winner per url.  Files
+    are url-partitioned so each url's rows land in ONE micro-batch —
+    making the stream's output equal batch ``latest_crawl``, which the
+    DuckDB oracle replays independently (arg_max per url over the
+    materialized raw pages)."""
+    import shutil
+
+    from serd_spark.sources.pages import synthesize_pages
+    from serd_spark.streaming.incremental import (
+        stream_dedup_urls,
+        stream_pages,
+    )
+
+    n = max(100, _n_pages(sf_dir) // 4)
+    base = os.path.join(
+        "/tmp/serd_spark_stream_dedup",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    pages_dir = os.path.join(base, "pages")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    # NO latest_crawl here — the duplicates are the point; url-hash
+    # partitioning colocates every url's re-crawls in one file
+    synthesize_pages(spark, n, seed=42).repartition(6, "url").write.parquet(
+        pages_dir
+    )
+
+    ded = stream_dedup_urls(
+        stream_pages(spark, pages_dir, max_files_per_trigger=2)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _materialize(
+        sf_dir, "stream_raw_pages",
+        lambda: spark.read.parquet(pages_dir).select(
+            "url", "warc_ts", "text"
+        ),
+    )
+    out = spark.read.parquet(out_dir)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("url").alias("n_urls"),
+        F.sum(F.unix_timestamp("warc_ts")).alias("sum_ts"),
+        F.sum(F.length("text")).alias("total_len"),
+    )
+
+
+def kg_node_ctors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver exposure for the node constructors and the file-URI
+    bridge (SURVEY §2A rows 8/15 — serd_node_new_integer/decimal/blob,
+    serd_node_new_file_uri/serd_file_uri_parse equivalents): per-doc
+    lexical forms computed by the Python ctors inside an Arrow batch,
+    round-tripped in-process (parse(new_file_uri)==path,
+    blob_decode(new_blob)==bytes — any violation raises and fails the
+    query), then value-compared against a DuckDB mirror that rebuilds
+    the same lexical forms in SQL."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serd_spark.rdf.nodes import (
+            blob_decode,
+            file_uri_parse,
+            new_blob,
+            new_decimal,
+            new_file_uri,
+            new_integer,
+            uri_to_path,
+        )
+
+        for pdf in batches:
+            ids, int_lex, dec_lex, b64, furi, furi_host = (
+                [], [], [], [], [], []
+            )
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                raw = (text or "")[:8].encode("utf-8")
+                blob = new_blob(raw)
+                if blob_decode(blob) != raw:
+                    raise AssertionError("blob round-trip failed")
+                path = f"/data/doc {i}.nt"
+                uri = new_file_uri(path)
+                if file_uri_parse(uri) != (path, ""):
+                    raise AssertionError("file URI round-trip failed")
+                uri_h = new_file_uri(path, hostname="host.example")
+                if file_uri_parse(uri_h) != (path, "host.example"):
+                    raise AssertionError("hosted file URI round-trip failed")
+                if uri_to_path(uri_h) != path:
+                    raise AssertionError("uri_to_path mismatch")
+                ids.append(i)
+                int_lex.append(new_integer(i).value)
+                dec_lex.append(new_decimal(i * 0.25, 2).value)
+                b64.append(blob.value)
+                furi.append(uri)
+                furi_host.append(uri_h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "int_lex": int_lex, "dec_lex": dec_lex,
+                    "b64": b64, "file_uri": furi, "file_uri_host": furi_host,
+                }
+            )
+
+    _ensure_shipped(spark)
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, int_lex string, dec_lex string, b64 string, "
+            "file_uri string, file_uri_host string"
+        ),
+    ).orderBy("doc_id")
+
+
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.multimodal import (
         extract_features,
@@ -868,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "curate_metrics": curate_metrics,
         "stream_extract_counts": stream_extract_counts,
+        "stream_dedup_pages": stream_dedup_pages,
+        "kg_node_ctors": kg_node_ctors,
         "mm_features": mm_features,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
@@ -1035,6 +1170,46 @@ def oracle_sql() -> dict[str, str]:
         # availableNow micro-batches + checkpointed foreachBatch; the
         # oracle re-extracts the same pages in ONE batch pass and
         # re-aggregates in DuckDB.
+        # Replay the stateful streaming dedup's winner selection
+        # independently: per-url arg_max on warc_ts over the RAW
+        # (duplicate-bearing) pages the stream consumed. warc_ts is
+        # unique per url by construction, so the (warc_ts, xxhash64)
+        # tie-break never fires and max-ts is the full key.
+        "stream_dedup_pages": f"""
+            WITH w AS (
+              SELECT url, MAX(warc_ts) AS ts,
+                     ARG_MAX(text, warc_ts) AS text
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/stream_raw_pages/*.parquet')
+              GROUP BY url
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(SUM(CAST(epoch(ts) AS BIGINT)) AS BIGINT) AS sum_ts,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_len
+            FROM w
+        """,
+        # Rebuild the node-constructor lexical forms in SQL: integer
+        # canonical form, fixed-point decimal with trailing-zero trim
+        # (keeping one fractional digit), std-alphabet base64 of the
+        # first 8 chars, and the percent-escaped file URIs.
+        "kg_node_ctors": """
+            SELECT doc_id,
+                   CAST(doc_id AS VARCHAR) AS int_lex,
+                   CASE WHEN s LIKE '%.'
+                        THEN s || '0' ELSE s END AS dec_lex,
+                   base64(encode(substr(coalesce(text, ''), 1, 8))) AS b64,
+                   'file:///data/doc%20' || doc_id || '.nt' AS file_uri,
+                   'file://host.example/data/doc%20' || doc_id || '.nt'
+                     AS file_uri_host
+            FROM (
+              SELECT doc_id, text,
+                     regexp_replace(printf('%.2f', doc_id * 0.25),
+                                    '0+$', '') AS s
+              FROM documents
+            )
+            ORDER BY doc_id
+        """,
         "stream_extract_counts": f"""
             SELECT syntax, rec, COUNT(*) AS n
             FROM read_parquet(
