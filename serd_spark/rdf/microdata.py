@@ -18,8 +18,12 @@ available offline — SURVEY.md §7 M3):
 - nested ``itemscope`` elements become the value of their
   ``itemprop`` and their own properties do not leak outward.
 
-``itemref`` is intentionally unsupported (rare in the wild; noted
-here so the gap is explicit).
+``itemref`` follows the WHATWG crawl: each id listed on an item pulls
+the referenced element (itself, if it bears ``itemprop``, plus its
+subtree) into the item's property crawl; duplicate references are
+applied once per item and circular reference chains are broken (the
+spec calls them a "microdata error" — we emit the item without the
+looping branch rather than failing the document).
 """
 
 from __future__ import annotations
@@ -99,6 +103,8 @@ class _MicrodataToRdf:
         self.base = base_iri
         self.blank_n = 0
         self.statements: list[Statement] = []
+        self.id_index: dict[str, _El] = {}
+        self._visiting: set[int] = set()  # itemref cycle guard
 
     def _new_blank(self) -> Term:
         self.blank_n += 1
@@ -108,9 +114,21 @@ class _MicrodataToRdf:
         return urimod.resolve(self.base, ref) if self.base else ref
 
     def run(self, root: _El) -> list[Statement]:
+        self._index_ids(root)
         for el in self._find_items(root, top_level=True):
             self._item(el)
         return self.statements
+
+    def _index_ids(self, el: _El) -> None:
+        """id → element map for itemref resolution (whole document;
+        first occurrence of a duplicated id wins, as in browsers)."""
+        for c in el.children:
+            if isinstance(c, str):
+                continue
+            eid = c.attrs.get("id")
+            if eid and eid not in self.id_index:
+                self.id_index[eid] = c
+            self._index_ids(c)
 
     def _find_items(self, el: _El, top_level: bool) -> list[_El]:
         """Elements with itemscope (top_level: and no itemprop),
@@ -127,20 +145,45 @@ class _MicrodataToRdf:
         return found
 
     def _item(self, el: _El) -> Term:
-        itemid = el.attrs.get("itemid", "").strip()
-        subj = Term(IRI, self._resolve(itemid)) if itemid else self._new_blank()
-        types = [t for t in el.attrs.get("itemtype", "").split() if t]
-        vocab = ""
-        if types:
-            first = types[0]
-            cut = max(first.rfind("#"), first.rfind("/"))
-            vocab = first[: cut + 1] if cut >= 0 else first
-            for t in types:
-                self.statements.append(
-                    Statement(subj, Term(IRI, RDF_TYPE), Term(IRI, t))
-                )
-        self._props(el, subj, vocab)
-        return subj
+        if id(el) in self._visiting:
+            # circular itemref chain reached this item again — the
+            # spec calls this a microdata error; break the loop with
+            # a fresh blank (no properties) instead of recursing
+            return self._new_blank()
+        self._visiting.add(id(el))
+        try:
+            itemid = el.attrs.get("itemid", "").strip()
+            subj = (
+                Term(IRI, self._resolve(itemid)) if itemid
+                else self._new_blank()
+            )
+            types = [t for t in el.attrs.get("itemtype", "").split() if t]
+            vocab = ""
+            if types:
+                first = types[0]
+                cut = max(first.rfind("#"), first.rfind("/"))
+                vocab = first[: cut + 1] if cut >= 0 else first
+                for t in types:
+                    self.statements.append(
+                        Statement(subj, Term(IRI, RDF_TYPE), Term(IRI, t))
+                    )
+            self._props(el, subj, vocab)
+            # itemref: pull each referenced element (itself + subtree)
+            # into this item's property crawl; a pseudo-parent lets
+            # _props treat the target like a child, so an itemprop ON
+            # the target is honored too. Dups applied once per item.
+            seen_refs: set[int] = set()
+            for r in el.attrs.get("itemref", "").split():
+                target = self.id_index.get(r)
+                if target is None or id(target) in seen_refs:
+                    continue
+                seen_refs.add(id(target))
+                pseudo = _El("#ref", {})
+                pseudo.children = [target]
+                self._props(pseudo, subj, vocab)
+            return subj
+        finally:
+            self._visiting.discard(id(el))
 
     def _props(self, el: _El, subj: Term, vocab: str) -> None:
         for c in el.children:

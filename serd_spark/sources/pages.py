@@ -106,13 +106,27 @@ def _page_for(
                 "</script>"
             )
         elif syntax == 2:
-            parts.append(
-                f'<div itemscope itemtype="http://schema.org/Thing" '
-                f'itemid="{ent}">'
-                f'<span itemprop="name">{name}</span>'
-                f'<a itemprop="relatedLink" href="{obj}">rel</a>'
-                "</div>"
-            )
+            if i % 3 == 0:
+                # itemref form: the relatedLink property lives outside
+                # the item element and is pulled in via the WHATWG
+                # itemref crawl — SAME triples as the inline form, so
+                # per-page counts are identical either way
+                parts.append(
+                    f'<div itemscope itemtype="http://schema.org/Thing" '
+                    f'itemid="{ent}" itemref="md{i}">'
+                    f'<span itemprop="name">{name}</span>'
+                    "</div>"
+                    f'<p id="md{i}">'
+                    f'<a itemprop="relatedLink" href="{obj}">rel</a></p>'
+                )
+            else:
+                parts.append(
+                    f'<div itemscope itemtype="http://schema.org/Thing" '
+                    f'itemid="{ent}">'
+                    f'<span itemprop="name">{name}</span>'
+                    f'<a itemprop="relatedLink" href="{obj}">rel</a>'
+                    "</div>"
+                )
         elif syntax == 3:
             parts.append(
                 '<script type="application/n-triples">\n'

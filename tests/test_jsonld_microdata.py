@@ -165,3 +165,73 @@ def test_microdata_multiple_types_and_names():
     preds = sorted(s.predicate.value for s in stmts)
     assert preds.count(RDF_TYPE) == 2
     assert "http://schema.org/alternateName" in preds
+
+
+def test_microdata_itemref_basic():
+    """itemref pulls properties from elements elsewhere in the
+    document — both an itemprop ON the referenced element and
+    itemprops in its subtree (WHATWG crawl)."""
+    html = """<html><body>
+      <div itemscope itemtype="http://schema.org/Person"
+           itemref="nm loc"></div>
+      <span id="nm" itemprop="name">Amund</span>
+      <div id="loc"><span itemprop="city">Oslo</span></div>
+    </body></html>"""
+    stmts, _ = parse_microdata(html, "http://site/")
+    preds = {s.predicate.value for s in stmts}
+    assert "http://schema.org/name" in preds
+    assert "http://schema.org/city" in preds
+    # all props attach to the one item subject
+    subs = {s.subject.value for s in stmts}
+    assert len(subs) == 1
+
+
+def test_microdata_itemref_shared_and_duplicate():
+    """Two items referencing the same element each get the property;
+    an id listed twice on one item is applied once."""
+    html = """<html><body>
+      <div itemscope itemtype="http://schema.org/Person" itemref="c c"></div>
+      <div itemscope itemtype="http://schema.org/Person" itemref="c"></div>
+      <div id="c"><span itemprop="country">NO</span></div>
+    </body></html>"""
+    stmts, _ = parse_microdata(html)
+    country = [s for s in stmts if s.predicate.value.endswith("country")]
+    assert len(country) == 2
+    assert len({s.subject.value for s in country}) == 2
+
+
+def test_microdata_itemref_nested_item_via_ref():
+    """A referenced subtree containing a nested itemscope+itemprop
+    becomes a nested item value of the referring item."""
+    html = """<html><body>
+      <div itemscope itemtype="http://schema.org/Person" itemref="ad"></div>
+      <div id="ad" itemprop="address" itemscope
+           itemtype="http://schema.org/PostalAddress">
+        <span itemprop="city">Bergen</span></div>
+    </body></html>"""
+    stmts, _ = parse_microdata(html)
+    addr = [s for s in stmts if s.predicate.value.endswith("address")]
+    assert len(addr) == 1 and addr[0].object.kind == BLANK
+    city = [s for s in stmts if s.predicate.value.endswith("city")][0]
+    assert city.subject == addr[0].object
+
+
+def test_microdata_itemref_cycle_terminates():
+    """Circular itemref chains (a microdata error per spec) must
+    terminate and keep the non-looping properties."""
+    html = """<html><body>
+      <div id="a" itemscope itemtype="http://schema.org/Thing"
+           itemref="b"></div>
+      <div id="b">
+        <span itemprop="name">loopy</span>
+        <div itemprop="self" itemscope itemref="b"></div>
+      </div>
+    </body></html>"""
+    stmts, _ = parse_microdata(html)
+    names = [s for s in stmts if s.predicate.value.endswith("name")]
+    assert names  # the crawl survived the cycle
+    # missing id is ignored
+    stmts2, _ = parse_microdata(
+        '<div itemscope itemref="nope"><span itemprop="x">v</span></div>'
+    )
+    assert any(s.predicate.value.endswith("x") for s in stmts2)
