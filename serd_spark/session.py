@@ -46,6 +46,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by SHUFFLE BYTES, but
+        # the Python stages downstream (minhash signatures, extraction
+        # after latest_crawl) cost per ROW — the 1 MB default floor
+        # collapses a small shuffle to 1-4 partitions and serializes
+        # the UDF (measured: kg_linking 9.8 s → 4.8 s at sf0.1 with
+        # the floor at 64k). At cluster scale partitions are ≫64k, so
+        # this only changes small-intermediate behavior.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
