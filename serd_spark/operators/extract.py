@@ -38,6 +38,28 @@ from serd_spark.rdf.html_islands import extract_document
 from serd_spark.rdf.model import BLANK
 from serd_spark.rdf.ntriples import canonical_blank_relabel
 
+# Remote JSON-LD contexts resolve from a pre-fetched snapshot dir
+# named by $SERD_SPARK_JSONLD_CONTEXT_DIR (ship it to executors with
+# spark-submit --files + spark.executorEnv.SERD_SPARK_JSONLD_CONTEXT_DIR).
+# Resolved once per worker; absent → remote contexts stay per-island
+# errors (never fetched live from inside a UDF).
+_JSONLD_LOADER = None
+_JSONLD_LOADER_INIT = False
+
+
+def _jsonld_loader():
+    global _JSONLD_LOADER, _JSONLD_LOADER_INIT
+    if not _JSONLD_LOADER_INIT:
+        import os
+
+        d = os.environ.get("SERD_SPARK_JSONLD_CONTEXT_DIR")
+        if d:
+            from serd_spark.rdf.jsonld import dir_context_loader
+
+            _JSONLD_LOADER = dir_context_loader(d)
+        _JSONLD_LOADER_INIT = True
+    return _JSONLD_LOADER
+
 # one combined schema: triple rows (rec='t') + error rows (rec='e')
 TRIPLES_SCHEMA = (
     "url string, island int, stmt_ord int, syntax string, "
@@ -81,7 +103,9 @@ def _extract_rows(
     text = html.decode("utf-8", errors="replace") if isinstance(
         html, (bytes, bytearray)
     ) else str(html)
-    triples, errors = extract_document(text, url, lax=lax)
+    triples, errors = extract_document(
+        text, url, lax=lax, jsonld_context_loader=_jsonld_loader()
+    )
     uh = _doc_hash(url)
 
     if norm_memo is None:

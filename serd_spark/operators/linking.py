@@ -230,6 +230,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 12,
     driver_threshold: int = 2_000_000,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """(entity, canon) assignment over the verified-link graph.
 
@@ -259,7 +260,11 @@ def connected_components(
     # distributed path also reuses the materialized edges (it reads
     # them twice for the symmetrized union). At cluster scale:
     # reliable checkpoint dir instead of localCheckpoint.
-    edges = edges.select("entity_a", "entity_b").localCheckpoint(eager=True)
+    # ``pre_materialized=True`` (link_entities, which checkpoints the
+    # link table itself) skips the redundant second materialization.
+    edges = edges.select("entity_a", "entity_b")
+    if not pre_materialized:
+        edges = edges.localCheckpoint(eager=True)
     if edges.count() < driver_threshold:
         head = edges.collect()
         spark = edges.sparkSession
@@ -364,7 +369,9 @@ def link_entities(
     # links materialized ONCE here: connected_components, the caller's
     # links.write, and any oracle materialization all reuse it instead
     # of re-running the band self-join + verify joins per action
-    entities = connected_components(links, driver_threshold=driver_threshold)
+    entities = connected_components(
+        links, driver_threshold=driver_threshold, pre_materialized=True
+    )
     return links, entities
 
 

@@ -87,7 +87,8 @@ def document_base(html_text: str, url: str) -> str:
 
 
 def extract_document(
-    html_text: str, url: str, lax: bool = True
+    html_text: str, url: str, lax: bool = True,
+    jsonld_context_loader=None,
 ) -> tuple[
     list[tuple[int, str, Statement]],
     list[tuple[int, str, int, int, str]],
@@ -97,6 +98,10 @@ def extract_document(
     Returns ``(triples, errors)`` where triples are
     ``(island_ord, syntax, Statement)`` in document/streaming order
     and errors are ``(island_ord, syntax, line, col, message)``.
+
+    ``jsonld_context_loader`` (see ``jsonld.dir_context_loader``)
+    resolves remote ``@context`` references from an offline snapshot;
+    without one they stay per-island errors.
 
     Blank-node labels are made island-unique by prefixing the island
     ordinal (``{ord}~{label}`` — '~' is not in PN_CHARS); URL-level
@@ -130,8 +135,11 @@ def extract_document(
     islands = find_islands(html_text)
     for ord_, (syntax, content) in enumerate(islands):
         parser = PARSERS[syntax]
+        kwargs: dict = {"lax": lax}
+        if syntax == "jsonld" and jsonld_context_loader is not None:
+            kwargs["context_loader"] = jsonld_context_loader
         try:
-            stmts, errs = parser(content, base, lax=lax)
+            stmts, errs = parser(content, base, **kwargs)
         except ParseError as e:
             if not lax:
                 raise  # strict mode aborts the document (≙ serdi default)

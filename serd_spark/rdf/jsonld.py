@@ -10,8 +10,14 @@ objects):
 - ``@context``: inline dicts / lists of dicts; term definitions as
   string or ``{"@id", "@type", "@container", "@language"}``;
   ``@vocab``, ``@base``, ``@language`` defaults; compact IRIs.
-  Remote (string) contexts cannot be fetched offline → recorded as a
-  per-island error (the document is skipped, never guessed).
+  Remote (string) contexts resolve through a pluggable
+  ``context_loader`` (production pipelines ship a pre-fetched
+  snapshot directory — ``dir_context_loader`` — distributed to
+  executors via ``spark-submit --files``; live HTTP fetch from
+  inside a 1000-executor UDF would be a DDoS and is deliberately
+  not offered). Without a loader, or on a snapshot miss, the island
+  is recorded as a per-document error — skipped, never guessed.
+  Cyclic remote-context chains are detected and rejected.
 - node objects, ``@id``/``@type``, nested nodes → linked blank
   nodes, ``@value``/``@language``/``@type`` literals, ``@list`` →
   rdf:first/rest/nil chains, ``@graph`` (top-level and named),
@@ -109,10 +115,12 @@ class _Context:
 
 
 class _JsonLdToRdf:
-    def __init__(self, base_iri: str):
+    def __init__(self, base_iri: str, context_loader=None):
         self.base = base_iri
         self.blank_n = 0
         self.statements: list[Statement] = []
+        self.context_loader = context_loader
+        self._ctx_loading: set[str] = set()  # remote-context cycle guard
 
     def _new_blank(self) -> Term:
         self.blank_n += 1
@@ -131,7 +139,26 @@ class _JsonLdToRdf:
                 out = _Context(self.base)
                 continue
             if isinstance(s, str):
-                self._err(f"remote @context not supported offline: {s}")
+                # remote context: resolve the reference, look it up in
+                # the offline snapshot, and process the document's own
+                # @context (which may itself chain further references)
+                u = urimod.resolve(out.base or self.base, s)
+                if self.context_loader is None:
+                    self._err(f"remote @context not supported offline: {s}")
+                if u in self._ctx_loading:
+                    self._err(f"cyclic remote @context: {u}")
+                doc = self.context_loader(u)
+                if doc is None:
+                    self._err(
+                        f"remote @context not in offline snapshot: {u}"
+                    )
+                sub = doc.get("@context", doc) if isinstance(doc, dict) else doc
+                self._ctx_loading.add(u)
+                try:
+                    out = self._process_context(out, sub)
+                finally:
+                    self._ctx_loading.discard(u)
+                continue
             if not isinstance(s, dict):
                 self._err("invalid @context")
             if "@vocab" in s:
@@ -352,14 +379,37 @@ class _JsonLdToRdf:
         self.statements.append(Statement(s, p, o, g))
 
 
+def dir_context_loader(directory: str):
+    """Context loader backed by a pre-fetched snapshot directory: the
+    context for URL ``u`` lives at ``<directory>/<quote(u, safe='')>.json``
+    (the full remote document — its ``@context`` member is used if
+    present).  This is how a production run resolves schema.org-style
+    remote contexts: snapshot once, ship with ``spark-submit --files``,
+    never fetch from executors.  Returns None on a miss (→ per-island
+    error, document skipped)."""
+    import os
+    from urllib.parse import quote
+
+    def load(url: str):
+        fn = os.path.join(directory, quote(url, safe="") + ".json")
+        if not os.path.exists(fn):
+            return None
+        with open(fn, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    return load
+
+
 def parse_jsonld(
-    text: str, base_iri: str = "", lax: bool = False
+    text: str, base_iri: str = "", lax: bool = False, context_loader=None
 ) -> tuple[list[Statement], list[tuple[int, int, str]]]:
     """Parse a JSON-LD document string → (statements, errors).
 
-    In lax mode JSON syntax errors / unsupported remote contexts are
+    In lax mode JSON syntax errors / unresolvable remote contexts are
     recorded, not raised (matching the lax contract of the other
-    per-island parsers).
+    per-island parsers).  ``context_loader`` (e.g.
+    ``dir_context_loader``) resolves remote ``@context`` references
+    from an offline snapshot; without one they are per-island errors.
     """
     try:
         doc = json.loads(text)
@@ -367,7 +417,7 @@ def parse_jsonld(
         if lax:
             return [], [(e.lineno, e.colno, f"bad JSON: {e.msg}")]
         raise ParseError(f"bad JSON: {e.msg}", e.lineno, e.colno) from e
-    conv = _JsonLdToRdf(base_iri)
+    conv = _JsonLdToRdf(base_iri, context_loader=context_loader)
     try:
         conv.process(doc)
     except ParseError as e:

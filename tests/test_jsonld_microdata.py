@@ -235,3 +235,84 @@ def test_microdata_itemref_cycle_terminates():
         '<div itemscope itemref="nope"><span itemprop="x">v</span></div>'
     )
     assert any(s.predicate.value.endswith("x") for s in stmts2)
+
+
+def test_jsonld_remote_context_loader(tmp_path):
+    """Remote @context references resolve through a snapshot-dir
+    loader; chained references work; misses and cycles are errors."""
+    import json
+    from urllib.parse import quote
+
+    from serd_spark.rdf.jsonld import dir_context_loader
+
+    d = tmp_path / "ctx"
+    d.mkdir()
+    url1 = "https://ctx.example/v1"
+    url2 = "https://ctx.example/v2"
+    # v1 chains to v2; v2 defines the vocab
+    (d / (quote(url1, safe="") + ".json")).write_text(
+        json.dumps({"@context": [url2, {"extra": "http://x.example/extra"}]})
+    )
+    (d / (quote(url2, safe="") + ".json")).write_text(
+        json.dumps({"@context": {"@vocab": "http://schema.org/"}})
+    )
+    loader = dir_context_loader(str(d))
+
+    doc = ('{"@context": "https://ctx.example/v1", "@id": "http://e/1", '
+           '"name": "A", "extra": "B"}')
+    stmts, errs = parse_jsonld(doc, "http://page/", context_loader=loader)
+    assert not errs
+    got = spo(stmts)
+    assert ("http://e/1", "http://schema.org/name", "A") in got
+    assert ("http://e/1", "http://x.example/extra", "B") in got
+
+    # missing from snapshot → lax error, no statements
+    miss = '{"@context": "https://ctx.example/nope", "@id": "http://e/2"}'
+    stmts, errs = parse_jsonld(miss, lax=True, context_loader=loader)
+    assert stmts == [] and "snapshot" in errs[0][2]
+
+    # without a loader remote contexts stay errors
+    stmts, errs = parse_jsonld(doc, lax=True)
+    assert stmts == [] and "remote @context" in errs[0][2]
+
+    # cyclic chain → error, terminates
+    urlc = "https://ctx.example/cycle"
+    (d / (quote(urlc, safe="") + ".json")).write_text(
+        json.dumps({"@context": urlc})
+    )
+    cyc = '{"@context": "https://ctx.example/cycle", "@id": "http://e/3"}'
+    stmts, errs = parse_jsonld(cyc, lax=True, context_loader=loader)
+    assert stmts == [] and "cyclic" in errs[0][2]
+
+
+def test_jsonld_context_loader_via_extract_env(tmp_path, monkeypatch):
+    """The extraction stage picks the snapshot dir up from
+    $SERD_SPARK_JSONLD_CONTEXT_DIR (per-worker, once)."""
+    import json
+    from urllib.parse import quote
+
+    import serd_spark.operators.extract as ex
+    from serd_spark.rdf.html_islands import extract_document
+
+    d = tmp_path / "ctx"
+    d.mkdir()
+    url1 = "https://ctx.example/v1"
+    (d / (quote(url1, safe="") + ".json")).write_text(
+        json.dumps({"@context": {"@vocab": "http://schema.org/"}})
+    )
+    monkeypatch.setenv("SERD_SPARK_JSONLD_CONTEXT_DIR", str(d))
+    monkeypatch.setattr(ex, "_JSONLD_LOADER_INIT", False)
+    monkeypatch.setattr(ex, "_JSONLD_LOADER", None)
+    html = ('<script type="application/ld+json">'
+            '{"@context": "https://ctx.example/v1", '
+            '"@id": "http://e/1", "name": "A"}</script>')
+    triples, errors = extract_document(
+        html, "http://page/", lax=True,
+        jsonld_context_loader=ex._jsonld_loader(),
+    )
+    assert not errors
+    assert any(
+        t[2].predicate.value == "http://schema.org/name" for t in triples
+    )
+    monkeypatch.setattr(ex, "_JSONLD_LOADER_INIT", False)
+    monkeypatch.setattr(ex, "_JSONLD_LOADER", None)
