@@ -4,11 +4,14 @@ as Arrow-batched stages.
 
 Decode paths:
 
-- **BMP images** (24-bit uncompressed) and **WAV audio** (PCM16) are
-  decoded FOR REAL with pure stdlib (``struct`` / ``wave``) —
-  features are derived from actual pixel/sample content.
-- Codecs that genuinely need external libraries (PNG/JPEG, MP4, …)
-  are stubbed: ``strict=True`` raises a clearly-marked
+- **BMP images** (24-bit uncompressed), **PNG** (non-interlaced
+  8-bit, zlib inflate + all five scanline filters), **baseline
+  JPEG** (jpeg_codec.py: Huffman + dequant + IDCT + YCbCr,
+  4:2:0/4:2:2/4:4:4, restart markers) and **WAV audio** (PCM16) are
+  decoded FOR REAL with pure stdlib+numpy — features derive from
+  actual pixel/sample content.
+- Codecs that genuinely need external libraries (WebP/AVIF, MP4
+  video, …) are stubbed: ``strict=True`` raises a clearly-marked
   ``NotImplementedError``; the default falls back to a deterministic
   fake decode from the bytes' blake2b digest so the Spark plumbing
   is exercised end-to-end either way.
@@ -277,6 +280,12 @@ def _png_features(payload: bytes, dim: int) -> np.ndarray:
     return _rgb_features(_to_rgb(decode_png(payload)), dim)
 
 
+def _jpeg_features(payload: bytes, dim: int) -> np.ndarray:
+    from serd_spark.operators.jpeg_codec import decode_jpeg
+
+    return _rgb_features(decode_jpeg(payload), dim)
+
+
 def _wav_features(payload: bytes, dim: int) -> np.ndarray:
     """Content-derived audio features: RMS, mean, zero-crossing rate,
     peak, duration — padded deterministically to dim."""
@@ -315,17 +324,22 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode → (h, w, 3) RGB uint8: REAL for 24-bit BMP and
-    non-interlaced 8-bit PNG (pure stdlib); JPEG/WebP/… would need
-    Pillow/opencv, which are not in this container."""
+    """Image decode → (h, w, 3) RGB uint8: REAL for 24-bit BMP,
+    non-interlaced 8-bit PNG, and baseline JPEG (all pure
+    stdlib+numpy); WebP/AVIF/… would need Pillow/opencv, which are
+    not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return _to_rgb(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from serd_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP and PNG decode without Pillow/opencv (not installed "
-        "in this sandbox); use strict=False for the deterministic fake "
-        "decode"
+        "only BMP, PNG and baseline JPEG decode without Pillow/opencv "
+        "(not installed in this sandbox); use strict=False for the "
+        "deterministic fake decode"
     )
 
 
@@ -344,6 +358,8 @@ def payload_features(payload: bytes, dim: int = FEATURE_DIM,
             return _bmp_features(payload, dim)
         if payload[:8] == _PNG_MAGIC:
             return _png_features(payload, dim)
+        if payload[:2] == b"\xff\xd8":
+            return _jpeg_features(payload, dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _wav_features(payload, dim)
     except Exception:
@@ -463,9 +479,9 @@ def synthesize_media(
                 h = 8 + (i * 53) % 16 if kind == "image" else None
                 dur = 1000 + (i * 101) % 60000 if kind != "image" else None
                 if kind == "image":
-                    # pixels = rolling blake2b stream → real BMP or
-                    # PNG (alternating; every 4th PNG is RGBA so the
-                    # alpha decode path runs end-to-end too)
+                    # pixels = rolling blake2b stream → real BMP, PNG
+                    # or baseline JPEG (every 4th PNG is RGBA; JPEGs
+                    # are 4:2:0 — the dominant web chroma layout)
                     n_ch = 4 if i % 16 == 12 else 3
                     need, out, c = w * h * n_ch, b"", 0
                     while len(out) < need:
@@ -476,7 +492,16 @@ def synthesize_media(
                     px = np.frombuffer(out[:need], dtype=np.uint8).reshape(
                         h, w, n_ch
                     )
-                    if i % 8 >= 4 or n_ch == 4:
+                    if i % 16 == 4:
+                        from serd_spark.operators.jpeg_codec import (
+                            encode_jpeg,
+                        )
+
+                        payload = encode_jpeg(
+                            px, quality=92, subsample=True
+                        )
+                        mime = "image/jpeg"
+                    elif i % 8 >= 4 or n_ch == 4:
                         payload = encode_png(px)
                         mime = "image/png"
                     else:

@@ -320,3 +320,65 @@ def test_payload_features_bm_magic_fallback():
     assert multimodal.payload_features(truncated) is not None
     with pytest.raises(Exception):
         multimodal.payload_features(fake_bmp, strict=True)
+
+
+def test_jpeg_roundtrip_lossy():
+    """Baseline JPEG encode→decode: near-lossless at q100 4:4:4,
+    bounded error with 4:2:0 subsampling and restart markers."""
+    import numpy as np
+
+    from serd_spark.operators import jpeg_codec as jc
+
+    # solid color survives exactly
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = 200, 50, 120
+    assert np.array_equal(jc.decode_jpeg(jc.encode_jpeg(px, quality=100)), px)
+
+    # q100 4:4:4: only DCT float rounding (≤2/255 per sample)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(px, quality=100))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+    # smooth gradient through 4:2:0 + restart markers: small mean err
+    gx = np.linspace(0, 255, 33)[None, :].repeat(40, 0)
+    gy = np.linspace(0, 255, 40)[:, None].repeat(33, 1)
+    px = np.stack([gx, gy, (gx + gy) / 2], axis=2).astype(np.uint8)
+    for kwargs in ({"subsample": True}, {"restart_interval": 2},
+                   {"subsample": True, "restart_interval": 3}):
+        out = jc.decode_jpeg(jc.encode_jpeg(px, quality=92, **kwargs))
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 4.0
+
+    # grayscale broadcasts to RGB
+    g = rng.integers(0, 256, size=(12, 12), dtype=np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(g, quality=100))
+    assert out.shape == (12, 12, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    # determinism: same pixels → same bytes → same features
+    assert jc.encode_jpeg(px, quality=92) == jc.encode_jpeg(px, quality=92)
+
+
+def test_jpeg_features_and_fallback():
+    """JPEG features derive from decoded pixels; corrupt/progressive
+    payloads fall back (lax) or raise (strict)."""
+    import numpy as np
+    import pytest
+
+    from serd_spark.operators import jpeg_codec as jc
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[..., 1] = 255  # pure green
+    f = multimodal.payload_features(jc.encode_jpeg(px, quality=100))
+    assert abs(f[1] - 1.0) < 1e-9 and abs(f[0]) < 1e-9 and abs(f[2]) < 1e-9
+    f2 = multimodal.payload_features(
+        jc.encode_jpeg(px, quality=100), strict=True
+    )
+    assert np.array_equal(f, f2)
+
+    bad = b"\xff\xd8" + b"garbage data here"
+    assert np.array_equal(
+        multimodal.payload_features(bad), multimodal._fake_decode(bad)
+    )
+    with pytest.raises(Exception):
+        multimodal.payload_features(bad, strict=True)
