@@ -382,3 +382,54 @@ def test_jpeg_features_and_fallback():
     )
     with pytest.raises(Exception):
         multimodal.payload_features(bad, strict=True)
+
+
+def test_image_decoders_fuzz_crash_free():
+    """Random/truncated bytes through every image decoder must raise
+    cleanly (ValueError/NotImplementedError) or decode — never hang —
+    and payload_features must always fall back in lax mode."""
+    import hashlib
+    import zlib
+    from struct import error as struct_error
+
+    import numpy as np
+
+    from serd_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(11)
+    real = [
+        multimodal.encode_bmp(
+            rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        ),
+        multimodal.encode_png(
+            rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        ),
+        jc.encode_jpeg(
+            rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
+        ),
+    ]
+    payloads = []
+    for r in real:
+        for cut in (3, 10, len(r) // 2, len(r) - 2):
+            payloads.append(r[:cut])
+        # bit-flip corruption
+        b = bytearray(r)
+        for k in range(0, len(b), 7):
+            b[k] ^= 0xA5
+        payloads.append(bytes(b))
+    for i in range(30):
+        junk = hashlib.blake2b(bytes([i]), digest_size=32).digest() * 8
+        payloads.append(b"\x89PNG\r\n\x1a\n" + junk)
+        payloads.append(b"\xff\xd8" + junk)
+        payloads.append(b"BM" + junk)
+    for p in payloads:
+        for dec in (multimodal.decode_bmp, multimodal.decode_png,
+                    jc.decode_jpeg):
+            try:
+                dec(p)
+            except (ValueError, NotImplementedError, IndexError,
+                    KeyError, struct_error, zlib.error, OSError):
+                pass
+        f = multimodal.payload_features(p)  # lax: never raises
+        assert len(f) == multimodal.FEATURE_DIM
+
