@@ -689,6 +689,39 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL-expressible queries (DuckDB-oracled)
 # ---------------------------------------------------------------------
 
+def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata probing WITHOUT decode: per-payload byte
+    parsing (BMP/PNG/JPEG headers, WAV sample math, MP4 moov boxes)
+    aggregated per container.  The DuckDB oracle recomputes the same
+    aggregates from the media table's DECLARED metadata columns —
+    which never touched the payload bytes — so a hash match proves
+    byte-level probing reproduces the generator's ground truth."""
+    from serd_spark.operators.multimodal import (
+        probe_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, max(64, _n_pages(sf_dir) // 8))
+    _materialize(
+        sf_dir, "mm_media_meta",
+        lambda: media.select(
+            "media_id", "kind", "mime", "width", "height", "duration_ms"
+        ),
+    )
+    return (
+        probe_media(media)
+        .groupBy("container")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").alias("sum_w"),
+            F.sum("height").alias("sum_h"),
+            F.sum("duration_ms").alias("sum_dur"),
+            F.sum("n_tracks").alias("sum_tracks"),
+        )
+        .orderBy("container")
+    )
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
@@ -1004,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_pages": stream_dedup_pages,
         "kg_node_ctors": kg_node_ctors,
         "mm_features": mm_features,
+        "mm_probe": mm_probe,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -1223,6 +1257,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(feature[1]::DOUBLE * 1000000)
                        AS BIGINT)) AS BIGINT) AS f0_millionths
             FROM read_parquet('{ORACLE_DIR}/sf0.01/mm_features/*.parquet')
+        """,
+        # Rebuild the probe aggregates from DECLARED metadata (columns
+        # that never touched the payload bytes): image dims from the
+        # table, MP4 dims/tracks from the synthesis formulas, WAV
+        # duration from the integer sample math (n = 8*dur//50 samples
+        # at 8 kHz → probed ms = n//8).
+        "mm_probe": f"""
+            WITH m AS (
+              SELECT media_id,
+                     CASE mime WHEN 'image/bmp' THEN 'bmp'
+                               WHEN 'image/png' THEN 'png'
+                               WHEN 'image/jpeg' THEN 'jpeg'
+                               WHEN 'audio/wav' THEN 'wav'
+                               WHEN 'video/mp4' THEN 'mp4' END AS container,
+                     CASE WHEN mime LIKE 'image/%' THEN width
+                          WHEN mime = 'video/mp4'
+                            THEN 320 + (media_id % 8) * 16 END AS pw,
+                     CASE WHEN mime LIKE 'image/%' THEN height
+                          WHEN mime = 'video/mp4'
+                            THEN 240 + (media_id % 8) * 8 END AS ph,
+                     CASE WHEN mime = 'video/mp4' THEN duration_ms
+                          WHEN mime = 'audio/wav'
+                            THEN ((8 * duration_ms) // 50) // 8
+                          END AS pdur,
+                     CASE WHEN mime = 'video/mp4'
+                            THEN 1 + CASE WHEN media_id % 8 = 0
+                                          THEN 0 ELSE 1 END
+                          ELSE 1 END AS ptracks
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/mm_media_meta/*.parquet')
+            )
+            SELECT container,
+                   CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(pw) AS BIGINT) AS sum_w,
+                   CAST(SUM(ph) AS BIGINT) AS sum_h,
+                   CAST(SUM(pdur) AS BIGINT) AS sum_dur,
+                   CAST(SUM(ptracks) AS BIGINT) AS sum_tracks
+            FROM m GROUP BY container ORDER BY container
         """,
         # Round-trip INVARIANT oracles: the writer→parser fixpoint must
         # hold for EVERY statement/document, so the expected counts are

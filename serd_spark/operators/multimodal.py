@@ -306,6 +306,214 @@ def _wav_features(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------- MP4 container
+# Video FRAME decode needs real codecs (stubbed), but the ISO BMFF
+# CONTAINER is plain struct-parsable: duration, track layout and
+# visual dimensions come from moov boxes without touching a codec —
+# exactly what a curation pipeline filters on at 100 TB.
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+def encode_mp4_meta(
+    duration_ms: int, width: int = 0, height: int = 0,
+    tracks: tuple[bytes, ...] = (b"vide",),
+) -> bytes:
+    """Minimal valid ISO BMFF metadata stream (ftyp + moov with mvhd
+    and one trak/tkhd/mdia/hdlr per entry in ``tracks``) — no mdat,
+    no samples; enough for container probing, used to synthesize
+    deterministic test payloads."""
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41"
+    )
+    unity = struct.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"            # version 0 + flags
+        + struct.pack(">II", 0, 0)      # ctime, mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100) + b"\x00\x00"  # volume + reserved
+        + b"\x00" * 8 + unity + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),  # next_track_id
+    )
+    traks = b""
+    for ti, kind in enumerate(tracks):
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", ti + 1) + b"\x00" * 4
+            + struct.pack(">I", duration_ms) + b"\x00" * 8
+            + struct.pack(">hh", 0, 0) + struct.pack(">h", 0) + b"\x00\x00"
+            + unity
+            + struct.pack(
+                ">II",
+                (width << 16) if kind == b"vide" else 0,
+                (height << 16) if kind == b"vide" else 0,
+            ),
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            b"\x00\x00\x00\x00" + b"\x00" * 4 + kind + b"\x00" * 12
+            + b"serd\x00",
+        )
+        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", hdlr))
+    return ftyp + _mp4_box(b"moov", mvhd + traks)
+
+
+def _mp4_children(payload: bytes):
+    pos = 0
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = payload[pos + 16 : pos + size]
+        elif size == 0:  # to end of enclosing box
+            body = payload[pos + 8 :]
+            size = len(payload) - pos
+        else:
+            body = payload[pos + 8 : pos + size]
+        if size < 8 or pos + size > len(payload):
+            raise ValueError("malformed MP4 box")
+        yield tag, body
+        pos += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO BMFF container metadata: duration (via mvhd timescale),
+    track kinds (hdlr), visual dimensions (tkhd 16.16 fixed-point).
+    Raises ValueError when no moov/mvhd is found."""
+    out = {
+        "duration_ms": None, "width": None, "height": None,
+        "n_tracks": 0, "track_kinds": [],
+    }
+    seen_moov = False
+    for tag, body in _mp4_children(payload):
+        if tag != b"moov":
+            continue
+        seen_moov = True
+        for t2, b2 in _mp4_children(body):
+            if t2 == b"mvhd":
+                version = b2[0]
+                if version == 1:
+                    ts, dur = struct.unpack_from(">IQ", b2, 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", b2, 12)
+                out["duration_ms"] = int(dur * 1000 // max(ts, 1))
+            elif t2 == b"trak":
+                out["n_tracks"] += 1
+                for t3, b3 in _mp4_children(b2):
+                    if t3 == b"tkhd":
+                        version = b3[0]
+                        w, hgt = struct.unpack_from(
+                            ">II", b3, len(b3) - 8
+                        )
+                        if w and out["width"] is None:
+                            out["width"] = w >> 16
+                            out["height"] = hgt >> 16
+                    elif t3 == b"mdia":
+                        for t4, b4 in _mp4_children(b3):
+                            if t4 == b"hdlr":
+                                out["track_kinds"].append(
+                                    b4[8:12].decode("ascii", "replace")
+                                )
+    if not seen_moov or out["duration_ms"] is None:
+        raise ValueError("no moov/mvhd box (not an MP4 metadata stream)")
+    return out
+
+
+def probe_payload(payload: bytes) -> dict:
+    """Container/header metadata for any supported payload WITHOUT
+    full decode: (container, width, height, duration_ms, n_tracks).
+    Raises on unrecognized bytes — callers choose lax handling."""
+    if payload[:2] == b"BM":
+        (off,) = struct.unpack_from("<I", payload, 10)
+        _, w, h = struct.unpack_from("<Iii", payload, 14)
+        return {"container": "bmp", "width": abs(w), "height": abs(h),
+                "duration_ms": None, "n_tracks": 1}
+    if payload[:8] == _PNG_MAGIC:
+        w, h = struct.unpack_from(">II", payload, 16)  # IHDR is first
+        return {"container": "png", "width": w, "height": h,
+                "duration_ms": None, "n_tracks": 1}
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOFn carry dimensions
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                return {"container": "jpeg", "width": w, "height": h,
+                        "duration_ms": None, "n_tracks": 1}
+            if marker == 0xD9 or marker == 0xDA:
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            pos += 2 + seglen
+        raise ValueError("JPEG without SOF header")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = decode_wav(payload)
+        return {"container": "wav", "width": None, "height": None,
+                "duration_ms": int(len(samples) * 1000 // rate),
+                "n_tracks": 1}
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        m = probe_mp4(payload)
+        return {"container": "mp4", "width": m["width"],
+                "height": m["height"], "duration_ms": m["duration_ms"],
+                "n_tracks": m["n_tracks"]}
+    raise ValueError(f"unrecognized payload magic {payload[:4]!r}")
+
+
+def probe_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """(id, payload) → container metadata rows, iterator mapInPandas
+    (payload column pruned to the UDF barrier, one batch in flight).
+    Unrecognized payloads: ``strict`` raises, lax emits container
+    'unknown' with null metadata — never kills a 100 TB task."""
+    src = media.select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                id_col, "container", "width", "height",
+                "duration_ms", "n_tracks",
+            )}
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    p = probe_payload(b)
+                except Exception:
+                    if strict:
+                        raise
+                    p = {"container": "unknown", "width": None,
+                         "height": None, "duration_ms": None,
+                         "n_tracks": None}
+                cols[id_col].append(int(mid))
+                cols["container"].append(p["container"])
+                cols["width"].append(p["width"])
+                cols["height"].append(p["height"])
+                cols["duration_ms"].append(p["duration_ms"])
+                cols["n_tracks"].append(p["n_tracks"])
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, container string, width int, height int, "
+            "duration_ms long, n_tracks int"
+        ),
+    )
+
+
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: expands the
     payload's blake2b digest into ``dim`` floats in [-1, 1). Stable
@@ -518,7 +726,15 @@ def synthesize_media(
                     payload = encode_wav(samples, rate)
                     mime = "audio/wav"
                 else:
-                    payload = digest * (4 + i % 8)
+                    # REAL ISO BMFF metadata container (ftyp + moov):
+                    # probe-able duration/tracks/resolution; frame
+                    # data stays absent (no stdlib video codec)
+                    payload = encode_mp4_meta(
+                        dur,
+                        width=320 + (i % 8) * 16,
+                        height=240 + (i % 8) * 8,
+                        tracks=(b"vide", b"soun") if i % 8 else (b"vide",),
+                    )
                     mime = "video/mp4"
                 c_id.append(i)
                 c_kind.append(kind)

@@ -433,3 +433,54 @@ def test_image_decoders_fuzz_crash_free():
         f = multimodal.payload_features(p)  # lax: never raises
         assert len(f) == multimodal.FEATURE_DIM
 
+
+
+def test_probe_media_containers(spark):
+    """Byte-level container probing over the synthetic media table:
+    every probed value must equal the generator's declared metadata;
+    junk payloads probe as 'unknown' in lax mode and raise in
+    strict."""
+    import pytest
+
+    media = multimodal.synthesize_media(spark, 48)
+    probed = {r.media_id: r for r in
+              multimodal.probe_media(media).collect()}
+    declared = {r.media_id: r for r in media.collect()}
+    assert len(probed) == 48
+    for mid, d in declared.items():
+        p = probed[mid]
+        if d.kind == "image":
+            assert p.container in ("bmp", "png", "jpeg")
+            assert (p.width, p.height) == (d.width, d.height)
+        elif d.kind == "audio":
+            n = 8000 * d.duration_ms // 1000 // 50
+            assert p.container == "wav"
+            assert p.duration_ms == n * 1000 // 8000
+        else:
+            assert p.container == "mp4"
+            assert p.duration_ms == d.duration_ms
+            assert p.width == 320 + (mid % 8) * 16
+            assert p.n_tracks == (1 if mid % 8 == 0 else 2)
+
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not a media payload at all"))],
+        "media_id long, payload binary",
+    )
+    lax = multimodal.probe_media(junk).first()
+    assert lax.container == "unknown" and lax.width is None
+    with pytest.raises(Exception):
+        multimodal.probe_media(junk, strict=True).collect()
+
+
+def test_mp4_probe_fuzz():
+    """Truncated/corrupt MP4 boxes raise cleanly, never hang."""
+    import pytest
+
+    p = multimodal.encode_mp4_meta(5000, width=64, height=48)
+    for cut in (3, 9, 15, len(p) // 2, len(p) - 3):
+        with pytest.raises(Exception):
+            multimodal.probe_mp4(p[:cut] if cut < 20 else p[:cut] + b"\xff")
+    b = bytearray(p)
+    b[0:4] = (1 << 30).to_bytes(4, "big")  # absurd box size
+    with pytest.raises(ValueError):
+        multimodal.probe_mp4(bytes(b))
