@@ -378,11 +378,17 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale is
     broadcast).  Raises ``NotImplementedError`` for progressive /
     arithmetic / 12-bit streams and ``ValueError`` for corrupt
-    data."""
+    data.
+
+    ``max_pixels`` (default 16M ≈ 4096²) bounds the declared SOF
+    dimensions: this is a pure-Python MCU loop, and an adversarial
+    2-KB payload declaring 65535×65535 would otherwise pin an
+    executor for hours instead of failing fast (the decode cost is
+    driven by the DECLARED size, not the payload size)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -452,6 +458,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # else: APPn/COM — skipped
     if scan_pos is None or not comps or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
+    if h * w > max_pixels:
+        raise ValueError(
+            f"declared {w}x{h} exceeds max_pixels={max_pixels}"
+        )
     for c in comps:
         if c["h"] not in (1, 2) or c["v"] not in (1, 2):
             raise NotImplementedError("sampling factors beyond 2x2")

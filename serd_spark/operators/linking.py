@@ -265,7 +265,9 @@ def connected_components(
     edges = edges.select("entity_a", "entity_b")
     if not pre_materialized:
         edges = edges.localCheckpoint(eager=True)
-    if edges.count() < driver_threshold:
+    # driver_threshold=0 (forced distributed path) skips the count
+    # probe entirely — no wasted action on the at-scale path
+    if driver_threshold > 0 and edges.count() < driver_threshold:
         head = edges.collect()
         spark = edges.sparkSession
         parent: dict[str, str] = {}

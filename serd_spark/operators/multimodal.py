@@ -205,8 +205,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color]
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    if expected > 1 << 28:  # 256 MB of scanlines: not a feature input
+        raise ValueError(f"declared {w}x{h}x{ch} too large to decode")
+    # bounded inflate: a zlib bomb (tiny payload, huge decompressed
+    # stream) must not allocate past the declared scanline size
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG scanline data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
@@ -405,7 +411,10 @@ def probe_mp4(payload: bytes) -> dict:
                     ts, dur = struct.unpack_from(">IQ", b2, 20)
                 else:
                     ts, dur = struct.unpack_from(">II", b2, 12)
-                out["duration_ms"] = int(dur * 1000 // max(ts, 1))
+                d = int(dur) * 1000 // max(int(ts), 1)
+                if d > (1 << 62):
+                    raise ValueError(f"implausible mvhd duration {d}")
+                out["duration_ms"] = d
             elif t2 == b"trak":
                 out["n_tracks"] += 1
                 for t3, b3 in _mp4_children(b2):
@@ -428,6 +437,17 @@ def probe_mp4(payload: bytes) -> dict:
     return out
 
 
+def _chk_dim(v: int) -> int:
+    """Header-declared dimensions must fit the probe schema's int32
+    (and be plausible): out-of-range values mean a corrupt header —
+    raise so lax probing marks the row 'unknown' instead of failing
+    (or silently wrapping) at the Arrow boundary."""
+    v = int(v)
+    if not 0 <= v <= 0x7FFFFFFF:
+        raise ValueError(f"implausible header dimension {v}")
+    return v
+
+
 def probe_payload(payload: bytes) -> dict:
     """Container/header metadata for any supported payload WITHOUT
     full decode: (container, width, height, duration_ms, n_tracks).
@@ -435,11 +455,13 @@ def probe_payload(payload: bytes) -> dict:
     if payload[:2] == b"BM":
         (off,) = struct.unpack_from("<I", payload, 10)
         _, w, h = struct.unpack_from("<Iii", payload, 14)
-        return {"container": "bmp", "width": abs(w), "height": abs(h),
+        return {"container": "bmp", "width": _chk_dim(abs(w)),
+                "height": _chk_dim(abs(h)),
                 "duration_ms": None, "n_tracks": 1}
     if payload[:8] == _PNG_MAGIC:
         w, h = struct.unpack_from(">II", payload, 16)  # IHDR is first
-        return {"container": "png", "width": w, "height": h,
+        return {"container": "png", "width": _chk_dim(w),
+                "height": _chk_dim(h),
                 "duration_ms": None, "n_tracks": 1}
     if payload[:2] == b"\xff\xd8":
         pos = 2
@@ -449,7 +471,8 @@ def probe_payload(payload: bytes) -> dict:
             marker = payload[pos + 1]
             if marker in (0xC0, 0xC1, 0xC2):  # SOFn carry dimensions
                 h, w = struct.unpack_from(">HH", payload, pos + 5)
-                return {"container": "jpeg", "width": w, "height": h,
+                return {"container": "jpeg", "width": _chk_dim(w),
+                        "height": _chk_dim(h),
                         "duration_ms": None, "n_tracks": 1}
             if marker == 0xD9 or marker == 0xDA:
                 break
@@ -457,14 +480,21 @@ def probe_payload(payload: bytes) -> dict:
             pos += 2 + seglen
         raise ValueError("JPEG without SOF header")
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        samples, rate = decode_wav(payload)
+        # header fields only — probing must not decode the PCM data
+        with wave.open(io.BytesIO(payload), "rb") as wv:
+            nframes, rate = wv.getnframes(), wv.getframerate()
+        if rate <= 0:
+            raise ValueError("WAV with zero sample rate")
         return {"container": "wav", "width": None, "height": None,
-                "duration_ms": int(len(samples) * 1000 // rate),
+                "duration_ms": int(nframes) * 1000 // rate,
                 "n_tracks": 1}
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         m = probe_mp4(payload)
-        return {"container": "mp4", "width": m["width"],
-                "height": m["height"], "duration_ms": m["duration_ms"],
+        return {"container": "mp4",
+                "width": None if m["width"] is None else _chk_dim(m["width"]),
+                "height": None if m["height"] is None
+                else _chk_dim(m["height"]),
+                "duration_ms": m["duration_ms"],
                 "n_tracks": m["n_tracks"]}
     raise ValueError(f"unrecognized payload magic {payload[:4]!r}")
 

@@ -147,7 +147,13 @@ class _JsonLdToRdf:
                     self._err(f"remote @context not supported offline: {s}")
                 if u in self._ctx_loading:
                     self._err(f"cyclic remote @context: {u}")
-                doc = self.context_loader(u)
+                try:
+                    doc = self.context_loader(u)
+                except Exception as e:  # corrupt snapshot file, IO error
+                    # loader failures must stay per-island (lax
+                    # contract): one bad snapshot file must not kill
+                    # the extraction task
+                    self._err(f"failed loading remote @context {u}: {e}")
                 if doc is None:
                     self._err(
                         f"remote @context not in offline snapshot: {u}"

@@ -167,28 +167,38 @@ class _MicrodataToRdf:
                     self.statements.append(
                         Statement(subj, Term(IRI, RDF_TYPE), Term(IRI, t))
                     )
-            self._props(el, subj, vocab)
+            # per-item crawl memory (WHATWG: an element reached twice
+            # in one item's crawl is a microdata error, applied once):
+            # covers duplicate itemref ids AND refs pointing into the
+            # item's own subtree or into another ref's subtree
+            memory: set[int] = set()
+            self._props(el, subj, vocab, memory)
             # itemref: pull each referenced element (itself + subtree)
             # into this item's property crawl; a pseudo-parent lets
             # _props treat the target like a child, so an itemprop ON
-            # the target is honored too. Dups applied once per item.
-            seen_refs: set[int] = set()
+            # the target is honored too
             for r in el.attrs.get("itemref", "").split():
                 target = self.id_index.get(r)
-                if target is None or id(target) in seen_refs:
+                if target is None:
                     continue
-                seen_refs.add(id(target))
                 pseudo = _El("#ref", {})
                 pseudo.children = [target]
-                self._props(pseudo, subj, vocab)
+                self._props(pseudo, subj, vocab, memory)
             return subj
         finally:
             self._visiting.discard(id(el))
 
-    def _props(self, el: _El, subj: Term, vocab: str) -> None:
+    def _props(
+        self, el: _El, subj: Term, vocab: str,
+        memory: set[int] | None = None,
+    ) -> None:
         for c in el.children:
             if isinstance(c, str):
                 continue
+            if memory is not None:
+                if id(c) in memory:
+                    continue  # already crawled for this item
+                memory.add(id(c))
             names = [n for n in c.attrs.get("itemprop", "").split() if n]
             if names:
                 if "itemscope" in c.attrs:
@@ -217,7 +227,7 @@ class _MicrodataToRdf:
                             Statement(subj, Term(IRI, pred), value)
                         )
             if "itemscope" not in c.attrs:
-                self._props(c, subj, vocab)
+                self._props(c, subj, vocab, memory)
 
     def _prop_value(self, el: _El) -> Term:
         tag = el.tag

@@ -250,8 +250,15 @@ def read_pages(spark, path: str) -> DataFrame:
     """Scan a pages parquet/Iceberg directory with split sizing that
     accounts for the ~15× parquet compression of HTML payloads.  Every
     production path that scans a pages table must come through here
-    (bench.py and tools/scaling_bench.py set the same conf) — the
-    settings are runtime SQL confs, applied before planning."""
+    (bench.py and tools/scaling_bench.py set the same conf).
+
+    NOTE: split sizing is a SESSION-wide runtime conf read at action
+    planning time — Spark has no per-relation override — so this
+    affects every later scan in the session too.  That is the right
+    trade for the jobs that call this (extraction pipelines dominated
+    by the pages scan; downstream triple/manifest reads are small);
+    a mixed job wanting default sizing back must reset
+    ``spark.sql.files.maxPartitionBytes`` itself."""
     for k, v in PAGES_SCAN_CONF.items():
         spark.conf.set(k, v)
     return spark.read.parquet(path)

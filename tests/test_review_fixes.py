@@ -188,3 +188,125 @@ def test_lineage_has_per_partition_wall(spark):
     lin = lineage_from_extracted(extract_with_lineage(pages)).collect()
     assert len(lin) == 4
     assert all(r.wall_ms is not None and r.wall_ms >= 0 for r in lin)
+
+
+# ---------------------------------------------------------- round 3
+
+
+def test_jsonld_corrupt_snapshot_file_is_per_island(tmp_path):
+    """A truncated context file in the snapshot dir must surface as a
+    per-island error, not escape the lax parse."""
+    from urllib.parse import quote
+
+    from serd_spark.rdf.jsonld import dir_context_loader, parse_jsonld
+
+    d = tmp_path / "ctx"
+    d.mkdir()
+    url = "https://ctx.example/bad"
+    (d / (quote(url, safe="") + ".json")).write_text('{"@context": {')
+    doc = '{"@context": "https://ctx.example/bad", "@id": "http://e/1"}'
+    stmts, errs = parse_jsonld(
+        doc, lax=True, context_loader=dir_context_loader(str(d))
+    )
+    assert stmts == [] and "failed loading" in errs[0][2]
+
+
+def test_microdata_itemref_into_own_subtree_once():
+    """itemref pointing at an element inside the item's own subtree
+    must not emit its properties twice (WHATWG once-per-crawl)."""
+    from serd_spark.rdf.microdata import parse_microdata
+
+    html = ('<div itemscope itemtype="http://schema.org/Thing" '
+            'itemref="c"><span id="c" itemprop="x">v</span></div>')
+    stmts, _ = parse_microdata(html)
+    xs = [s for s in stmts if s.predicate.value.endswith("x")]
+    assert len(xs) == 1
+
+
+def test_probe_out_of_range_headers_lax(spark):
+    """Implausible header dimensions (PNG 0xFFFFFFFF width, mvhd
+    absurd duration) probe as errors, not int32 overflows."""
+    import struct
+
+    import pytest
+
+    from serd_spark.operators import multimodal as mm
+
+    bad_png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+               + struct.pack(">II", 0xFFFFFFFF, 4) + b"\x08\x02\x00\x00\x00"
+               + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        mm.probe_payload(bad_png)
+    junk = spark.createDataFrame(
+        [(1, bytearray(bad_png))], "media_id long, payload binary"
+    )
+    row = mm.probe_media(junk).first()
+    assert row.container == "unknown" and row.width is None
+
+
+def test_jpeg_dimension_bomb_fails_fast():
+    """A tiny payload declaring a huge SOF size must raise, not loop
+    for hours."""
+    import time
+
+    import numpy as np
+    import pytest
+
+    from serd_spark.operators import jpeg_codec as jc
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(jc.encode_jpeg(px, quality=90))
+    i = data.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) — declare 65535x65535
+    data[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    t0 = time.time()
+    with pytest.raises(ValueError, match="max_pixels"):
+        jc.decode_jpeg(bytes(data))
+    assert time.time() - t0 < 5
+
+
+def test_png_zlib_bomb_bounded():
+    """IDAT that inflates past the declared scanline size must fail
+    without allocating the full bomb."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from serd_spark.operators import multimodal as mm
+
+    def chunk(tag, payload):
+        c = tag + payload
+        return struct.pack(">I", len(payload)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    bomb = zlib.compress(b"\x00" * (32 * 1024 * 1024), 9)  # ~32 MB → KBs
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="mismatch"):
+        mm.decode_png(data)
+
+
+def test_wav_probe_reads_header_only():
+    """WAV probing must not decode PCM data (header math only)."""
+    import numpy as np
+
+    from serd_spark.operators import multimodal as mm
+
+    payload = mm.encode_wav(np.zeros(80000, dtype=np.int16), 8000)
+    p = mm.probe_payload(payload)
+    assert p["duration_ms"] == 10000
+    # 24-bit WAV would fail decode_wav (PCM16 only) but probes fine
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(3)
+        wv.setframerate(8000)
+        wv.writeframes(b"\x00\x00\x00" * 800)
+    p = mm.probe_payload(buf.getvalue())
+    assert p["container"] == "wav" and p["duration_ms"] == 100
