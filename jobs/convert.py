@@ -61,46 +61,31 @@ def main(argv: list[str] | None = None) -> None:
         from serd_spark.sources.pages import read_pages
 
         pages = read_pages(spark, args.input)
+        triples = triples_only(extract_triples(pages, lax=args.lax))
     else:
-        # one document per file; synthesize the pages shape so the
-        # same extraction stage applies (the document becomes one
-        # island of its detected syntax). Known limitation: a document
-        # whose CONTENT contains the literal text '</script>' (legal
-        # inside a Turtle string) would truncate its island early —
-        # lax mode surfaces this as a parse error rather than silence.
+        # one document per file, parsed DIRECTLY as its
+        # extension-detected syntax (no HTML wrapping — a document
+        # containing literal '</script>' text parses intact)
+        from serd_spark.operators.extract import extract_raw
+
         raw = spark.read.format("text").option("wholetext", "true").load(
             args.input + "/*"
         )
-        raw = raw.withColumn("url", F.concat(F.lit(args.base), F.input_file_name()))
-        mime = {
-            ".ttl": "text/turtle",
-            ".trig": "application/trig",
-            ".nt": "application/n-triples",
-            ".nq": "application/n-quads",
-        }
+        raw = raw.withColumn(
+            "url", F.concat(F.lit(args.base), F.input_file_name())
+        )
         ext = F.element_at(F.split(F.col("url"), r"\."), -1)
-        mime_col = (
-            F.when(ext == "ttl", mime[".ttl"])
-            .when(ext == "trig", mime[".trig"])
-            .when(ext == "nt", mime[".nt"])
-            .when(ext == "nq", mime[".nq"])
-            .otherwise(mime[".ttl"])
+        syntax_col = (
+            F.when(ext == "trig", "trig")
+            .when(ext == "nt", "ntriples")
+            .when(ext == "nq", "nquads")
+            .when(ext == "jsonld", "jsonld")
+            .otherwise("turtle")
         )
-        pages = raw.select(
-            "url",
-            F.encode(
-                F.concat(
-                    F.lit('<script type="'),
-                    mime_col,
-                    F.lit('">'),
-                    F.col("value"),
-                    F.lit("</script>"),
-                ),
-                "UTF-8",
-            ).alias("html"),
+        docs = raw.select(
+            "url", F.col("value").alias("text"), syntax_col.alias("syntax")
         )
-
-    triples = triples_only(extract_triples(pages, lax=args.lax))
+        triples = triples_only(extract_raw(docs, lax=args.lax))
     if args.out_syntax in ("ntriples", "nquads"):
         out = serialize_documents(triples, quads=args.out_syntax == "nquads")
     else:

@@ -92,20 +92,47 @@ def _extract_rows(
     lax: bool,
     norm_memo: dict | None = None,
     dedup: bool = False,
+    syntax: str | None = None,
 ) -> list[tuple]:
     """``norm_memo`` non-None fuses RFC 3986 canonicalization into
     the parse (one Python stage instead of two Arrow round trips —
     see ``extract_triples(canonicalize=True)``). ``dedup`` drops
     repeated quads *within this document* — exactly equivalent to the
     global ``dedup_triples`` (whose key includes ``url``, making
-    duplicates document-local by construction) but shuffle-free."""
+    duplicates document-local by construction) but shuffle-free.
+
+    ``syntax`` non-None bypasses the HTML island scan and parses the
+    whole document as that syntax directly (raw .ttl/.nt/.nq/.trig
+    files — the serdi file path): content is never wrapped in HTML,
+    so documents containing literal '</script>' text parse intact."""
     seen: set[tuple] = set()
     text = html.decode("utf-8", errors="replace") if isinstance(
         html, (bytes, bytearray)
     ) else str(html)
-    triples, errors = extract_document(
-        text, url, lax=lax, jsonld_context_loader=_jsonld_loader()
-    )
+    if syntax is None:
+        triples, errors = extract_document(
+            text, url, lax=lax, jsonld_context_loader=_jsonld_loader()
+        )
+    else:
+        from serd_spark.rdf.html_islands import PARSERS
+        from serd_spark.rdf.model import ParseError
+
+        kwargs = {"lax": lax}
+        if syntax == "jsonld" and _jsonld_loader() is not None:
+            kwargs["context_loader"] = _jsonld_loader()
+        try:
+            stmts, errs = PARSERS[syntax](text, url, **kwargs)
+            triples = [(0, syntax, st) for st in stmts]
+            errors = [(0, syntax, ln, col, m) for ln, col, m in errs]
+        except ParseError as e:
+            if not lax:
+                raise
+            triples, errors = [], [(0, syntax, e.line, e.col, e.message)]
+        except RecursionError:
+            if not lax:
+                raise
+            triples = []
+            errors = [(0, syntax, 0, 0, "nesting depth exceeded")]
     uh = _doc_hash(url)
 
     if norm_memo is None:
@@ -230,6 +257,37 @@ def extract_triples(
             rows: list[tuple] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 rows.extend(_extract_rows(url, html, lax, memo, dedup))
+            yield rows_to_pdf(rows)
+
+    return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def extract_raw(
+    docs: DataFrame,
+    lax: bool = True,
+    canonicalize: bool = False,
+    dedup: bool = False,
+    url_col: str = "url",
+    text_col: str = "text",
+    syntax_col: str = "syntax",
+) -> DataFrame:
+    """Direct-syntax extraction for RAW RDF documents (one file = one
+    document of a known syntax — the serdi input path, no HTML island
+    scan).  ``docs`` carries (url, text, syntax ∈ turtle/trig/
+    ntriples/nquads/jsonld); output schema and fused canonicalize/
+    dedup semantics are identical to ``extract_triples``."""
+    src = docs.select(url_col, text_col, syntax_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = _NORM_MEMO if canonicalize else None
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, text, syn in zip(
+                pdf[url_col], pdf[text_col], pdf[syntax_col]
+            ):
+                rows.extend(
+                    _extract_rows(url, text, lax, memo, dedup, syntax=syn)
+                )
             yield rows_to_pdf(rows)
 
     return src.mapInPandas(run, schema=TRIPLES_SCHEMA)

@@ -123,3 +123,64 @@ def test_pipeline_linking_stage(spark, tmp_path):
         F.col("entity").alias("s")
     )
     assert graph.join(non_canon, "s", "left_semi").count() == 0
+
+
+def test_extract_raw_direct_syntax(spark, tmp_path):
+    """extract_raw parses whole documents as a declared syntax — no
+    HTML wrapping, so literal '</script>' inside a Turtle string
+    survives (the old convert.py files-path limitation)."""
+    from serd_spark.operators.extract import extract_raw, triples_only
+
+    ttl = ('@prefix s: <http://schema.org/> .\n'
+           '<#x> s:name "has a literal </script> inside" .\n')
+    nt = '<http://e/1> <http://schema.org/name> "plain" .\n'
+    docs = spark.createDataFrame(
+        [("http://d/a.ttl", ttl, "turtle"), ("http://d/b.nt", nt, "ntriples")],
+        ["url", "text", "syntax"],
+    )
+    out = triples_only(extract_raw(docs, lax=True)).collect()
+    objs = {r.o for r in out}
+    assert "has a literal </script> inside" in objs
+    assert "plain" in objs
+    assert all(r.syntax in ("turtle", "ntriples") for r in out)
+
+    # bad content: lax records an error row, strict raises
+    bad = spark.createDataFrame(
+        [("http://d/bad.ttl", "@prefix broken", "turtle")],
+        ["url", "text", "syntax"],
+    )
+    from serd_spark.operators.extract import errors_only, extract_raw as xr
+
+    errs = errors_only(xr(bad, lax=True)).collect()
+    assert len(errs) == 1
+    import pytest
+
+    with pytest.raises(Exception):
+        xr(bad, lax=False).collect()
+
+
+def test_convert_files_roundtrip(spark, tmp_path):
+    """convert.py files path end-to-end: raw .ttl/.nt files →
+    serialized NT documents with the script-literal intact."""
+    import sys
+
+    from jobs.convert import main as convert_main
+
+    src = tmp_path / "files"
+    src.mkdir()
+    (src / "a.ttl").write_text(
+        '@prefix s: <http://schema.org/> .\n'
+        '<#x> s:name "</script> stays" .\n'
+    )
+    (src / "b.nt").write_text(
+        '<http://e/1> <http://schema.org/name> "ok" .\n'
+    )
+    outdir = str(tmp_path / "out")
+    convert_main([
+        "--input", str(src), "--from", "files", "--to", "ntriples",
+        "--out", outdir, "--lax",
+    ])
+    rows = spark.read.parquet(outdir).collect()
+    assert len(rows) == 2
+    all_nt = "\n".join(r.nt for r in rows)
+    assert "</script> stays" in all_nt
