@@ -146,7 +146,9 @@ def streaming_predicate_counts(
     )
 
 
-def stream_dedup_urls(pages_stream: DataFrame) -> DataFrame:
+def stream_dedup_urls(
+    pages_stream: DataFrame, state_ttl_ms: int = 0
+) -> DataFrame:
     """Custom stateful streaming operator: cross-micro-batch url
     dedup via ``applyInPandasWithState`` (the Spark-native stateful
     UDF surface — ≙ a keyed "have I seen this url" operator that the
@@ -164,21 +166,34 @@ def stream_dedup_urls(pages_stream: DataFrame) -> DataFrame:
     arrives as a column; winner selection inside the UDF is columnar
     (one sort over the group, no per-row Python). Across batches the
     first-arriving batch wins; re-crawls in later batches are dropped.
-    State per url is one marker byte — bounded by distinct urls, and
-    evictable by adding a processing-time timeout where crawl recency
-    bounds re-crawl windows.
+    State per url is one marker byte — bounded by distinct urls.  At
+    10^12-url scale even marker bytes add up: ``state_ttl_ms`` > 0
+    turns on processing-time state eviction (a url whose marker idles
+    past the TTL is forgotten, so a re-crawl AFTER the TTL is emitted
+    again — the right trade when crawl recency bounds re-crawl
+    windows; 0 keeps exact forever-dedup).
     """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_cols = [c.strip().split()[0] for c in PAGES_SCHEMA.split(",")]
+    use_ttl = state_ttl_ms > 0
 
     def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # TTL expired: forget the url marker
+            return
         if state.exists:
-            return  # url already emitted in an earlier batch
+            if use_ttl:
+                state.setTimeoutDuration(state_ttl_ms)  # re-arm
+            for _ in pdfs:
+                pass  # drain the iterator; url already emitted
+            return
         chunks = [pdf for pdf in pdfs if len(pdf)]
         state.update((1,))
+        if use_ttl:
+            state.setTimeoutDuration(state_ttl_ms)
         if not chunks:
             return
         allp = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
@@ -193,5 +208,8 @@ def stream_dedup_urls(pages_stream: DataFrame) -> DataFrame:
         outputStructType=PAGES_SCHEMA,
         stateStructType="seen byte",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -122,3 +122,40 @@ def test_stream_dedup_urls(spark, tmp_path):
     assert got.filter(F.col("n") > 1).count() == 0
     total_distinct = spark.read.parquet(d).select("url").distinct().count()
     assert got.count() == total_distinct
+
+
+def test_stream_dedup_urls_with_ttl(spark, tmp_path):
+    """state_ttl_ms > 0 runs the ProcessingTimeTimeout path: with a
+    long TTL the behavior is identical to forever-dedup (re-crawls in
+    later batches are still dropped), and the timeout plumbing
+    (setTimeoutDuration / hasTimedOut) is exercised end-to-end."""
+    from serd_spark.streaming.incremental import (
+        stream_dedup_urls,
+        stream_pages,
+    )
+
+    d = str(tmp_path / "pages_ttl")
+    base = synthesize_pages(spark, 40, seed=42)
+    base.coalesce(1).write.mode("overwrite").parquet(d)
+    dup = synthesize_pages(spark, 40, seed=42).limit(20).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 2 DAYS")
+    )
+    dup.coalesce(1).write.mode("append").parquet(d)
+
+    out = stream_dedup_urls(
+        stream_pages(spark, d, max_files_per_trigger=1),
+        state_ttl_ms=3_600_000,
+    )
+    ckpt = str(tmp_path / "ckpt_ttl")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped_ttl")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url, count(*) n from deduped_ttl group by url")
+    assert got.filter(F.col("n") > 1).count() == 0
+    assert got.count() == spark.read.parquet(d).select("url").distinct().count()
