@@ -114,25 +114,19 @@ def _extract_rows(
             text, url, lax=lax, jsonld_context_loader=_jsonld_loader()
         )
     else:
-        from serd_spark.rdf.html_islands import PARSERS
-        from serd_spark.rdf.model import ParseError
+        # one harness shared with the island loop (parse_one), so the
+        # lax/strict contracts cannot drift — including unknown/null
+        # syntax values, which lax records and strict rejects
+        from serd_spark.rdf.html_islands import parse_one
 
-        kwargs = {"lax": lax}
-        if syntax == "jsonld" and _jsonld_loader() is not None:
-            kwargs["context_loader"] = _jsonld_loader()
-        try:
-            stmts, errs = PARSERS[syntax](text, url, **kwargs)
-            triples = [(0, syntax, st) for st in stmts]
-            errors = [(0, syntax, ln, col, m) for ln, col, m in errs]
-        except ParseError as e:
-            if not lax:
-                raise
-            triples, errors = [], [(0, syntax, e.line, e.col, e.message)]
-        except RecursionError:
-            if not lax:
-                raise
-            triples = []
-            errors = [(0, syntax, 0, 0, "nesting depth exceeded")]
+        stmts, errs = parse_one(
+            syntax, text, url, lax,
+            jsonld_context_loader=_jsonld_loader(),
+        )
+        triples = [(0, syntax, st) for st in stmts]
+        errors = [
+            (0, syntax or "?", ln, col, m) for ln, col, m in errs
+        ]
     uh = _doc_hash(url)
 
     if norm_memo is None:
@@ -285,6 +279,12 @@ def extract_raw(
             for url, text, syn in zip(
                 pdf[url_col], pdf[text_col], pdf[syntax_col]
             ):
+                # a null syntax must NOT fall through to the HTML
+                # island scan (silently extracting nothing from raw
+                # RDF text): map it to the unsupported-syntax error
+                # path like any unknown value
+                if not isinstance(syn, str) or not syn:
+                    syn = "?"
                 rows.extend(
                     _extract_rows(url, text, lax, memo, dedup, syntax=syn)
                 )

@@ -459,8 +459,15 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     if scan_pos is None or not comps or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
     if h * w > max_pixels:
-        raise ValueError(
-            f"declared {w}x{h} exceeds max_pixels={max_pixels}"
+        # NotImplementedError, not ValueError: the payload may be a
+        # perfectly valid large photo (24 MP cameras are common) — the
+        # limitation is THIS decoder's pure-Python MCU loop, the same
+        # class as "no codec for this format". Callers distinguish
+        # too-large from corrupt; lax feature extraction falls back to
+        # the digest fake either way, by policy.
+        raise NotImplementedError(
+            f"declared {w}x{h} exceeds max_pixels={max_pixels} for the "
+            "pure-Python decoder; install a codec library or raise the cap"
         )
     for c in comps:
         if c["h"] not in (1, 2) or c["v"] not in (1, 2):

@@ -204,10 +204,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color]
+    if w * h > 1 << 26:  # 64M pixels — same policy class as JPEG's cap
+        raise NotImplementedError(
+            f"declared {w}x{h} too large for the pure-Python decoder "
+            "(per-scanline filter loop); install a codec library"
+        )
     stride = w * ch
     expected = h * (stride + 1)
-    if expected > 1 << 28:  # 256 MB of scanlines: not a feature input
-        raise ValueError(f"declared {w}x{h}x{ch} too large to decode")
     # bounded inflate: a zlib bomb (tiny payload, huge decompressed
     # stream) must not allocate past the declared scanline size
     dec = zlib.decompressobj()
@@ -409,12 +412,22 @@ def probe_mp4(payload: bytes) -> dict:
                 version = b2[0]
                 if version == 1:
                     ts, dur = struct.unpack_from(">IQ", b2, 20)
+                    unknown = dur == (1 << 64) - 1
                 else:
                     ts, dur = struct.unpack_from(">II", b2, 12)
+                    unknown = dur == (1 << 32) - 1
+                if unknown:
+                    # all-ones is the spec's "duration unknown"
+                    # sentinel (fragmented/live MP4s): keep the rest
+                    # of the probe row, duration stays null
+                    out["duration_ms"] = None
+                    out["_have_mvhd"] = True
+                    continue
                 d = int(dur) * 1000 // max(int(ts), 1)
                 if d > (1 << 62):
                     raise ValueError(f"implausible mvhd duration {d}")
                 out["duration_ms"] = d
+                out["_have_mvhd"] = True
             elif t2 == b"trak":
                 out["n_tracks"] += 1
                 for t3, b3 in _mp4_children(b2):
@@ -432,7 +445,7 @@ def probe_mp4(payload: bytes) -> dict:
                                 out["track_kinds"].append(
                                     b4[8:12].decode("ascii", "replace")
                                 )
-    if not seen_moov or out["duration_ms"] is None:
+    if not seen_moov or not out.pop("_have_mvhd", False):
         raise ValueError("no moov/mvhd box (not an MP4 metadata stream)")
     return out
 

@@ -43,6 +43,44 @@ PARSERS: dict[str, ParserFn] = {
     "jsonld": parse_jsonld,
 }
 
+def parse_one(
+    syntax: str,
+    content: str,
+    base: str,
+    lax: bool,
+    jsonld_context_loader=None,
+) -> tuple[list[Statement], list[tuple[int, int, str]]]:
+    """Parse one document/island of a known syntax with the SHARED
+    lax/strict containment contract (used by the island loop below
+    and by the raw-file path in operators/extract.py — one harness,
+    so the two cannot drift):
+
+    - unknown/None syntax: lax records one error, strict raises
+    - ParseError: lax records it, strict propagates
+    - RecursionError (adversarially nested JSON-LD): lax contains it
+    """
+    parser = PARSERS.get(syntax)
+    if parser is None:
+        if not lax:
+            raise ParseError(f"unsupported syntax {syntax!r}", 0, 0)
+        return [], [(0, 0, f"unsupported syntax {syntax!r}")]
+    kwargs: dict = {"lax": lax}
+    if syntax == "jsonld" and jsonld_context_loader is not None:
+        kwargs["context_loader"] = jsonld_context_loader
+    try:
+        return parser(content, base, **kwargs)
+    except ParseError as e:
+        if not lax:
+            raise  # strict mode aborts the document (≙ serdi default)
+        return [], [(e.line, e.col, e.message)]
+    except RecursionError:
+        # can exhaust the Python stack inside json.loads/_node before
+        # any depth guard — contain it, never kill the batch
+        if not lax:
+            raise
+        return [], [(0, 0, "nesting depth exceeded")]
+
+
 _SCRIPT = re.compile(
     r"<script\b([^>]*)>(.*?)</script\s*>", re.IGNORECASE | re.DOTALL
 )
@@ -134,25 +172,10 @@ def extract_document(
 
     islands = find_islands(html_text)
     for ord_, (syntax, content) in enumerate(islands):
-        parser = PARSERS[syntax]
-        kwargs: dict = {"lax": lax}
-        if syntax == "jsonld" and jsonld_context_loader is not None:
-            kwargs["context_loader"] = jsonld_context_loader
-        try:
-            stmts, errs = parser(content, base, **kwargs)
-        except ParseError as e:
-            if not lax:
-                raise  # strict mode aborts the document (≙ serdi default)
-            errors.append((ord_, syntax, e.line, e.col, e.message))
-            continue
-        except RecursionError:
-            # adversarially nested JSON-LD can exhaust the Python
-            # stack inside json.loads/_node before any depth guard —
-            # contain it to this island, never kill the batch
-            if not lax:
-                raise
-            errors.append((ord_, syntax, 0, 0, "nesting depth exceeded"))
-            continue
+        stmts, errs = parse_one(
+            syntax, content, base, lax,
+            jsonld_context_loader=jsonld_context_loader,
+        )
         for le in errs:
             errors.append((ord_, syntax, le[0], le[1], le[2]))
         triples.extend((ord_, syntax, scoped(st, ord_)) for st in stmts)

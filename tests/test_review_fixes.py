@@ -260,7 +260,7 @@ def test_jpeg_dimension_bomb_fails_fast():
     # SOF0 payload: len(2) prec(1) h(2) w(2) — declare 65535x65535
     data[i + 5 : i + 9] = b"\xff\xff\xff\xff"
     t0 = time.time()
-    with pytest.raises(ValueError, match="max_pixels"):
+    with pytest.raises(NotImplementedError, match="max_pixels"):
         jc.decode_jpeg(bytes(data))
     assert time.time() - t0 < 5
 
@@ -310,3 +310,82 @@ def test_wav_probe_reads_header_only():
         wv.writeframes(b"\x00\x00\x00" * 800)
     p = mm.probe_payload(buf.getvalue())
     assert p["container"] == "wav" and p["duration_ms"] == 100
+
+
+def test_extract_raw_null_or_unknown_syntax_lax(spark):
+    """Null or unknown syntax values in extract_raw must surface as
+    error rows (lax) or raise (strict) — never silently fall through
+    to the HTML-island scan and extract nothing."""
+    import pytest
+
+    from serd_spark.operators.extract import (
+        errors_only,
+        extract_raw,
+        triples_only,
+    )
+
+    docs = spark.createDataFrame(
+        [("http://d/x.ttl", "<a> <b> <c> .", None),
+         ("http://d/y.rdf", "<a> <b> <c> .", "rdfxml")],
+        "url string, text string, syntax string",
+    )
+    ext = extract_raw(docs, lax=True)
+    assert triples_only(ext).count() == 0
+    errs = errors_only(ext).collect()
+    assert len(errs) == 2
+    assert all("unsupported syntax" in e.err_msg for e in errs)
+    with pytest.raises(Exception):
+        extract_raw(docs, lax=False).collect()
+
+
+def test_mp4_unknown_duration_sentinel():
+    """All-ones mvhd duration (the spec's 'unknown' sentinel, used by
+    fragmented/live MP4s) keeps the probe row with a null duration
+    instead of degrading everything to 'unknown'."""
+    import struct
+
+    from serd_spark.operators import multimodal as mm
+
+    p = bytearray(mm.encode_mp4_meta(5000, width=64, height=48))
+    sentinel = struct.pack(">I", 0xFFFFFFFF)
+    dur_off = p.find(struct.pack(">II", 1000, 5000)) + 4
+    p[dur_off : dur_off + 4] = sentinel
+    pr = mm.probe_mp4(bytes(p))
+    assert pr["duration_ms"] is None
+    assert pr["width"] == 64 and pr["n_tracks"] == 1
+    row = mm.probe_payload(bytes(p))
+    assert row["container"] == "mp4" and row["duration_ms"] is None
+
+
+def test_decoder_size_caps_are_not_implemented_errors():
+    """Too-large declared dimensions raise NotImplementedError (this
+    decoder's limitation, possibly a valid photo) — distinct from
+    ValueError (corrupt payload)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from serd_spark.operators import jpeg_codec as jc
+    from serd_spark.operators import multimodal as mm
+
+    data = bytearray(jc.encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(NotImplementedError):
+        jc.decode_jpeg(bytes(data))
+
+    def chunk(tag, payload):
+        c = tag + payload
+        return struct.pack(">I", len(payload)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    big_png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 1, 1 << 27, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00"))
+               + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(big_png)

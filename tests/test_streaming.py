@@ -159,3 +159,54 @@ def test_stream_dedup_urls_with_ttl(spark, tmp_path):
     got = spark.sql("select url, count(*) n from deduped_ttl group by url")
     assert got.filter(F.col("n") > 1).count() == 0
     assert got.count() == spark.read.parquet(d).select("url").distinct().count()
+
+
+def test_stream_dedup_ttl_eviction_reemits(spark, tmp_path):
+    """The hasTimedOut/state.remove branch itself: with a 1 ms TTL, a
+    url seen in batch 1 whose marker expires during batch 2 (no data
+    for it) is forgotten, so batch 3's re-crawl IS re-emitted — the
+    documented TTL trade. Three single-file micro-batches in
+    mtime order."""
+    import time as _time
+
+    from serd_spark.streaming.incremental import (
+        stream_dedup_urls,
+        stream_pages,
+    )
+
+    d = tmp_path / "pages_evict"
+    d.mkdir()
+    a = synthesize_pages(spark, 1, seed=42)        # url A
+    b = synthesize_pages(spark, 2, seed=42).filter(
+        F.col("url").rlike("/1$")
+    )                                              # url B only
+    a.coalesce(1).write.parquet(str(d / "f1"))
+    _time.sleep(1.1)
+    b.coalesce(1).write.parquet(str(d / "f2"))
+    _time.sleep(1.1)
+    a.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    ).coalesce(1).write.parquet(str(d / "f3"))     # re-crawl of A
+
+    out = stream_dedup_urls(
+        stream_pages(spark, str(d) + "/*", max_files_per_trigger=1),
+        state_ttl_ms=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_ttl")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = {
+        r.url: r.n
+        for r in spark.sql(
+            "select url, count(*) n from evict_ttl group by url"
+        ).collect()
+    }
+    # A was evicted between its two sightings → emitted twice
+    a_url = a.first().url
+    assert counts[a_url] == 2, counts
