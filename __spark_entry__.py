@@ -933,6 +933,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp_md5"))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (type-token ratio,
+    top-2-gram fraction, duplicate-3-gram fraction, duplicate-line
+    fraction) — pure built-ins; the per-doc mode is a JVM fold over
+    the sorted shingle array, no explode/groupBy shuffle."""
+    from serd_spark.operators.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_features(d).drop("text")
+
+
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII flag + redaction counts. The synthetic documents carry no
+    contact spans, so the query first derives a text that provably
+    does — a deterministic pure function of (doc_id, text), built
+    identically in the SQL mirror — then counts and redacts."""
+    from serd_spark.operators.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    c = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@mail.example.com or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return d.select(
+        "doc_id",
+        *[cnt.cast("long").alias(f"pii_{kind}") for kind, cnt in pii_counts(c)],
+        F.length(redact_pii(c)).cast("long").alias("redacted_len"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1055,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
+        "q_repetition": q_repetition,
+        "q_pii": q_pii,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_md5": q_minhash_md5,
         "q_cosine_topk": q_cosine_topk,
@@ -1268,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT media_id,
                      CASE mime WHEN 'image/bmp' THEN 'bmp'
                                WHEN 'image/png' THEN 'png'
+                               WHEN 'image/gif' THEN 'gif'
                                WHEN 'image/jpeg' THEN 'jpeg'
                                WHEN 'audio/wav' THEN 'wav'
                                WHEN 'video/mp4' THEN 'mp4' END AS container,
@@ -1591,6 +1628,73 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
                      AS fp_md5
             FROM documents
+        """,
+        "q_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n,
+                     regexp_split_to_array(trim(text), '\\s+') AS t,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n, t, lines,
+                     CASE WHEN n >= 2 THEN list_transform(range(1, n),
+                         i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+                     CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [] END AS g3
+              FROM base
+            ), top2 AS (
+              -- most-frequent-2-gram multiplicity, replayed the
+              -- relational way (unnest + group) rather than Spark's
+              -- sorted-array fold — independent formulation, same value
+              SELECT doc_id, max(c) AS mx FROM (
+                SELECT doc_id, gram, count(*) AS c
+                FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+                GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   CAST(n AS BIGINT) AS r_tokens,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE round(len(list_distinct(t)) / n::DOUBLE, 6)
+                   END AS r_ttr,
+                   round(coalesce(top2.mx, 0)
+                         / greatest(len(g2), 1)::DOUBLE, 6) AS r_top2gram_frac,
+                   round((len(g3) - len(list_distinct(g3)))
+                         / greatest(len(g3), 1)::DOUBLE, 6) AS r_dup3gram_frac,
+                   round((len(lines) - len(list_distinct(lines)))
+                         / greatest(len(lines), 1)::DOUBLE, 6) AS r_dup_line_frac
+            FROM g LEFT JOIN top2 ON top2.doc_id = g.doc_id
+        """,
+        "q_pii": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com or 415-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS pii_email,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS pii_phone,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS BIGINT) AS pii_ipv4,
+                   CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IP>', 'g')) AS BIGINT) AS redacted_len
+            FROM aug
         """,
         "q_ngram_jaccard": grams_cte + """
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

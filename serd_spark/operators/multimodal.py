@@ -253,6 +253,290 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+# fixed global palette: RGB332 (3 bits red, 3 green, 2 blue) — every
+# index maps to a color without data-dependent quantization, so
+# encode→decode is a pure per-pixel function (determinism invariant)
+_GIF_PALETTE = np.zeros((256, 3), dtype=np.uint8)
+_GIF_PALETTE[:, 0] = (np.arange(256) >> 5 & 7) * 255 // 7
+_GIF_PALETTE[:, 1] = (np.arange(256) >> 2 & 7) * 255 // 7
+_GIF_PALETTE[:, 2] = (np.arange(256) & 3) * 255 // 3
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_quantize(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → RGB332 palette indices (h, w) uint8."""
+    return (
+        (px[..., 0] >> 5).astype(np.uint16) << 5
+        | (px[..., 1] >> 5).astype(np.uint16) << 2
+        | (px[..., 2] >> 6).astype(np.uint16)
+    ).astype(np.uint8)
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    return [y for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)]
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int = 8) -> bytes:
+    """GIF-flavor LZW (variable 9..12-bit codes, LSB-first packing,
+    clear/EOI codes, table reset at 4096). The width schedule mirrors
+    ``_gif_lzw_decode`` exactly: width bumps when the just-assigned
+    code index reaches 2**width (decoder: when its table length does)
+    — the two stay one assignment apart by construction, which the
+    round-trip property test pins down."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    buf = b""
+    for k in indices:
+        nb = buf + bytes([k])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[nb] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (decoder mirrors on its clear)
+            emit(clear, width)
+            width = min_code + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        buf = bytes([k])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, max_out: int) -> bytes:
+    """Inverse of ``_gif_lzw_encode``; output hard-bounded by
+    ``max_out`` (= declared w*h) BEFORE appending — LZW expands up to
+    ~4096× per code, so an adversarial 2 KB stream could otherwise
+    emit megabytes per declared-tiny frame (CLAUDE.md decoder-bomb
+    policy)."""
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"bad LZW min code size {min_code}")
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate truncation
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            width = min_code + 1
+            table = list(base)
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW stream starts with invalid code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW code {code}")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        if len(out) + len(entry) > max_out:
+            raise ValueError("LZW output exceeds declared frame size")
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at pos; returns (data,
+    position after the 0-terminator)."""
+    chunks = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        chunks.append(payload[pos : pos + n])
+        if len(payload) - pos < n:
+            raise ValueError("truncated GIF sub-block")
+        pos += n
+
+
+def encode_gif(
+    frames: np.ndarray | list[np.ndarray],
+    delay_cs: int = 10,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w, 3) uint8 RGB frame(s) → GIF89a bytes with the fixed
+    RGB332 global palette and real LZW compression. A list of frames
+    yields an animated GIF (per-frame Graphic Control Extension with
+    ``delay_cs`` hundredths)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    out += _GIF_PALETTE.tobytes()
+    animated = len(frames) > 1
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all GIF frames must share the canvas size")
+        if animated:
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x40 if interlace else 0)
+        idx = gif_quantize(fr)
+        if interlace:
+            idx = idx[_gif_interlace_rows(h)]
+        out.append(8)  # LZW min code size
+        lzw = _gif_lzw_encode(idx.tobytes())
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
+    """GIF87a/89a → first frame as (h, w, 3) uint8 RGB. Pure stdlib
+    LZW; handles global/local color tables and interlacing. Work is
+    bounded by DECLARED dimensions before any decode loop runs
+    (pixel cap + LZW output cap); transparency and later frames are
+    ignored (first-frame content features only)."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate GIF dimensions {w}x{h}")
+    if w * h > max_pixels:
+        raise ValueError(f"GIF dimensions {w}x{h} exceed pixel cap")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        if len(gct) < n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer before any image
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            _, pos = _gif_subblocks(payload, pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, fw, fh, fpk = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            raise ValueError("GIF frame exceeds canvas")
+        pal = gct
+        if fpk & 0x80:
+            n = 2 << (fpk & 7)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame with no color table")
+        min_code = payload[pos]
+        data, pos = _gif_subblocks(payload, pos + 1)
+        idx = np.frombuffer(
+            _gif_lzw_decode(data, min_code, fw * fh).ljust(fw * fh, b"\0"),
+            dtype=np.uint8,
+        ).reshape(fh, fw)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF index outside color table")
+        if fpk & 0x40:  # interlaced: rows arrive in 8/8/4/2 passes
+            order = np.array(_gif_interlace_rows(fh))
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
+        canvas = np.zeros((h, w), dtype=np.uint8)
+        canvas[top : top + fh, left : left + fw] = idx
+        return pal[canvas]
+    raise ValueError("GIF contains no image frame")
+
+
+def probe_gif(payload: bytes) -> dict:
+    """GIF header/block walk WITHOUT LZW decode: canvas dimensions,
+    frame count, and total animation delay (None when static)."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+    n_frames = 0
+    delay_cs = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            data, pos = _gif_subblocks(payload, pos + 2)
+            if label == 0xF9 and len(data) >= 4:
+                delay_cs += struct.unpack_from("<H", data, 1)[0]
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _, _, fw, fh, fpk = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10 + (3 * (2 << (fpk & 7)) if fpk & 0x80 else 0)
+        pos += 1  # LZW min code size
+        _, pos = _gif_subblocks(payload, pos)
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("GIF contains no image frame")
+    return {
+        "width": w, "height": h, "n_frames": n_frames,
+        "duration_ms": delay_cs * 10 if delay_cs else None,
+    }
+
+
 def _to_rgb(px: np.ndarray) -> np.ndarray:
     """Any decoded pixel layout → (h, w, 3) RGB uint8 (alpha dropped,
     grayscale broadcast) so feature math is layout-independent."""
@@ -293,6 +577,10 @@ def _jpeg_features(payload: bytes, dim: int) -> np.ndarray:
     from serd_spark.operators.jpeg_codec import decode_jpeg
 
     return _rgb_features(decode_jpeg(payload), dim)
+
+
+def _gif_features(payload: bytes, dim: int) -> np.ndarray:
+    return _rgb_features(decode_gif(payload), dim)
 
 
 def _wav_features(payload: bytes, dim: int) -> np.ndarray:
@@ -476,6 +764,11 @@ def probe_payload(payload: bytes) -> dict:
         return {"container": "png", "width": _chk_dim(w),
                 "height": _chk_dim(h),
                 "duration_ms": None, "n_tracks": 1}
+    if payload[:6] in _GIF_MAGICS:
+        g = probe_gif(payload)
+        return {"container": "gif", "width": _chk_dim(g["width"]),
+                "height": _chk_dim(g["height"]),
+                "duration_ms": g["duration_ms"], "n_tracks": 1}
     if payload[:2] == b"\xff\xd8":
         pos = 2
         while pos + 4 <= len(payload):
@@ -583,12 +876,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return _to_rgb(decode_png(payload))
+    if payload[:6] in _GIF_MAGICS:
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from serd_spark.operators.jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP, PNG and baseline JPEG decode without Pillow/opencv "
+        "only BMP, PNG, GIF and baseline JPEG decode without Pillow/opencv "
         "(not installed in this sandbox); use strict=False for the "
         "deterministic fake decode"
     )
@@ -609,6 +904,8 @@ def payload_features(payload: bytes, dim: int = FEATURE_DIM,
             return _bmp_features(payload, dim)
         if payload[:8] == _PNG_MAGIC:
             return _png_features(payload, dim)
+        if payload[:6] in _GIF_MAGICS:
+            return _gif_features(payload, dim)
         if payload[:2] == b"\xff\xd8":
             return _jpeg_features(payload, dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -752,6 +1049,11 @@ def synthesize_media(
                             px, quality=92, subsample=True
                         )
                         mime = "image/jpeg"
+                    elif i % 16 == 0:
+                        # real LZW GIF (static; every other one
+                        # interlaced so both row orders are exercised)
+                        payload = encode_gif(px, interlace=bool(i % 32))
+                        mime = "image/gif"
                     elif i % 8 >= 4 or n_ch == 4:
                         payload = encode_png(px)
                         mime = "image/png"

@@ -141,3 +141,122 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp_md5"),
     )
+
+
+def _word_grams(toks: Column, n_toks: Column, k: int) -> Column:
+    """Array of space-joined k-token shingles (empty below k tokens)."""
+    starts = F.sequence(F.lit(0), F.greatest(n_toks - k, F.lit(0)))
+    return F.when(n_toks < k, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element: longest equal-run over the
+    sorted array, folded with ``aggregate`` — stays JVM-side, no
+    explode + groupBy shuffle. '' never collides (shingles contain a
+    space; lines compare against a sentinel no line can equal)."""
+    sg = F.sort_array(arr)
+    return F.aggregate(
+        sg,
+        F.struct(
+            F.lit("\0").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the standard repetitious-text filters
+    a Common-Crawl-scale corpus applies before training):
+
+    - ``r_ttr``            type-token ratio (distinct / total tokens)
+    - ``r_top2gram_frac``  occurrences of the most frequent 2-gram
+                           over total 2-grams
+    - ``r_dup3gram_frac``  fraction of 3-gram occurrences that are
+                           duplicates (1 - distinct/total)
+    - ``r_dup_line_frac``  fraction of lines that repeat an earlier
+                           line (split on '\\n')
+
+    Pure built-in columns — WholeStageCodegen end to end, no Python,
+    no shuffle (the per-doc mode is a fold over the sorted shingle
+    array, not an explode + groupBy). At 100 TB this runs at scan
+    speed with the ``text`` projection pushed to parquet."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = token_count(c)
+    g2, g3 = _word_grams(toks, n, 2), _word_grams(toks, n, 3)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    r6 = lambda x: F.round(x, 6)
+    return df.select(
+        "*",
+        n.cast("long").alias("r_tokens"),
+        # n==0 guard: split('') yields [''] (size 1), which would read
+        # as ttr=1.0 for empty text — define empty docs as ttr 0.
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(r6(F.size(F.array_distinct(toks)) / n))
+        .alias("r_ttr"),
+        r6(
+            _max_multiplicity(g2) / F.greatest(F.size(g2), F.lit(1))
+        ).alias("r_top2gram_frac"),
+        r6(
+            (F.size(g3) - F.size(F.array_distinct(g3)))
+            / F.greatest(F.size(g3), F.lit(1))
+        ).alias("r_dup3gram_frac"),
+        r6(
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1))
+        ).alias("r_dup_line_frac"),
+    )
+
+
+# Conservative PII span patterns, written to the common subset of Java
+# regex (Spark) and RE2 (DuckDB) so the engine and its oracle agree
+# byte-for-byte: literal classes, \d, \b only — no lookaround, no
+# backrefs. Deliberately high-precision / modest-recall: the job of
+# the corpus pass is cheap flagging + redaction, not NER.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(col: Column) -> list[tuple[str, Column]]:
+    """Per-kind PII span counts, codegen-side regexp_extract_all."""
+    return [
+        (kind, F.size(F.regexp_extract_all(col, F.lit(pat), 0)))
+        for kind, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII span with its placeholder. Email runs first
+    so an address is consumed whole before the ipv4 pattern could
+    claim a numeric domain fragment (same fixed order as any SQL
+    mirror must use)."""
+    out = col
+    for pat, repl in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII counts + redacted text — the standard
+    pre-training scrub pass."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        *[cnt.cast("long").alias(f"pii_{kind}") for kind, cnt in pii_counts(c)],
+        redact_pii(c).alias("text_redacted"),
+    )

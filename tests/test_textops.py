@@ -407,6 +407,9 @@ def test_image_decoders_fuzz_crash_free():
         jc.encode_jpeg(
             rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
         ),
+        multimodal.encode_gif(
+            rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        ),
     ]
     payloads = []
     for r in real:
@@ -422,9 +425,10 @@ def test_image_decoders_fuzz_crash_free():
         payloads.append(b"\x89PNG\r\n\x1a\n" + junk)
         payloads.append(b"\xff\xd8" + junk)
         payloads.append(b"BM" + junk)
+        payloads.append(b"GIF89a" + junk)
     for p in payloads:
         for dec in (multimodal.decode_bmp, multimodal.decode_png,
-                    jc.decode_jpeg):
+                    multimodal.decode_gif, jc.decode_jpeg):
             try:
                 dec(p)
             except (ValueError, NotImplementedError, IndexError,
@@ -450,7 +454,7 @@ def test_probe_media_containers(spark):
     for mid, d in declared.items():
         p = probed[mid]
         if d.kind == "image":
-            assert p.container in ("bmp", "png", "jpeg")
+            assert p.container in ("bmp", "png", "gif", "jpeg")
             assert (p.width, p.height) == (d.width, d.height)
         elif d.kind == "audio":
             n = 8000 * d.duration_ms // 1000 // 50
@@ -484,3 +488,108 @@ def test_mp4_probe_fuzz():
     b[0:4] = (1 << 30).to_bytes(4, "big")  # absurd box size
     with pytest.raises(ValueError):
         multimodal.probe_mp4(bytes(b))
+
+
+def test_repetition_features(spark):
+    rows = [
+        (0, "the cat and the hat is on the mat"),   # varied text
+        (1, "spam spam spam spam"),                  # maximally repetitive
+        (2, "a\nb\na\nc"),                           # repeated line
+        (3, ""),                                     # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.repetition_features(df).collect()}
+
+    r0 = got[0]  # 9 tokens, 7 distinct; all 8 2-grams and 7 3-grams unique
+    assert r0.r_tokens == 9
+    assert r0.r_ttr == pytest.approx(7 / 9, abs=1e-6)
+    assert r0.r_top2gram_frac == pytest.approx(1 / 8, abs=1e-6)
+    assert r0.r_dup3gram_frac == 0.0
+    assert r0.r_dup_line_frac == 0.0
+
+    r1 = got[1]  # "spam spam" ×3 of 3; 3-grams: 2 total, 1 distinct
+    assert r1.r_ttr == pytest.approx(0.25, abs=1e-6)
+    assert r1.r_top2gram_frac == 1.0
+    assert r1.r_dup3gram_frac == 0.5
+
+    assert got[2].r_dup_line_frac == 0.25  # 4 lines, 'a' repeats once
+    r3 = got[3]
+    assert (r3.r_tokens, r3.r_ttr, r3.r_top2gram_frac) == (0, 0.0, 0.0)
+
+
+def test_pii_features(spark):
+    rows = [
+        (0, "mail bob@example.com or 415-555-0131 from 10.0.0.7"),
+        (1, "no pii here"),
+        (2, "a@1.2.3.4 and also carol.smith+x@sub.example.org"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.pii_features(df).collect()}
+
+    assert (got[0].pii_email, got[0].pii_phone, got[0].pii_ipv4) == (1, 1, 1)
+    assert got[0].text_redacted == "mail <EMAIL> or <PHONE> from <IP>"
+    assert (got[1].pii_email, got[1].pii_phone, got[1].pii_ipv4) == (0, 0, 0)
+    # 'a@1.2.3.4' has no alpha TLD: not an email; its host IS an ipv4.
+    # Redaction order (email first) must not consume it either.
+    assert (got[2].pii_email, got[2].pii_ipv4) == (1, 1)
+    assert got[2].text_redacted == "a@<IP> and also <EMAIL>"
+
+
+def test_gif_roundtrip():
+    """decode(encode(px)) must equal the RGB332-palette projection of
+    px exactly, interlaced or not — the LZW pair and the fixed global
+    palette are both pinned by this."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for (h, w), interlace in [((1, 1), False), ((2, 3), False),
+                              ((9, 13), True), ((16, 8), True)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = multimodal.decode_gif(multimodal.encode_gif(px, interlace=interlace))
+        want = multimodal._GIF_PALETTE[multimodal.gif_quantize(px)]
+        assert np.array_equal(out, want), (h, w, interlace)
+
+
+def test_gif_lzw_table_reset():
+    """Streams long enough to fill the 4096-entry LZW table exercise
+    the clear-code reset on both sides."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 256, size=120_000, dtype=np.uint8).tobytes()
+    enc = multimodal._gif_lzw_encode(data)
+    assert multimodal._gif_lzw_decode(enc, 8, len(data)) == data
+
+
+def test_gif_animated_probe_and_first_frame():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(3)]
+    g = multimodal.encode_gif(frames, delay_cs=25)
+    p = multimodal.probe_gif(g)
+    assert (p["n_frames"], p["duration_ms"]) == (3, 750)
+    meta = multimodal.probe_payload(g)
+    assert (meta["container"], meta["width"], meta["height"]) == ("gif", 8, 8)
+    first = multimodal.decode_gif(g)
+    want = multimodal._GIF_PALETTE[multimodal.gif_quantize(frames[0])]
+    assert np.array_equal(first, want)
+
+
+def test_gif_decoder_bomb_bounded():
+    """A declared-2x2 frame whose LZW stream expands to 100k pixels
+    must be rejected by the output cap, not decoded or looped."""
+    import pytest
+
+    lzw = multimodal._gif_lzw_encode(b"z" * 100_000)
+    blocks = b""
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    payload = (b"GIF89a" + bytes([2, 0, 2, 0, 0xF7, 0, 0])
+               + multimodal._GIF_PALETTE.tobytes()
+               + b"\x2c" + bytes([0, 0, 0, 0, 2, 0, 2, 0, 0]) + b"\x08"
+               + blocks + b"\x00\x3b")
+    with pytest.raises(ValueError, match="exceeds declared"):
+        multimodal.decode_gif(payload)
