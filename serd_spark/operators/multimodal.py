@@ -5,11 +5,13 @@ as Arrow-batched stages.
 Decode paths:
 
 - **BMP images** (24-bit uncompressed), **PNG** (non-interlaced
-  8-bit, zlib inflate + all five scanline filters), **baseline
-  JPEG** (jpeg_codec.py: Huffman + dequant + IDCT + YCbCr,
-  4:2:0/4:2:2/4:4:4, restart markers) and **WAV audio** (PCM16) are
-  decoded FOR REAL with pure stdlib+numpy — features derive from
-  actual pixel/sample content.
+  8-bit, zlib inflate + all five scanline filters), **GIF**
+  (87a/89a, LZW, interlacing, first-frame decode + frame/delay
+  probe), **JPEG — baseline AND progressive** (jpeg_codec.py:
+  Huffman + dequant + IDCT + YCbCr, 4:2:0/4:2:2/4:4:4, restart
+  markers; SOF2 spectral selection + successive approximation) and
+  **WAV audio** (PCM16) are decoded FOR REAL with pure
+  stdlib+numpy — features derive from actual pixel/sample content.
 - Codecs that genuinely need external libraries (WebP/AVIF, MP4
   video, …) are stubbed: ``strict=True`` raises a clearly-marked
   ``NotImplementedError``; the default falls back to a deterministic
@@ -869,7 +871,8 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode → (h, w, 3) RGB uint8: REAL for 24-bit BMP,
-    non-interlaced 8-bit PNG, and baseline JPEG (all pure
+    non-interlaced 8-bit PNG, GIF (LZW), and baseline or
+    progressive JPEG (all pure
     stdlib+numpy); WebP/AVIF/… would need Pillow/opencv, which are
     not in this container."""
     if payload[:2] == b"BM":
@@ -883,7 +886,7 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP, PNG, GIF and baseline JPEG decode without Pillow/opencv "
+        "only BMP, PNG, GIF and Huffman JPEG decode without Pillow/opencv "
         "(not installed in this sandbox); use strict=False for the "
         "deterministic fake decode"
     )
@@ -1028,7 +1031,7 @@ def synthesize_media(
                 dur = 1000 + (i * 101) % 60000 if kind != "image" else None
                 if kind == "image":
                     # pixels = rolling blake2b stream → real BMP, PNG
-                    # or baseline JPEG (every 4th PNG is RGBA; JPEGs
+                    # or JPEG (every 4th PNG is RGBA; JPEGs
                     # are 4:2:0 — the dominant web chroma layout)
                     n_ch = 4 if i % 16 == 12 else 3
                     need, out, c = w * h * n_ch, b"", 0
@@ -1043,11 +1046,14 @@ def synthesize_media(
                     if i % 16 == 4:
                         from serd_spark.operators.jpeg_codec import (
                             encode_jpeg,
+                            encode_jpeg_progressive,
                         )
 
-                        payload = encode_jpeg(
-                            px, quality=92, subsample=True
-                        )
+                        # alternate baseline / progressive (SOF2) so
+                        # both entropy layouts are decoded for real
+                        enc = (encode_jpeg_progressive if i % 32 == 20
+                               else encode_jpeg)
+                        payload = enc(px, quality=92, subsample=True)
                         mime = "image/jpeg"
                     elif i % 16 == 0:
                         # real LZW GIF (static; every other one

@@ -593,3 +593,67 @@ def test_gif_decoder_bomb_bounded():
                + blocks + b"\x00\x3b")
     with pytest.raises(ValueError, match="exceeds declared"):
         multimodal.decode_gif(payload)
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) scans reconstruct the SAME quantized
+    coefficients as the baseline encoding of the same pixels, so the
+    two decodes must be bit-identical — this pins spectral selection,
+    successive approximation (DC and AC bit planes), EOB-run carry
+    across blocks, and non-interleaved chroma block geometry."""
+    import numpy as np
+
+    from serd_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(21)
+    cases = [
+        ((16, 16), False, {}),
+        ((21, 17), True, {}),                      # 4:2:0, odd dims
+        ((19, 23), True, {"dc_al": 2, "ac_al": 2}),  # deeper bit planes
+        ((12, 20), False, {"bands": ((1, 63),)}),    # single AC band
+        ((9, 7), False, {"bands": ((1, 2), (3, 9), (10, 63)),
+                         "dc_al": 0, "ac_al": 0}),   # spectral-only
+    ]
+    for (h, w), sub, kw in cases:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        base = jc.decode_jpeg(jc.encode_jpeg(px, 92, sub))
+        prog = jc.decode_jpeg(jc.encode_jpeg_progressive(px, 92, sub, **kw))
+        assert np.array_equal(base, prog), ((h, w), sub, kw)
+    g = rng.integers(0, 256, size=(14, 11), dtype=np.uint8)
+    assert np.array_equal(
+        jc.decode_jpeg(jc.encode_jpeg(g, 90)),
+        jc.decode_jpeg(jc.encode_jpeg_progressive(g, 90)),
+    )
+
+
+def test_jpeg_progressive_fuzz_and_bomb():
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from serd_spark.operators import jpeg_codec as jc
+
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    real = jc.encode_jpeg_progressive(px, 92, True)
+    for cut in range(2, len(real), max(1, len(real) // 40)):
+        try:
+            jc.decode_jpeg(real[:cut])
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                st.error):
+            pass
+    b = bytearray(real)
+    for k in range(0, len(b), 5):
+        b[k] ^= 0x5A
+    try:
+        jc.decode_jpeg(bytes(b))
+    except (ValueError, NotImplementedError, IndexError, KeyError,
+            st.error):
+        pass
+    # declared-huge progressive stream must fail BEFORE allocating
+    bomb = (b"\xff\xd8\xff\xc2" + st.pack(">H", 11)
+            + st.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+            + b"\xff\xda" + st.pack(">H", 8) + bytes([1, 1, 0, 0, 0, 0]))
+    with pytest.raises(NotImplementedError, match="max_pixels"):
+        jc.decode_jpeg(bomb)
