@@ -1051,6 +1051,39 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated k-token span statistics per document (the
+    exact-substring dedup signal). The DuckDB mirror re-shingles the
+    corpus and recomputes the span frequency table independently."""
+    from serd_spark.operators.corpus import span_dedup_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_dedup_stats(d, k=10)
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived unigram LM score per document. vocab_size=32 is
+    deliberately below the corpus vocabulary so the out-of-vocabulary
+    pricing path is exercised and cross-checked too."""
+    from serd_spark.operators.corpus import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(d, vocab_size=32)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain roll-up over the synthesized pages corpus. The
+    oracle re-derives host/tld from the materialized (url, html)
+    parquet with the same RE2-safe pattern and re-aggregates."""
+    from serd_spark.operators.corpus import domain_stats
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta", lambda: _pages(spark, sf_dir).select("url", "html")
+    )
+    return domain_stats(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -1096,6 +1129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_dups": q_embedding_dups,
         "q_knn_join": q_knn_join,
+        "q_span_dedup": q_span_dedup,
+        "q_unigram_lm": q_unigram_lm,
+        "q_domain_stats": q_domain_stats,
     }
 
 
@@ -1772,5 +1808,93 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q_id ORDER BY cos DESC, n_id
               ) AS rn FROM scored
             ) WHERE rn <= 3
+        """,
+        # Re-shingle the corpus and rebuild the span frequency table
+        # INDEPENDENTLY (DuckDB list slicing vs Spark transform/slice).
+        "q_span_dedup": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, t, string_split(t, ' ') AS w FROM norm
+            ), expanded AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 9)) AS i
+              FROM toks WHERE len(w) >= 10
+            ), spans AS (
+              SELECT doc_id,
+                     md5(array_to_string(w[i : i + 9], ' ')) AS span
+              FROM expanded
+              UNION ALL
+              -- mirror Spark span_hashes: a doc shorter than k tokens
+              -- contributes its whole normalized text as one span
+              SELECT doc_id, md5(t) AS span FROM toks WHERE len(w) < 10
+            ), tot AS (
+              SELECT span, COUNT(*) AS tot FROM spans GROUP BY span
+            )
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN t.tot > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_spans,
+                   round(SUM(CASE WHEN t.tot > 1 THEN 1 ELSE 0 END)
+                         / COUNT(*)::DOUBLE, 6) AS dup_frac
+            FROM spans s JOIN tot t USING (span)
+            GROUP BY s.doc_id
+        """,
+        # Rebuild the unigram model (counts, top-32 vocab cut with the
+        # same (cnt DESC, w ASC) tie-break, OOV price) and re-score.
+        "q_unigram_lm": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm
+            ), words2 AS (
+              SELECT doc_id, w FROM words WHERE w <> ''
+            ), counts AS (
+              SELECT w, COUNT(*) AS cnt FROM words2 GROUP BY w
+            ), tot AS (
+              SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts
+            ), vocab AS (
+              SELECT w,
+                     CAST(round(ln(cnt / total) * 1000000) AS BIGINT)
+                       AS lp_micros
+              FROM counts, tot
+              ORDER BY cnt DESC, w ASC LIMIT 32
+            ), oov AS (
+              SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT)
+                       AS oov_micros
+              FROM tot
+            )
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   CAST(SUM(COALESCE(v.lp_micros, o.oov_micros))
+                        AS BIGINT) AS lp_sum_micros,
+                   CAST(floor(SUM(COALESCE(v.lp_micros, o.oov_micros))
+                              / COUNT(*)) AS BIGINT) AS lp_mean_micros
+            FROM words2 d
+            LEFT JOIN vocab v USING (w)
+            CROSS JOIN oov o
+            GROUP BY d.doc_id
+        """,
+        # Host/tld re-derived from the materialized (url, html) parquet
+        # with the same RE2-safe pattern; byte lengths recomputed from
+        # the BLOB by DuckDB itself.
+        "q_domain_stats": f"""
+            WITH p AS (
+              SELECT lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                     url, octet_length(html) AS b
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            )
+            SELECT host,
+                   regexp_extract(host, '([^.]+)$', 1) AS tld,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(SUM(b) AS BIGINT) AS sum_bytes,
+                   CAST(floor(SUM(b) / COUNT(*)) AS BIGINT) AS mean_bytes
+            FROM p GROUP BY host
         """,
     }

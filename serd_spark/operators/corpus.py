@@ -1,0 +1,207 @@
+"""Corpus-level statistics: duplicated-span detection, corpus-derived
+unigram language-model scoring, and URL/domain aggregation.
+
+These differ from ``operators/text.py`` (pure per-row features) in
+that each needs a *corpus pass* to build shared state — the span
+frequency table, the unigram vocabulary, the domain roll-up — and a
+second pass (or join) to apply it. All are expressed with built-in
+``pyspark.sql.functions`` only: the hot path stays inside
+WholeStageCodegen and every shuffle carries fixed-width hashes/ids,
+never document text.
+
+Scale notes (100 TB):
+- ``span_dedup_stats``: the exploded span table is reduced FIRST by
+  ``groupBy(doc_id, span)`` (map-side partial combine absorbs
+  within-document repeats), then ``localCheckpoint``-ed so the
+  frequency branch and the join-back branch do not re-scan and
+  re-shingle the corpus text twice (the repo convention for reused
+  mid-plans, cf. ``operators/linking.py``). Hot spans (boilerplate)
+  skew the span-keyed join; AQE skew-join splits them.
+- ``unigram_logprob``: two corpus passes are inherent (pass 1 builds
+  the model, pass 2 scores). The vocabulary is capped at ``vocab_size``
+  via ``orderBy().limit()`` — TakeOrderedAndProject, distributed, no
+  single-partition window — and broadcast to the scoring join, so the
+  scoring pass is shuffle-free up to the final per-document aggregate.
+- ``domain_stats``: one hash aggregate keyed by host (bounded keyspace,
+  heavy map-side combine); no text is shuffled, only (host, counters).
+
+Determinism: md5 span keys, fixed tie-breaks (count DESC, word ASC)
+for the vocab cut, and per-row float math rounded to integer micros
+before any cross-row sum — all independently replayable by the DuckDB
+oracles in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(col: Column) -> Column:
+    # same normalization as text.fingerprint: case/whitespace-folded
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def span_hashes(col: Column, k: int = 10) -> Column:
+    """md5 of every k-token window of the normalized text (1 span per
+    window, multiset). A document shorter than k tokens contributes
+    its whole normalized text as its single span — so every document
+    has >= 1 span and short exact-dups still collide."""
+    norm = _norm(col)
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.md5(norm))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        )
+    )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the MassiveText /
+    RefinedWeb-style exact-substring dedup signal, shaped for Spark:
+    corpus-duplicated k-token windows are found by a frequency count
+    over md5 span hashes, and each document reports how much of it is
+    made of spans that occur elsewhere (or more than once).
+
+    Returns (id_col, n_spans, n_dup_spans, dup_frac) where a span is
+    "dup" iff its corpus-wide occurrence count (multiset, including
+    within-document repeats) is > 1. ``dup_frac`` is rounded to 6 dp.
+    A downstream filter like ``dup_frac <= 0.3`` is the usual gate.
+    """
+    spans = docs.select(
+        F.col(id_col), F.explode(span_hashes(F.col(text_col), k)).alias("span")
+    )
+    # reduce to (doc, span, multiplicity) before anything else: the
+    # partial aggregate collapses within-doc repeats map-side, and the
+    # checkpoint lets two consumers share ONE scan+shingle pass.
+    doc_spans = (
+        spans.groupBy(id_col, "span")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    span_tot = doc_spans.groupBy("span").agg(F.sum("m").alias("tot"))
+    per_doc = (
+        doc_spans.join(span_tot, "span")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("tot") > 1, F.col("m")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )
+    return per_doc
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-derived unigram LM quality score (the cheap, fully
+    deterministic stand-in for KenLM perplexity filtering): pass 1
+    counts case-folded word frequencies and keeps the top
+    ``vocab_size`` words (tie-break: count DESC, word ASC — a
+    TakeOrderedAndProject, not a global window sort); pass 2 scores
+    every document as the sum of per-token log-probabilities, with
+    out-of-vocabulary tokens priced at ln(0.5 / total_tokens).
+
+    Per-token log-probs are fixed to integer MICROS (round(ln(p)*1e6))
+    before summation so the cross-engine compare is order-insensitive
+    and float-associativity-proof. Returns
+    (id_col, n_toks, lp_sum_micros, lp_mean_micros)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_size)
+        .join(F.broadcast(total_df))
+        .select(
+            "w",
+            F.round(F.log(F.col("cnt") / F.col("total")) * 1e6)
+            .cast("long")
+            .alias("lp_micros"),
+        )
+    )
+    oov = total_df.select(
+        F.round(F.log(F.lit(0.5) / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("oov_micros")
+    )
+    scored = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .join(F.broadcast(oov))
+        .select(
+            id_col,
+            F.coalesce(F.col("lp_micros"), F.col("oov_micros")).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lp").cast("long").alias("lp_sum_micros"),
+        )
+        .withColumn(
+            "lp_mean_micros",
+            # integer mean (floor division) — exact on both engines
+            F.floor(F.col("lp_sum_micros") / F.col("n_toks")).cast("long"),
+        )
+    )
+    return scored
+
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+
+
+def url_host(col: Column) -> Column:
+    """Lower-cased authority host of an absolute URL ('' if the value
+    is not an absolute URL). The pattern is shared verbatim with the
+    DuckDB oracle (RE2-compatible: no backrefs, no lookaround)."""
+    return F.lower(F.regexp_extract(col, _HOST_RE, 1))
+
+
+def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain corpus roll-up — the domain-filtering/blocklist
+    primitive of a web-scale curation pipeline: page count, distinct
+    URLs, total raw bytes, per-host mean page size. One hash aggregate
+    keyed by host; the keyspace is bounded by the number of registered
+    domains, so map-side combine does nearly all the work and the
+    shuffle carries (host, counters) only.
+
+    Returns (host, tld, n_pages, n_urls, sum_bytes, mean_bytes)."""
+    host = url_host(F.col(url_col)).alias("host")
+    out = (
+        pages.select(
+            host,
+            F.col(url_col).alias("_u"),
+            F.length("html").cast("long").alias("_b"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("_u").cast("long").alias("n_urls"),
+            F.sum("_b").cast("long").alias("sum_bytes"),
+        )
+        .withColumn("tld", F.regexp_extract("host", r"([^.]+)$", 1))
+        .withColumn(
+            "mean_bytes",
+            F.floor(F.col("sum_bytes") / F.col("n_pages")).cast("long"),
+        )
+        .select("host", "tld", "n_pages", "n_urls", "sum_bytes", "mean_bytes")
+    )
+    return out

@@ -1,0 +1,94 @@
+"""Corpus-level ops: duplicated-span stats, unigram LM scoring,
+domain roll-ups (operators/corpus.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_dedup_flags_shared_spans(spark):
+    base = " ".join(f"w{i}" for i in range(20))  # 20 tokens → 11 spans (k=10)
+    uniq = " ".join(f"u{i}" for i in range(20))
+    from serd_spark.operators.corpus import span_dedup_stats
+
+    d = _docs(spark, [(1, base), (2, base), (3, uniq)])
+    out = {r["doc_id"]: r for r in span_dedup_stats(d, k=10).collect()}
+    assert out[1]["n_spans"] == 11 and out[1]["n_dup_spans"] == 11
+    assert out[1]["dup_frac"] == 1.0
+    assert out[2]["dup_frac"] == 1.0
+    assert out[3]["n_spans"] == 11 and out[3]["n_dup_spans"] == 0
+
+
+def test_span_dedup_short_and_empty_docs(spark):
+    from serd_spark.operators.corpus import span_dedup_stats
+
+    d = _docs(spark, [(1, "a b c"), (2, "a  b\tc"), (3, ""), (4, "only once")])
+    out = {r["doc_id"]: r for r in span_dedup_stats(d, k=10).collect()}
+    # short docs hash their whole normalized text: 1 and 2 collide
+    assert out[1]["n_spans"] == 1 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_spans"] == 1 and out[3]["n_dup_spans"] == 0
+    assert out[4]["n_dup_spans"] == 0
+
+
+def test_span_dedup_within_doc_repeat_counts(spark):
+    # one doc that repeats its own 10-token span: multiset count > 1
+    s = " ".join(f"w{i}" for i in range(10))
+    from serd_spark.operators.corpus import span_dedup_stats
+
+    d = _docs(spark, [(1, s + " " + s)])
+    row = span_dedup_stats(d, k=10).collect()[0]
+    # 20 tokens → 11 spans; spans 1 and 11 are identical
+    assert row["n_spans"] == 11 and row["n_dup_spans"] == 2
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    from serd_spark.operators.corpus import unigram_logprob
+
+    d = _docs(spark, [(1, "a a b"), (2, "b c")])
+    out = {r["doc_id"]: r for r in unigram_logprob(d, vocab_size=100).collect()}
+    total = 5.0
+    lp = {w: round(math.log(c / total) * 1e6) for w, c in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[1]["n_toks"] == 3
+    assert out[1]["lp_sum_micros"] == 2 * lp["a"] + lp["b"]
+    assert out[2]["lp_sum_micros"] == lp["b"] + lp["c"]
+    assert out[2]["lp_mean_micros"] == math.floor(
+        (lp["b"] + lp["c"]) / 2
+    )
+
+
+def test_unigram_logprob_oov_pricing(spark):
+    from serd_spark.operators.corpus import unigram_logprob
+
+    # vocab_size=1 keeps only the most frequent word ('a'); tie-break
+    # (cnt DESC, w ASC) makes the cut deterministic.
+    d = _docs(spark, [(1, "a a b")])
+    row = unigram_logprob(d, vocab_size=1).collect()[0]
+    lp_a = round(math.log(2 / 3) * 1e6)
+    oov = round(math.log(0.5 / 3) * 1e6)
+    assert row["lp_sum_micros"] == 2 * lp_a + oov
+
+
+def test_domain_stats_hosts_and_bytes(spark):
+    from serd_spark.operators.corpus import domain_stats
+
+    rows = [
+        ("https://A.Example.com/x", bytearray(b"12345")),
+        ("https://a.example.com/y", bytearray(b"123")),
+        ("https://a.example.com/y", bytearray(b"123")),  # re-crawl
+        ("http://b.org/", bytearray(b"1")),
+        ("not-a-url", bytearray(b"1")),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["host"]: r for r in domain_stats(pages).collect()}
+    a = out["a.example.com"]
+    assert a["n_pages"] == 3 and a["n_urls"] == 2
+    assert a["sum_bytes"] == 11 and a["mean_bytes"] == 3
+    assert a["tld"] == "com"
+    assert out["b.org"]["tld"] == "org"
+    assert out[""]["n_pages"] == 1  # non-URL rows bucket under ''
