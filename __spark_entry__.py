@@ -722,6 +722,35 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range video frame sampling over REAL parsed MP4 sample
+    tables (stts/stsz/stsc/stco). The DuckDB oracle rebuilds the whole
+    sample layout — 10 fps schedule, per-sample size formula,
+    contiguous chunk offsets from 4096 — from DECLARED metadata that
+    never touched the payload bytes, so a hash match proves the box
+    parser recovers the generator's ground-truth byte ranges."""
+    from serd_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, max(64, _n_pages(sf_dir) // 8))
+    _materialize(
+        sf_dir, "mm_media_meta",
+        lambda: media.select(
+            "media_id", "kind", "mime", "width", "height", "duration_ms"
+        ),
+    )
+    return sample_frames(media, every_ms=1000).groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.max("frame_idx").cast("long").alias("max_frame"),
+        F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        F.max(F.col("byte_off") + F.col("n_bytes"))
+        .cast("long")
+        .alias("max_end_off"),
+    )
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
@@ -1105,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node_ctors": kg_node_ctors,
         "mm_features": mm_features,
         "mm_probe": mm_probe,
+        "mm_frames": mm_frames,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -1342,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'image/png' THEN 'png'
                                WHEN 'image/gif' THEN 'gif'
                                WHEN 'image/jpeg' THEN 'jpeg'
+                               WHEN 'image/webp' THEN 'webp'
                                WHEN 'audio/wav' THEN 'wav'
                                WHEN 'video/mp4' THEN 'mp4' END AS container,
                      CASE WHEN mime LIKE 'image/%' THEN width
@@ -1368,6 +1399,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(pdur) AS BIGINT) AS sum_dur,
                    CAST(SUM(ptracks) AS BIGINT) AS sum_tracks
             FROM m GROUP BY container ORDER BY container
+        """,
+        # Rebuild the video sample layout from DECLARED metadata only:
+        # 10 fps (100 ms deltas), size_k = 500 + ((id*7 + k*13) % 200),
+        # contiguous offsets from 4096 — the generator's ground truth,
+        # recomputed without reading a single payload byte. The Spark
+        # side recovers the same numbers from stts/stsz/stsc/stco.
+        "mm_frames": f"""
+            WITH v AS (
+              SELECT media_id AS id, duration_ms // 100 AS n
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/mm_media_meta/*.parquet')
+              WHERE kind = 'video'
+            ), frames AS (
+              SELECT id, unnest(generate_series(0, n - 1)) AS k FROM v
+            ), sized AS (
+              SELECT id, k,
+                     500 + ((id * 7 + k * 13) % 200) AS sz
+              FROM frames
+            ), offs AS (
+              SELECT id, k, sz,
+                     4096 + CAST(COALESCE(SUM(sz) OVER (
+                       PARTITION BY id ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM sized
+            ), sampled AS (
+              SELECT id,
+                     unnest(generate_series(0, (n - 1) * 100, 1000))
+                       // 100 AS k
+              FROM v
+            )
+            SELECT s.id AS media_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   CAST(MAX(s.k) AS BIGINT) AS max_frame,
+                   CAST(SUM(o.sz) AS BIGINT) AS sum_bytes,
+                   CAST(MAX(o.off + o.sz) AS BIGINT) AS max_end_off
+            FROM sampled s
+            JOIN offs o ON o.id = s.id AND o.k = s.k
+            GROUP BY s.id
         """,
         # Round-trip INVARIANT oracles: the writer→parser fixpoint must
         # hold for EVERY statement/document, so the expected counts are

@@ -12,11 +12,15 @@ Decode paths:
   markers; SOF2 spectral selection + successive approximation) and
   **WAV audio** (PCM16) are decoded FOR REAL with pure
   stdlib+numpy — features derive from actual pixel/sample content.
-- Codecs that genuinely need external libraries (WebP/AVIF, MP4
-  video, …) are stubbed: ``strict=True`` raises a clearly-marked
-  ``NotImplementedError``; the default falls back to a deterministic
-  fake decode from the bytes' blake2b digest so the Spark plumbing
-  is exercised end-to-end either way.
+- Codecs that genuinely need external libraries (WebP/AVIF pixel
+  decode, MP4 video frames, …) are stubbed: ``strict=True`` raises a
+  clearly-marked ``NotImplementedError``; the default falls back to a
+  deterministic fake decode from the bytes' blake2b digest so the
+  Spark plumbing is exercised end-to-end either way. Container
+  PROBING for those formats is still real byte parsing: WebP
+  VP8/VP8L/VP8X header dims, and full MP4 sample tables
+  (stts/stsz/stsc/stco → per-frame (pts, byte_offset, size)) feeding
+  ``sample_frames`` — byte-range frame sampling without a codec.
 
 Everything Spark-side is real: schemas, column pruning before the
 UDF barrier, iterator-form ``mapInPandas`` (one Arrow batch in
@@ -612,6 +616,23 @@ def _wav_features(payload: bytes, dim: int) -> np.ndarray:
 # exactly what a curation pipeline filters on at 100 TB.
 
 
+def encode_webp_meta(width: int, height: int, body: bytes = b"") -> bytes:
+    """RIFF/WebP container with a spec-correct VP8L (lossless) chunk
+    header — signature byte 0x2F and the 14-bit packed (w-1, h-1)
+    dimension fields — followed by an opaque ``body``. The bitstream
+    body is NOT a decodable VP8L payload (that needs a real WebP
+    codec, absent in this sandbox): this is the probe-only analogue
+    of ``encode_mp4_meta``, used to exercise header parsing against
+    declared ground truth."""
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in [1, 16384]")
+    bits = (width - 1) | ((height - 1) << 14)  # alpha=0, version=0
+    data = bytes([0x2F]) + bits.to_bytes(4, "little") + body
+    pad = b"\x00" if len(data) % 2 else b""  # RIFF 2-byte alignment
+    vp8l = b"VP8L" + struct.pack("<I", len(data)) + data + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+
 def _mp4_box(tag: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload) + 8) + tag + payload
 
@@ -619,11 +640,21 @@ def _mp4_box(tag: bytes, payload: bytes) -> bytes:
 def encode_mp4_meta(
     duration_ms: int, width: int = 0, height: int = 0,
     tracks: tuple[bytes, ...] = (b"vide",),
+    sample_sizes: list[int] | None = None,
+    sample_delta_ms: int = 100,
+    chunk_base_off: int = 4096,
 ) -> bytes:
     """Minimal valid ISO BMFF metadata stream (ftyp + moov with mvhd
-    and one trak/tkhd/mdia/hdlr per entry in ``tracks``) — no mdat,
-    no samples; enough for container probing, used to synthesize
-    deterministic test payloads."""
+    and one trak/tkhd/mdia/hdlr per entry in ``tracks``) — no mdat;
+    enough for container probing, used to synthesize deterministic
+    test payloads.
+
+    When ``sample_sizes`` is given, the first ``vide`` track carries a
+    REAL sample table (mdhd timescale 1000 + stbl with stts/stsz/stsc/
+    stco, one sample per chunk, constant ``sample_delta_ms`` decode
+    deltas, chunk offsets laid out contiguously from
+    ``chunk_base_off``) so byte-range frame sampling can be exercised
+    against parser-recovered offsets."""
     ftyp = _mp4_box(
         b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41"
     )
@@ -661,7 +692,43 @@ def encode_mp4_meta(
             b"\x00\x00\x00\x00" + b"\x00" * 4 + kind + b"\x00" * 12
             + b"serd\x00",
         )
-        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", hdlr))
+        mdia = hdlr
+        if kind == b"vide" and sample_sizes is not None:
+            n = len(sample_sizes)
+            mdhd = _mp4_box(
+                b"mdhd",
+                b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+                + struct.pack(">II", 1000, duration_ms)  # timescale=ms
+                + struct.pack(">HH", 0x55C4, 0),  # lang 'und' + quality
+            )
+            stts = _mp4_box(
+                b"stts",
+                b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">II", n, sample_delta_ms),
+            )
+            stsz = _mp4_box(
+                b"stsz",
+                b"\x00\x00\x00\x00" + struct.pack(">II", 0, n)
+                + struct.pack(f">{n}I", *sample_sizes),
+            )
+            stsc = _mp4_box(
+                b"stsc",
+                b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">III", 1, 1, 1),  # 1 sample per chunk
+            )
+            offs, acc = [], chunk_base_off
+            for sz in sample_sizes:
+                offs.append(acc)
+                acc += sz
+            stco = _mp4_box(
+                b"stco",
+                b"\x00\x00\x00\x00" + struct.pack(">I", n)
+                + struct.pack(f">{n}I", *offs),
+            )
+            stbl = _mp4_box(b"stbl", stts + stsz + stsc + stco)
+            mdia = mdhd + hdlr + _mp4_box(b"minf", stbl)
+            sample_sizes = None  # only the first vide track
+        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", mdia))
     return ftyp + _mp4_box(b"moov", mvhd + traks)
 
 
@@ -740,6 +807,110 @@ def probe_mp4(payload: bytes) -> dict:
     return out
 
 
+_MAX_MP4_SAMPLES = 1 << 22  # bound work by DECLARED counts before looping
+
+
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int, int]]:
+    """Recover the video track's sample table from ISO BMFF bytes:
+    one (pts_ms, byte_offset, n_bytes) per sample, from stts (decode
+    deltas, media-timescale-scaled via mdhd), stsz (sizes) and
+    stsc+stco (chunk layout → per-sample offsets). This is the real
+    input of byte-range frame extraction: a ranged read of
+    [offset, offset+size) is the frame payload a decoder would get.
+
+    Supports any stsc mapping (run-length chunk→samples). Declared
+    counts are validated against each other and capped (a 2 KB
+    adversarial header must not allocate gigabytes). Raises
+    ValueError when there is no video track or no sample table."""
+    ts = 1000
+    stts = stsz = stsc = stco = None
+    for tag, body in _mp4_children(payload):
+        if tag != b"moov":
+            continue
+        for t2, trak in _mp4_children(body):
+            if t2 != b"trak":
+                continue
+            t_ts, boxes, is_video = 1000, {}, False
+            for t3, mdia in _mp4_children(trak):
+                if t3 != b"mdia":
+                    continue
+                for t4, b4 in _mp4_children(mdia):
+                    if t4 == b"hdlr":
+                        is_video = b4[8:12] == b"vide"
+                    elif t4 == b"mdhd":
+                        version = b4[0]
+                        t_ts = struct.unpack_from(
+                            ">I", b4, 20 if version == 1 else 12
+                        )[0]
+                    elif t4 == b"minf":
+                        for t5, b5 in _mp4_children(b4):
+                            if t5 != b"stbl":
+                                continue
+                            for t6, b6 in _mp4_children(b5):
+                                if t6 in (b"stts", b"stsz",
+                                          b"stsc", b"stco"):
+                                    boxes[t6] = b6
+            if is_video and b"stts" in boxes:
+                ts = max(t_ts, 1)
+                stts, stsz = boxes.get(b"stts"), boxes.get(b"stsz")
+                stsc, stco = boxes.get(b"stsc"), boxes.get(b"stco")
+                break
+    if stts is None or stsz is None or stsc is None or stco is None:
+        raise ValueError("no video sample table (stts/stsz/stsc/stco)")
+
+    # stts → per-sample decode deltas (run-length encoded)
+    (n_ent,) = struct.unpack_from(">I", stts, 4)
+    deltas: list[int] = []
+    for e in range(min(n_ent, _MAX_MP4_SAMPLES)):
+        cnt, delta = struct.unpack_from(">II", stts, 8 + 8 * e)
+        if len(deltas) + cnt > _MAX_MP4_SAMPLES:
+            raise ValueError("implausible stts sample count")
+        deltas.extend([delta] * cnt)
+    n = len(deltas)
+
+    # stsz → per-sample sizes (fixed or table)
+    fixed, n_sz = struct.unpack_from(">II", stsz, 4)
+    if n_sz != n:
+        raise ValueError(f"stsz count {n_sz} != stts count {n}")
+    if fixed:
+        sizes = [fixed] * n
+    else:
+        if len(stsz) < 12 + 4 * n:
+            raise ValueError("stsz table shorter than declared count")
+        sizes = list(struct.unpack_from(f">{n}I", stsz, 12))
+
+    # stsc runs + stco chunk offsets → per-sample byte offsets
+    (n_runs,) = struct.unpack_from(">I", stsc, 4)
+    runs = [
+        struct.unpack_from(">III", stsc, 8 + 12 * r)[:2]
+        for r in range(min(n_runs, _MAX_MP4_SAMPLES))
+    ]
+    (n_chunks,) = struct.unpack_from(">I", stco, 4)
+    if n_chunks > _MAX_MP4_SAMPLES or len(stco) < 8 + 4 * n_chunks:
+        raise ValueError("stco table shorter than declared count")
+    chunk_offs = struct.unpack_from(f">{n_chunks}I", stco, 8)
+
+    out: list[tuple[int, int, int]] = []
+    pts = 0
+    si = 0
+    for ci in range(n_chunks):
+        per = 1
+        for first, spc in runs:
+            if first <= ci + 1:
+                per = spc
+        off = chunk_offs[ci]
+        for _ in range(per):
+            if si >= n:
+                break
+            out.append((pts * 1000 // ts, off, sizes[si]))
+            pts += deltas[si]
+            off += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError(f"chunk layout covers {si} of {n} samples")
+    return out
+
+
 def _chk_dim(v: int) -> int:
     """Header-declared dimensions must fit the probe schema's int32
     (and be plausible): out-of-range values mean a corrupt header —
@@ -796,6 +967,29 @@ def probe_payload(payload: bytes) -> dict:
         return {"container": "wav", "width": None, "height": None,
                 "duration_ms": int(nframes) * 1000 // rate,
                 "n_tracks": 1}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        kind = payload[12:16]
+        if kind == b"VP8X" and len(payload) >= 30:
+            # extended header: 24-bit (w-1)/(h-1) canvas fields
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+        elif kind == b"VP8L" and len(payload) >= 25:
+            if payload[20] != 0x2F:
+                raise ValueError("WebP VP8L without signature byte")
+            bits = int.from_bytes(payload[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        elif kind == b"VP8 " and len(payload) >= 30:
+            # lossy keyframe: start code then 14-bit dims
+            if payload[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("WebP VP8 without keyframe start code")
+            w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+            h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+        else:
+            raise ValueError(f"unrecognized WebP chunk {kind!r}")
+        return {"container": "webp", "width": _chk_dim(w),
+                "height": _chk_dim(h),
+                "duration_ms": None, "n_tracks": 1}
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         m = probe_mp4(payload)
         return {"container": "mp4",
@@ -1003,6 +1197,67 @@ def frame_sample_plan(
     )
 
 
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Byte-range frame sampling over REAL parsed MP4 sample tables:
+    for each sampling instant t (0, every_ms, ...) emit the last
+    video sample with pts <= t as (t_ms, frame_idx, pts_ms, byte_off,
+    n_bytes) — exactly the ranged read [byte_off, byte_off+n_bytes)
+    a downstream decode stage would fetch, so at 100 TB the frame
+    stage reads sampled kilobytes instead of whole videos.
+
+    Iterator mapInPandas over (id, payload) only — Parquet prunes the
+    rest. Videos without a parseable sample table are skipped in lax
+    mode (``strict`` raises)."""
+    src = media.filter(F.col("kind") == "video").select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_id, c_t, c_idx = [], [], []
+            c_pts, c_off, c_sz = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    table = mp4_sample_table(b)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                if not table:
+                    continue
+                ptss = np.array([p for p, _, _ in table], dtype=np.int64)
+                ts = np.arange(0, int(ptss[-1]) + 1, every_ms,
+                               dtype=np.int64)
+                idx = np.searchsorted(ptss, ts, side="right") - 1
+                c_id.extend([int(mid)] * len(ts))
+                c_t.extend(ts.tolist())
+                c_idx.extend(idx.tolist())
+                for j in idx:
+                    pts, off, sz = table[int(j)]
+                    c_pts.append(pts)
+                    c_off.append(off)
+                    c_sz.append(sz)
+            yield pd.DataFrame(
+                {
+                    id_col: c_id, "t_ms": c_t, "frame_idx": c_idx,
+                    "pts_ms": c_pts, "byte_off": c_off, "n_bytes": c_sz,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, t_ms long, frame_idx int, pts_ms long, "
+            "byte_off long, n_bytes long"
+        ),
+    )
+
+
 def synthesize_media(
     spark, n_rows: int, seed: int = 42, partitions: int = 8
 ) -> DataFrame:
@@ -1060,6 +1315,12 @@ def synthesize_media(
                         # interlaced so both row orders are exercised)
                         payload = encode_gif(px, interlace=bool(i % 32))
                         mime = "image/gif"
+                    elif i % 16 == 9:
+                        # probe-real WebP: spec-correct VP8L header
+                        # (packed dims), opaque body — decode needs a
+                        # real codec, probing does not
+                        payload = encode_webp_meta(w, h, body=digest)
+                        mime = "image/webp"
                     elif i % 8 >= 4 or n_ch == 4:
                         payload = encode_png(px)
                         mime = "image/png"
@@ -1077,14 +1338,21 @@ def synthesize_media(
                     payload = encode_wav(samples, rate)
                     mime = "audio/wav"
                 else:
-                    # REAL ISO BMFF metadata container (ftyp + moov):
-                    # probe-able duration/tracks/resolution; frame
-                    # data stays absent (no stdlib video codec)
+                    # REAL ISO BMFF metadata container (ftyp + moov)
+                    # with a REAL sample table (stts/stsz/stsc/stco,
+                    # 10 fps, deterministic per-sample sizes) so
+                    # byte-range frame sampling parses real boxes;
+                    # frame pixel data stays absent (no stdlib codec)
+                    n_s = dur // 100
                     payload = encode_mp4_meta(
                         dur,
                         width=320 + (i % 8) * 16,
                         height=240 + (i % 8) * 8,
                         tracks=(b"vide", b"soun") if i % 8 else (b"vide",),
+                        sample_sizes=[
+                            500 + ((i * 7 + k * 13) % 200)
+                            for k in range(n_s)
+                        ],
                     )
                     mime = "video/mp4"
                 c_id.append(i)

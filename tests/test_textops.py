@@ -454,7 +454,7 @@ def test_probe_media_containers(spark):
     for mid, d in declared.items():
         p = probed[mid]
         if d.kind == "image":
-            assert p.container in ("bmp", "png", "gif", "jpeg")
+            assert p.container in ("bmp", "png", "gif", "jpeg", "webp")
             assert (p.width, p.height) == (d.width, d.height)
         elif d.kind == "audio":
             n = 8000 * d.duration_ms // 1000 // 50
@@ -657,3 +657,73 @@ def test_jpeg_progressive_fuzz_and_bomb():
             + b"\xff\xda" + st.pack(">H", 8) + bytes([1, 1, 0, 0, 0, 0]))
     with pytest.raises(NotImplementedError, match="max_pixels"):
         jc.decode_jpeg(bomb)
+
+
+def test_mp4_sample_table_roundtrip():
+    sizes = [500 + (k * 13) % 200 for k in range(30)]
+    p = multimodal.encode_mp4_meta(
+        3000, width=320, height=240, tracks=(b"vide", b"soun"),
+        sample_sizes=sizes,
+    )
+    t = multimodal.mp4_sample_table(p)
+    assert len(t) == 30
+    assert t[0] == (0, 4096, sizes[0])
+    off = 4096
+    for k, (pts, o, sz) in enumerate(t):
+        assert (pts, o, sz) == (k * 100, off, sizes[k])
+        off += sz
+    # probing is unaffected by the added mdhd/minf boxes
+    pr = multimodal.probe_payload(p)
+    assert (pr["container"], pr["n_tracks"]) == ("mp4", 2)
+    # metadata-only MP4s (no stbl) still raise a clear error
+    bare = multimodal.encode_mp4_meta(3000, width=320, height=240)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample table"):
+        multimodal.mp4_sample_table(bare)
+
+
+def test_mp4_sample_table_bounds_declared_counts():
+    import struct as st
+
+    import pytest as _pytest
+
+    p = bytearray(multimodal.encode_mp4_meta(
+        1000, width=8, height=8, sample_sizes=[10] * 5
+    ))
+    i = bytes(p).find(b"stts")
+    # declare an absurd run count in stts: must raise, not allocate
+    st.pack_into(">II", p, i + 12, 1 << 30, 100)
+    with _pytest.raises(ValueError, match="implausible|stsz"):
+        multimodal.mp4_sample_table(bytes(p))
+
+
+def test_sample_frames_spark(spark):
+    media = multimodal.synthesize_media(spark, 64)
+    rows = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert rows, "64 synthetic rows include videos"
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_id.items():
+        rs.sort(key=lambda r: r.t_ms)
+        # ranged reads: sampled frame k has the formula size/offset
+        for r in rs:
+            assert r.pts_ms <= r.t_ms < r.pts_ms + 100
+            assert r.n_bytes == 500 + ((mid * 7 + r.frame_idx * 13) % 200)
+        offs = [r.byte_off for r in rs]
+        assert offs == sorted(offs) and offs[0] >= 4096
+
+
+def test_webp_probe_roundtrip():
+    for w, h in [(1, 1), (31, 17), (16384, 16384)]:
+        pay = multimodal.encode_webp_meta(w, h, body=b"\x01\x02\x03")
+        pr = multimodal.probe_payload(pay)
+        assert (pr["container"], pr["width"], pr["height"]) == ("webp", w, h)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.probe_payload(b"RIFF\x00\x00\x00\x00WEBPXXXX")
+    # decode remains an explicit, documented gap
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(multimodal.encode_webp_meta(8, 8))
