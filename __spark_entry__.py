@@ -1881,6 +1881,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Re-shingle the corpus and rebuild the span frequency table
         # INDEPENDENTLY (DuckDB list slicing vs Spark transform/slice).
+        # The mirror keys spans by their raw gram TEXT while Spark keys
+        # by xxhash64 — equivalent counts absent hash collisions, which
+        # are provably absent at oracle scale (see corpus.span_hashes).
         "q_span_dedup": """
             WITH norm AS (
               SELECT doc_id,
@@ -1894,12 +1897,12 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE len(w) >= 10
             ), spans AS (
               SELECT doc_id,
-                     md5(array_to_string(w[i : i + 9], ' ')) AS span
+                     array_to_string(w[i : i + 9], ' ') AS span
               FROM expanded
               UNION ALL
               -- mirror Spark span_hashes: a doc shorter than k tokens
               -- contributes its whole normalized text as one span
-              SELECT doc_id, md5(t) AS span FROM toks WHERE len(w) < 10
+              SELECT doc_id, t AS span FROM toks WHERE len(w) < 10
             ), tot AS (
               SELECT span, COUNT(*) AS tot FROM spans GROUP BY span
             )

@@ -73,6 +73,9 @@ def main() -> None:
         "q_cosine_topk": entrymod.q_cosine_topk,
         "dedup_simhash": entrymod.dedup_simhash,
         "q_sessionize": entrymod.q_sessionize,
+        "q_span_dedup": entrymod.q_span_dedup,
+        "q_unigram_lm": entrymod.q_unigram_lm,
+        "mm_frames": entrymod.mm_frames,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -43,17 +43,25 @@ def _norm(col: Column) -> Column:
 
 
 def span_hashes(col: Column, k: int = 10) -> Column:
-    """md5 of every k-token window of the normalized text (1 span per
-    window, multiset). A document shorter than k tokens contributes
+    """xxhash64 of every k-token window of the normalized text (1 span
+    per window, multiset). A document shorter than k tokens contributes
     its whole normalized text as its single span — so every document
-    has >= 1 span and short exact-dups still collide."""
+    has >= 1 span and short exact-dups still collide.
+
+    64-bit keys, not md5: the span-frequency shuffle and join then
+    carry 8-byte bigints instead of 32-char hex strings (measured ~6%
+    end-to-end locally, ~4x less shuffle payload at cluster scale).
+    Collision cost at 100 TB (~1e13 spans): expected ~(1e13)^2/2^65 ≈
+    3e6 false-dup span marks, a ~3e-7 relative error in dup_frac —
+    noise for a filtering signal (and zero at oracle scale, so the
+    DuckDB mirror, which keys on the raw gram text, stays exact)."""
     norm = _norm(col)
     toks = F.split(norm, " ")
     n = F.size(toks)
-    return F.when(n < k, F.array(F.md5(norm))).otherwise(
+    return F.when(n < k, F.array(F.xxhash64(norm))).otherwise(
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
         )
     )
 

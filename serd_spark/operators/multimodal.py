@@ -9,11 +9,13 @@ Decode paths:
   (87a/89a, LZW, interlacing, first-frame decode + frame/delay
   probe), **JPEG — baseline AND progressive** (jpeg_codec.py:
   Huffman + dequant + IDCT + YCbCr, 4:2:0/4:2:2/4:4:4, restart
-  markers; SOF2 spectral selection + successive approximation) and
+  markers; SOF2 spectral selection + successive approximation),
+  **WebP lossless** (vp8l_codec.py: canonical prefix codes incl. the
+  code-length code, LZ77 back-references) and
   **WAV audio** (PCM16) are decoded FOR REAL with pure
   stdlib+numpy — features derive from actual pixel/sample content.
-- Codecs that genuinely need external libraries (WebP/AVIF pixel
-  decode, MP4 video frames, …) are stubbed: ``strict=True`` raises a
+- Codecs that genuinely need external libraries (WebP lossy VP8 /
+  AVIF pixel decode, MP4 video frames, …) are stubbed: ``strict=True`` raises a
   clearly-marked ``NotImplementedError``; the default falls back to a
   deterministic fake decode from the bytes' blake2b digest so the
   Spark plumbing is exercised end-to-end either way. Container
@@ -589,6 +591,12 @@ def _gif_features(payload: bytes, dim: int) -> np.ndarray:
     return _rgb_features(decode_gif(payload), dim)
 
 
+def _webp_features(payload: bytes, dim: int) -> np.ndarray:
+    from serd_spark.operators.vp8l_codec import decode_vp8l
+
+    return _rgb_features(_to_rgb(decode_vp8l(payload)), dim)
+
+
 def _wav_features(payload: bytes, dim: int) -> np.ndarray:
     """Content-derived audio features: RMS, mean, zero-crossing rate,
     peak, duration — padded deterministically to dim."""
@@ -1079,10 +1087,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from serd_spark.operators.jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from serd_spark.operators.vp8l_codec import decode_vp8l
+
+        return _to_rgb(decode_vp8l(payload))
     raise NotImplementedError(
-        "only BMP, PNG, GIF and Huffman JPEG decode without Pillow/opencv "
-        "(not installed in this sandbox); use strict=False for the "
-        "deterministic fake decode"
+        "only BMP, PNG, GIF, Huffman JPEG and lossless WebP (VP8L) "
+        "decode without Pillow/opencv (not installed in this sandbox); "
+        "use strict=False for the deterministic fake decode"
     )
 
 
@@ -1105,6 +1117,8 @@ def payload_features(payload: bytes, dim: int = FEATURE_DIM,
             return _gif_features(payload, dim)
         if payload[:2] == b"\xff\xd8":
             return _jpeg_features(payload, dim)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return _webp_features(payload, dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _wav_features(payload, dim)
     except Exception:
@@ -1316,10 +1330,13 @@ def synthesize_media(
                         payload = encode_gif(px, interlace=bool(i % 32))
                         mime = "image/gif"
                     elif i % 16 == 9:
-                        # probe-real WebP: spec-correct VP8L header
-                        # (packed dims), opaque body — decode needs a
-                        # real codec, probing does not
-                        payload = encode_webp_meta(w, h, body=digest)
+                        # REAL lossless WebP (VP8L: canonical prefix
+                        # codes + LZ77) — decodes back to these pixels
+                        from serd_spark.operators.vp8l_codec import (
+                            encode_vp8l,
+                        )
+
+                        payload = encode_vp8l(px)
                         mime = "image/webp"
                     elif i % 8 >= 4 or n_ch == 4:
                         payload = encode_png(px)

@@ -724,6 +724,69 @@ def test_webp_probe_roundtrip():
 
     with _pytest.raises(ValueError):
         multimodal.probe_payload(b"RIFF\x00\x00\x00\x00WEBPXXXX")
-    # decode remains an explicit, documented gap
+    # lossy VP8 decode remains an explicit, documented gap
+    vp8 = (b"RIFF" + (40).to_bytes(4, "little") + b"WEBPVP8 "
+           + (20).to_bytes(4, "little") + b"\x00\x00\x00"
+           + b"\x9d\x01\x2a" + (320).to_bytes(2, "little")
+           + (240).to_bytes(2, "little") + bytes(8))
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.encode_webp_meta(8, 8))
+        multimodal.decode_image(vp8)
+
+
+def test_webp_vp8l_real_decode():
+    import numpy as np
+
+    from serd_spark.operators import vp8l_codec as vc
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1, 3), (9, 14, 3), (16, 16, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        enc = vc.encode_vp8l(px)
+        dec = vc.decode_vp8l(enc)
+        assert np.array_equal(dec[..., : shape[2]], px)
+        if shape[2] == 3:
+            assert (dec[..., 3] == 255).all()
+        # decode_image integration + probing agree on dims
+        img = multimodal.decode_image(enc)
+        assert img.shape == (shape[0], shape[1], 3)
+        pr = multimodal.probe_payload(enc)
+        assert (pr["width"], pr["height"]) == (shape[1], shape[0])
+    # LZ77 runs and constant images (single-symbol prefix codes)
+    px = np.full((12, 7, 3), 42, dtype=np.uint8)
+    assert np.array_equal(
+        vc.decode_vp8l(vc.encode_vp8l(px))[..., :3], px
+    )
+    # real content features flow through payload_features
+    f = multimodal.payload_features(vc.encode_vp8l(px), strict=True)
+    assert abs(f[0] - 42 / 255) < 0.01  # mean red of a constant image
+
+
+def test_vp8l_decoder_is_crash_free_on_corrupt_input():
+    import numpy as np
+
+    from serd_spark.operators import vp8l_codec as vc
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(12, 12, 3), dtype=np.uint8)
+    real = vc.encode_vp8l(px)
+    for cut in range(21, len(real), max(1, len(real) // 40)):
+        try:
+            vc.decode_vp8l(real[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    b = bytearray(real)
+    for k in range(20, len(b), 3):
+        b[k] ^= 0x5A
+        try:
+            vc.decode_vp8l(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+        b[k] ^= 0x5A
+    # declared-huge dims must fail BEFORE allocating
+    import pytest as _pytest
+
+    bomb = bytearray(real)
+    # dims field after RIFF(12)+chunk hdr(8)+signature(1): 16384x16384
+    bomb[21:25] = (0x3FFF | (0x3FFF << 14)).to_bytes(4, "little")
+    with _pytest.raises((ValueError, NotImplementedError)):
+        vc.decode_vp8l(bytes(bomb), max_pixels=1 << 20)
