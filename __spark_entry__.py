@@ -1113,6 +1113,43 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(pages)
 
 
+_SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
+_SAMPLE_DEFAULT = 0.05
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash-threshold sampling. sum(doc_id)
+    pins the exact membership of the kept set, not just its size; the
+    DuckDB mirror evaluates the byte-identical md5-hex comparison."""
+    from serd_spark.operators.corpus import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document; integer-micros scoring makes
+    the (score DESC, term ASC) top-k exactly reproducible in SQL."""
+    from serd_spark.operators.corpus import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, top_k=3)
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive posting-list retrieval for ['spark', 'query']."""
+    from serd_spark.operators.corpus import keyword_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return keyword_search(d, ["spark", "query"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -1162,6 +1199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_unigram_lm": q_unigram_lm,
         "q_domain_stats": q_domain_stats,
+        "q_stratified_sample": q_stratified_sample,
+        "q_tfidf": q_tfidf,
+        "q_keyword_search": q_keyword_search,
     }
 
 
@@ -1183,6 +1223,8 @@ def _lang_case_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from serd_spark.operators.corpus import _rate_hex
+
     # Mirrors that read ORACLE_DIR parquet depend on their Spark query
     # having run first in this process (each query fn materializes its
     # own oracle inputs before returning its DataFrame). Any driver
@@ -1969,5 +2011,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(b) AS BIGINT) AS sum_bytes,
                    CAST(floor(SUM(b) / COUNT(*)) AS BIGINT) AS mean_bytes
             FROM p GROUP BY host
+        """,
+        # Byte-identical md5-hex threshold comparison: fixed-width
+        # lowercase hex strings order exactly like the 32-bit cut
+        # values they spell, so string < string IS the numeric test.
+        "q_stratified_sample": f"""
+            WITH s AS (
+              SELECT doc_id, lang,
+                     substring(md5(doc_id::VARCHAR), 1, 8) AS b,
+                     CASE lang
+                       WHEN 'en' THEN '{_rate_hex(_SAMPLE_RATES["en"])}'
+                       WHEN 'es' THEN '{_rate_hex(_SAMPLE_RATES["es"])}'
+                       WHEN 'zh' THEN '{_rate_hex(_SAMPLE_RATES["zh"])}'
+                       ELSE '{_rate_hex(_SAMPLE_DEFAULT)}'
+                     END AS thr
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Rebuild TF, DF, integer-micros IDF and the per-doc top-3
+        # with the same (score DESC, term ASC) tie-break.
+        "q_tfidf": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm
+            ), w2 AS (
+              SELECT doc_id, w FROM words WHERE w <> ''
+            ), tf AS (
+              SELECT doc_id, w, COUNT(*) AS tf
+              FROM w2 GROUP BY doc_id, w
+            ), nd AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+            ), idf AS (
+              SELECT w,
+                     CAST(round(ln(n_docs / df) * 1000000) AS BIGINT)
+                       AS idf_micros
+              FROM (
+                SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+                ORDER BY df DESC, w ASC LIMIT 262144
+              ), nd
+            ), scored AS (
+              SELECT tf.doc_id, tf.w AS term,
+                     CAST(tf.tf AS BIGINT) AS tf,
+                     CAST(tf.tf * idf_micros AS BIGINT) AS score_micros
+              FROM tf JOIN idf USING (w)
+            )
+            SELECT doc_id, term, tf, score_micros FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_micros DESC, term ASC
+              ) AS rn FROM scored
+            ) WHERE rn <= 3
+        """,
+        "q_keyword_search": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM words WHERE w IN ('spark', 'query')
+            GROUP BY doc_id
+            HAVING COUNT(DISTINCT w) = 2
         """,
     }

@@ -173,6 +173,125 @@ def unigram_logprob(
     return scored
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-threshold sampling with per-stratum rates —
+    the 100 TB downsampling primitive (cap a language's share, thin a
+    crawl, build a dev slice) that needs NO shuffle, NO count pass and
+    NO RNG: a row is kept iff the first 8 hex chars of
+    md5(id) compare below the stratum's threshold, so membership is a
+    pure function of the row (retry/partition/layout-invariant), any
+    engine can reproduce it, and supersampling is monotone (a 10%
+    sample is a subset of a 20% sample of the same corpus).
+
+    ``rates`` maps stratum value → keep-probability. The comparison is
+    done on fixed-width lowercase hex STRINGS, which orders exactly
+    like the 32-bit integer it spells — so the DuckDB mirror is a
+    byte-identical expression."""
+    thresholds = {s: _rate_hex(r) for s, r in rates.items()}
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thr = F.lit(_rate_hex(default_rate))
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(stratum_col) == s, F.lit(t)).otherwise(thr)
+    return docs.filter(bucket < thr)
+
+
+def _rate_hex(rate: float) -> str:
+    """keep-probability → 8-hex-char threshold (cut at rate * 2^32)."""
+    v = min(max(int(round(rate * (1 << 32))), 0), (1 << 32) - 1)
+    return format(v, "08x")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    max_vocab: int = 1 << 18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms. Pass 1 computes document
+    frequencies and keeps the ``max_vocab`` most document-frequent
+    terms (TakeOrderedAndProject; broadcastable); pass 2 scores every
+    (doc, term) as tf * idf_micros where idf_micros =
+    round(ln(N/df) * 1e6) — an INTEGER product, so scoring and the
+    (score DESC, term ASC) top-k tie-break are exactly reproducible
+    by any engine with no float associativity anywhere.
+
+    Returns (id_col, term, tf, score_micros), <= top_k rows per doc."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    idf = (
+        tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(max_vocab)
+        .join(F.broadcast(n_docs))
+        .select(
+            "w",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * 1e6)
+            .cast("long")
+            .alias("idf_micros"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "w").select(
+        id_col,
+        F.col("w").alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        (F.col("tf") * F.col("idf_micros")).alias("score_micros"),
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micros"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive keyword retrieval via the posting-list shape:
+    explode to (doc, term) postings, keep only the query terms
+    (pushed into the scan as an IN filter BEFORE the explode output is
+    shuffled), and keep documents matching ALL terms. At 100 TB the
+    shuffle carries only postings of the queried terms — microscopic
+    next to the corpus — instead of scanning text per query term.
+
+    Returns (id_col, n_hits) where n_hits is total occurrences of all
+    query terms in the document."""
+    want = [t.lower() for t in terms]
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w").isin(want))
+    return (
+        words.groupBy(id_col)
+        .agg(
+            F.countDistinct("w").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_terms") == len(set(want)))
+        .select(id_col, "n_hits")
+    )
+
+
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 
 

@@ -92,3 +92,61 @@ def test_domain_stats_hosts_and_bytes(spark):
     assert a["tld"] == "com"
     assert out["b.org"]["tld"] == "org"
     assert out[""]["n_pages"] == 1  # non-URL rows bucket under ''
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    import hashlib
+
+    from serd_spark.operators.corpus import stratified_sample
+
+    rows = [(i, f"text {i}", ["en", "fr"][i % 2]) for i in range(400)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = stratified_sample(d, {"en": 0.5, "fr": 0.1}).collect()
+    ids = {r.doc_id for r in kept}
+    # membership is exactly the md5-hex threshold test, per row
+    for i, _, lang in rows:
+        thr = "80000000" if lang == "en" else "1999999a"
+        expect = hashlib.md5(str(i).encode()).hexdigest()[:8] < thr
+        assert (i in ids) == expect
+    # supersampling monotone: 10% sample ⊂ 50% sample
+    small = {r.doc_id for r in
+             stratified_sample(d, {"en": 0.1, "fr": 0.02}).collect()}
+    assert small <= ids
+
+
+def test_tfidf_top_terms(spark):
+    from serd_spark.operators.corpus import tfidf_top_terms
+
+    d = _docs(spark, [
+        (1, "apple apple banana common common"),
+        (2, "banana cherry common"),
+        (3, "common cherry cherry"),
+    ])
+    out = tfidf_top_terms(d, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'common' appears in all 3 docs → idf = ln(1) = 0 → never a top term
+    top1 = [r.term for r in sorted(by_doc[1], key=lambda r: -r.score_micros)]
+    assert top1[0] == "apple"  # tf=2, df=1: highest score in doc 1
+    assert all(r.term != "common" or r.score_micros == 0 for r in out)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # integer scoring: score = tf * round(ln(3/df)*1e6)
+    import math
+
+    apple = next(r for r in by_doc[1] if r.term == "apple")
+    assert apple.score_micros == 2 * round(math.log(3 / 1) * 1e6)
+
+
+def test_keyword_search_conjunctive(spark):
+    from serd_spark.operators.corpus import keyword_search
+
+    d = _docs(spark, [
+        (1, "spark runs a query fast"),
+        (2, "spark spark spark"),
+        (3, "a query planner"),
+        (4, "Spark QUERY mixed case"),
+    ])
+    out = {r.doc_id: r.n_hits for r in
+           keyword_search(d, ["spark", "query"]).collect()}
+    assert out == {1: 2, 4: 2}  # both terms required; case-folded
