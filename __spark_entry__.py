@@ -487,6 +487,27 @@ def curate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_df(spark, res)
 
 
+def curate_metrics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7-stage curation funnel: lang → quality → unigram-LM floor
+    → exact dedup → duplicated-span cap → near-dup removal. The DuckDB
+    mirror replays ALL filter stages independently (including the LM
+    model fit on the post-quality corpus and the span frequency table
+    over the post-exact corpus); only the LSH loser set is
+    materialized."""
+    from serd_spark.plans.curate import curate_documents, metrics_df
+
+    docs = _t(spark, sf_dir, "documents")
+    res = curate_documents(
+        docs,
+        keep_langs=("en",),
+        near_dup_threshold=0.9,
+        min_lp_mean_micros=-3_450_000,
+        max_dup_span_frac=0.5,
+    )
+    _materialize(sf_dir, "curate_full_losers", lambda: res.losers)
+    return metrics_df(spark, res)
+
+
 def stream_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end check: pages parquet dir →
     availableNow micro-batched extraction (maxFilesPerTrigger=2, so
@@ -1166,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "ann_ivf": ann_ivf,
         "curate_metrics": curate_metrics,
+        "curate_metrics_full": curate_metrics_full,
         "stream_extract_counts": stream_extract_counts,
         "stream_dedup_pages": stream_dedup_pages,
         "kg_node_ctors": kg_node_ctors,
@@ -1315,6 +1337,117 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'exact_dedup', COUNT(*) FROM exact_keep
             UNION ALL SELECT 'near_dup_removal',
               (SELECT COUNT(*) FROM exact_keep
+               WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        """,
+        # The 7-stage funnel: every filter stage replayed in SQL —
+        # lang CASE, quality features, the unigram LM fit on the
+        # post-quality survivors, exact dedup, the span frequency
+        # table over the post-exact survivors — with only the LSH
+        # loser set read from materialized parquet.
+        "curate_metrics_full": f"""
+            WITH lang_keep AS (
+              SELECT doc_id, text FROM documents
+              WHERE {_lang_case_sql()} = 'en'
+            ), q AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS q_tokens,
+                     round(
+                       (length(text) - length(regexp_replace(text,
+                           '[^\\s\\p{{L}}\\p{{N}}]', '', 'g')))
+                       / greatest(length(text), 1)::DOUBLE, 6)
+                       AS q_punct_ratio,
+                     round(
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                       / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                          END, 1)::DOUBLE, 6) AS q_mean_word_len
+              FROM lang_keep
+            ), quality_keep AS (
+              SELECT doc_id, text FROM q
+              WHERE q_tokens >= 5 AND q_mean_word_len <= 20.0
+                AND q_punct_ratio <= 0.3
+            ), lm_w2 AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(regexp_replace(
+                         trim(text), '\\s+', ' ', 'g')), ' ')) AS w
+                FROM quality_keep
+              ) WHERE w <> ''
+            ), lm_counts AS (
+              SELECT w, COUNT(*) AS cnt FROM lm_w2 GROUP BY w
+            ), lm_tot AS (
+              SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM lm_counts
+            ), lm_vocab AS (
+              SELECT w, CAST(round(ln(cnt / total) * 1000000) AS BIGINT)
+                       AS lp
+              FROM lm_counts, lm_tot
+              ORDER BY cnt DESC, w ASC LIMIT 65536
+            ), lm_oov AS (
+              SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT)
+                       AS oov
+              FROM lm_tot
+            ), lm_score AS (
+              SELECT d.doc_id,
+                     CAST(floor(SUM(COALESCE(v.lp, o.oov)) / COUNT(*))
+                          AS BIGINT) AS lp_mean
+              FROM lm_w2 d
+              LEFT JOIN lm_vocab v USING (w)
+              CROSS JOIN lm_oov o
+              GROUP BY d.doc_id
+            ), lm_keep AS (
+              SELECT k.doc_id, k.text FROM quality_keep k
+              JOIN lm_score s USING (doc_id)
+              WHERE s.lp_mean >= -3450000
+            ), exact_keep AS (
+              SELECT doc_id, text FROM lm_keep
+              WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM lm_keep
+                GROUP BY md5(lower(regexp_replace(trim(text), '\\s+',
+                                                  ' ', 'g')))
+              )
+            ), sp_toks AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                       AS t,
+                     string_split(lower(regexp_replace(trim(text),
+                       '\\s+', ' ', 'g')), ' ') AS w
+              FROM exact_keep
+            ), sp_exp AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 9)) AS i
+              FROM sp_toks WHERE len(w) >= 10
+            ), sp_spans AS (
+              SELECT doc_id, array_to_string(w[i : i + 9], ' ') AS span
+              FROM sp_exp
+              UNION ALL
+              SELECT doc_id, t AS span FROM sp_toks WHERE len(w) < 10
+            ), sp_tot AS (
+              SELECT span, COUNT(*) AS tot FROM sp_spans GROUP BY span
+            ), sp_frac AS (
+              SELECT s.doc_id,
+                     round(SUM(CASE WHEN t.tot > 1 THEN 1 ELSE 0 END)
+                           / COUNT(*)::DOUBLE, 6) AS f
+              FROM sp_spans s JOIN sp_tot t USING (span)
+              GROUP BY s.doc_id
+            ), span_keep AS (
+              SELECT e.doc_id FROM exact_keep e
+              JOIN sp_frac USING (doc_id) WHERE f <= 0.5
+            ), losers AS (
+              SELECT doc_id FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/curate_full_losers/*.parquet')
+            )
+            SELECT 'input' AS stage,
+                   (SELECT COUNT(*) FROM documents) AS n_docs
+            UNION ALL SELECT 'lang_filter', COUNT(*) FROM lang_keep
+            UNION ALL SELECT 'quality_filter', COUNT(*) FROM quality_keep
+            UNION ALL SELECT 'lm_filter', COUNT(*) FROM lm_keep
+            UNION ALL SELECT 'exact_dedup', COUNT(*) FROM exact_keep
+            UNION ALL SELECT 'span_filter', COUNT(*) FROM span_keep
+            UNION ALL SELECT 'near_dup_removal',
+              (SELECT COUNT(*) FROM span_keep
                WHERE doc_id NOT IN (SELECT doc_id FROM losers))
         """,
         # Rerun the IVF probe search independently: candidates from

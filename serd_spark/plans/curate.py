@@ -46,9 +46,22 @@ def curate_documents(
     max_mean_word_len: float = 20.0,
     max_punct_ratio: float = 0.3,
     near_dup_threshold: float = 0.8,
+    min_lp_mean_micros: int | None = None,
+    max_dup_span_frac: float | None = None,
     collect_metrics: bool = True,
 ) -> CurationResult:
     """Filter-and-dedup chain with per-stage survivor metrics.
+
+    Optional stages (both default-off, preserving the classic
+    5-stage funnel):
+    - ``min_lp_mean_micros``: after the quality filter, drop documents
+      whose mean unigram log-probability (model fit on the surviving
+      corpus itself, integer micros — see corpus.unigram_logprob) is
+      below the floor: the cheap deterministic stand-in for
+      perplexity filtering of gibberish.
+    - ``max_dup_span_frac``: after exact dedup, drop documents whose
+      corpus-duplicated k-token span fraction exceeds the cap
+      (boilerplate / template-heavy pages).
 
     ``collect_metrics=False`` skips the per-stage counts (each is an
     action) for production runs that only want the final frame.
@@ -82,8 +95,28 @@ def curate_documents(
         ).select(*docs.columns),
     )
 
+    # 2.5 (optional) unigram-LM score floor
+    if min_lp_mean_micros is not None:
+        from serd_spark.operators.corpus import unigram_logprob
+
+        lm = unigram_logprob(good, text_col=text_col, id_col=id_col)
+        keep = lm.filter(
+            F.col("lp_mean_micros") >= min_lp_mean_micros
+        ).select(id_col)
+        good = note("lm_filter", good.join(keep, id_col, "left_semi"))
+
     # 3. exact dedup (normalized-content fingerprint, min-id survivor)
     exact = note("exact_dedup", drop_exact_dups(good, id_col, text_col))
+
+    # 3.5 (optional) duplicated-span fraction cap
+    if max_dup_span_frac is not None:
+        from serd_spark.operators.corpus import span_dedup_stats
+
+        spans = span_dedup_stats(exact, text_col=text_col, id_col=id_col)
+        keep = spans.filter(
+            F.col("dup_frac") <= max_dup_span_frac
+        ).select(id_col)
+        exact = note("span_filter", exact.join(keep, id_col, "left_semi"))
 
     # 4. near-dup removal: from each MinHash-verified pair, drop the
     # larger id (transitively: keeping ids that are never the larger

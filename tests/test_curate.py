@@ -68,3 +68,32 @@ def test_near_dup_survivor_is_numeric_min(spark):
     )
     kept = {r.doc_id for r in res.curated.collect()}
     assert kept == {9}
+
+
+def test_curate_optional_lm_and_span_stages(spark, docs):
+    # both optional stages on, with thresholds chosen so each stage
+    # verifiably acts: a permissive LM floor keeps everything (the
+    # stage still runs and reports), while the span cap at k=10
+    # removes the doc whose spans all recur in another doc
+    res = curate_documents(
+        docs, keep_langs=("en",), min_tokens=5,
+        max_punct_ratio=0.2, near_dup_threshold=0.999,
+        min_lp_mean_micros=-100_000_000, max_dup_span_frac=0.4,
+    )
+    m = dict(res.metrics)
+    assert m["lm_filter"] == m["quality_filter"]  # permissive floor
+    stages = [s for s, _ in res.metrics]
+    assert stages.index("lm_filter") < stages.index("exact_dedup")
+    assert stages.index("exact_dedup") < stages.index("span_filter")
+    # docs 0 and 2 share their first 10-token span ("the cat ... dog")
+    # → both exceed a 0.4 dup-span cap; 6 is span-unique
+    assert m["span_filter"] < m["exact_dedup"]
+    kept = {r.doc_id for r in res.curated.collect()}
+    assert 6 in kept and 2 not in kept
+
+    # a harsh LM floor drops everything downstream
+    res2 = curate_documents(
+        docs, keep_langs=("en",), min_tokens=5,
+        max_punct_ratio=0.2, min_lp_mean_micros=0,
+    )
+    assert dict(res2.metrics)["lm_filter"] == 0
