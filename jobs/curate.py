@@ -22,6 +22,16 @@ def main() -> int:
     ap.add_argument("--langs", default="en")
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--near-dup-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--min-lp-mean-micros", type=int, default=None,
+        help="unigram-LM mean log-prob floor in micros (e.g. -3500000);"
+             " omit to skip the LM filter stage",
+    )
+    ap.add_argument(
+        "--max-dup-span-frac", type=float, default=None,
+        help="cap on the corpus-duplicated 10-token span fraction "
+             "(e.g. 0.5); omit to skip the span-dedup stage",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -35,6 +45,8 @@ def main() -> int:
         keep_langs=tuple(args.langs.split(",")),
         min_tokens=args.min_tokens,
         near_dup_threshold=args.near_dup_threshold,
+        min_lp_mean_micros=args.min_lp_mean_micros,
+        max_dup_span_frac=args.max_dup_span_frac,
     )
     res.curated.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"stages": res.metrics}))

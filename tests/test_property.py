@@ -221,3 +221,27 @@ def test_lax_parse_never_crashes_on_syntax_soup(doc):
         "http://page/", lax=True,
     )
     assert isinstance(triples, list) and isinstance(errors, list)
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24), st.sampled_from([3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_vp8l_round_trip(w, h, nch, seed):
+    """Any RGB/RGBA image round-trips bit-exactly through the VP8L
+    encoder/decoder (canonical prefix codes + LZ77)."""
+    import numpy as np
+
+    from serd_spark.operators.vp8l_codec import decode_vp8l, encode_vp8l
+
+    rng = np.random.default_rng(seed)
+    # mix of random pixels and runs (exercises literals AND backrefs)
+    px = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    if seed % 3 == 0:
+        px[: h // 2 + 1] = px[0, 0]
+    dec = decode_vp8l(encode_vp8l(px))
+    assert dec.shape == (h, w, 4)
+    assert np.array_equal(dec[..., :nch], px)
+    if nch == 3:
+        assert (dec[..., 3] == 255).all()
