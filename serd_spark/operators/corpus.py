@@ -49,19 +49,23 @@ def span_hashes(col: Column, k: int = 10) -> Column:
     has >= 1 span and short exact-dups still collide.
 
     64-bit keys, not md5: the span-frequency shuffle and join then
-    carry 8-byte bigints instead of 32-char hex strings (measured ~6%
-    end-to-end locally, ~4x less shuffle payload at cluster scale).
-    Collision cost at 100 TB (~1e13 spans): expected ~(1e13)^2/2^65 ≈
-    3e6 false-dup span marks, a ~3e-7 relative error in dup_frac —
-    noise for a filtering signal (and zero at oracle scale, so the
-    DuckDB mirror, which keys on the raw gram text, stays exact)."""
+    carry 8-byte bigints instead of 32-char hex strings (~4x less
+    shuffle payload at cluster scale). The hash runs over the token
+    ARRAY slice directly — no per-window gram string is ever built
+    (measured: concat_ws+hash 7.06 s vs array-hash 6.66 s min-of-3 at
+    sf0.1 local[32]; equality semantics identical since normalized
+    tokens cannot contain the joiner). Collision cost at 100 TB
+    (~1e13 spans): expected ~(1e13)^2/2^65 ≈ 3e6 false-dup span
+    marks, a ~3e-7 relative error in dup_frac — noise for a filtering
+    signal (and zero at oracle scale, so the DuckDB mirror, which
+    keys on the raw gram text, stays exact)."""
     norm = _norm(col)
     toks = F.split(norm, " ")
     n = F.size(toks)
     return F.when(n < k, F.array(F.xxhash64(norm))).otherwise(
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.xxhash64(F.slice(toks, i, k)),
         )
     )
 
