@@ -25,9 +25,10 @@ Scale notes (100 TB):
 - ``domain_stats``: one hash aggregate keyed by host (bounded keyspace,
   heavy map-side combine); no text is shuffled, only (host, counters).
 
-Determinism: md5 span keys, fixed tie-breaks (count DESC, word ASC)
-for the vocab cut, and per-row float math rounded to integer micros
-before any cross-row sum — all independently replayable by the DuckDB
+Determinism: xxhash64 span keys (the oracle keys on raw gram text —
+see ``span_hashes``), fixed tie-breaks (count DESC, word ASC) for the
+vocab cut, and per-row float math rounded to integer micros before
+any cross-row sum — all independently replayable by the DuckDB
 oracles in ``__spark_entry__.py``.
 """
 
@@ -79,7 +80,7 @@ def span_dedup_stats(
     """Per-document duplicated-span statistics — the MassiveText /
     RefinedWeb-style exact-substring dedup signal, shaped for Spark:
     corpus-duplicated k-token windows are found by a frequency count
-    over md5 span hashes, and each document reports how much of it is
+    over xxhash64 span hashes, and each document reports how much of it is
     made of spans that occur elsewhere (or more than once).
 
     Returns (id_col, n_spans, n_dup_spans, dup_frac) where a span is
@@ -206,7 +207,12 @@ def stratified_sample(
 
 
 def _rate_hex(rate: float) -> str:
-    """keep-probability → 8-hex-char threshold (cut at rate * 2^32)."""
+    """keep-probability → 8-hex-char threshold (cut at rate * 2^32).
+    rate >= 1.0 returns 'g': 'g' > 'f' in the first character, so
+    every hex bucket compares below it — a true keep-everything, not
+    a 1-in-2^32 silent drop of the 'ffffffff' bucket."""
+    if rate >= 1.0:
+        return "g"
     v = min(max(int(round(rate * (1 << 32))), 0), (1 << 32) - 1)
     return format(v, "08x")
 

@@ -868,8 +868,11 @@ def mp4_sample_table(payload: bytes) -> list[tuple[int, int, int]]:
 
     # stts → per-sample decode deltas (run-length encoded)
     (n_ent,) = struct.unpack_from(">I", stts, 4)
+    n_ent = min(n_ent, _MAX_MP4_SAMPLES)
+    if len(stts) < 8 + 8 * n_ent:
+        raise ValueError("stts table shorter than declared count")
     deltas: list[int] = []
-    for e in range(min(n_ent, _MAX_MP4_SAMPLES)):
+    for e in range(n_ent):
         cnt, delta = struct.unpack_from(">II", stts, 8 + 8 * e)
         if len(deltas) + cnt > _MAX_MP4_SAMPLES:
             raise ValueError("implausible stts sample count")
@@ -889,9 +892,12 @@ def mp4_sample_table(payload: bytes) -> list[tuple[int, int, int]]:
 
     # stsc runs + stco chunk offsets → per-sample byte offsets
     (n_runs,) = struct.unpack_from(">I", stsc, 4)
+    n_runs = min(n_runs, _MAX_MP4_SAMPLES)
+    if len(stsc) < 8 + 12 * n_runs:
+        raise ValueError("stsc table shorter than declared count")
     runs = [
         struct.unpack_from(">III", stsc, 8 + 12 * r)[:2]
-        for r in range(min(n_runs, _MAX_MP4_SAMPLES))
+        for r in range(n_runs)
     ]
     (n_chunks,) = struct.unpack_from(">I", stco, 4)
     if n_chunks > _MAX_MP4_SAMPLES or len(stco) < 8 + 4 * n_chunks:
@@ -901,11 +907,13 @@ def mp4_sample_table(payload: bytes) -> list[tuple[int, int, int]]:
     out: list[tuple[int, int, int]] = []
     pts = 0
     si = 0
+    per = 1
+    ri = 0  # stsc runs are sorted by first_chunk: advance a single
+    #         pointer instead of rescanning runs per chunk (O(n+m))
     for ci in range(n_chunks):
-        per = 1
-        for first, spc in runs:
-            if first <= ci + 1:
-                per = spc
+        while ri < len(runs) and runs[ri][0] <= ci + 1:
+            per = runs[ri][1]
+            ri += 1
         off = chunk_offs[ci]
         for _ in range(per):
             if si >= n:
@@ -1238,11 +1246,21 @@ def sample_frames(
                 b = bytes(raw) if raw is not None else b""
                 try:
                     table = mp4_sample_table(b)
+                    if not table:
+                        continue
+                    # bound the sampling schedule by the DECLARED last
+                    # pts BEFORE allocating: a tiny payload declaring
+                    # a huge stts delta (or timescale 1) must not
+                    # arange() gigabytes in either mode
+                    n_instants = table[-1][0] // every_ms + 1
+                    if n_instants > _MAX_MP4_SAMPLES:
+                        raise ValueError(
+                            f"implausible sampling span: {n_instants} "
+                            f"instants at every_ms={every_ms}"
+                        )
                 except Exception:
                     if strict:
                         raise
-                    continue
-                if not table:
                     continue
                 ptss = np.array([p for p, _, _ in table], dtype=np.int64)
                 ts = np.arange(0, int(ptss[-1]) + 1, every_ms,

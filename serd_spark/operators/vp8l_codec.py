@@ -236,6 +236,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
             sym0 = br.read(8)
         else:
             sym0 = br.read(1)
+        if sym0 >= alphabet_size:
+            raise ValueError("simple code symbol out of range")
         lengths = [0] * alphabet_size
         if num_symbols == 1:
             lengths[sym0] = 1
@@ -257,6 +259,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         1 for x in clc_len if x
     ) > 1 else None
     clc_single = next((s for s, x in enumerate(clc_len) if x), None)
+    if clc is None and clc_single is None:
+        raise ValueError("VP8L code-length code has no symbols")
     if br.read(1):  # explicit max_symbol
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
@@ -317,7 +321,8 @@ def encode_vp8l(px: np.ndarray) -> bytes:
     h, w = int(px.shape[0]), int(px.shape[1])
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("VP8L dimensions must be in [1, 16384]")
-    if px.shape[2] == 3:
+    has_alpha = px.shape[2] == 4
+    if not has_alpha:
         a = np.full((h, w, 1), 255, dtype=np.uint8)
         px = np.concatenate([px, a], axis=2)
     flat = px.reshape(-1, 4).astype(np.uint32)
@@ -373,7 +378,7 @@ def encode_vp8l(px: np.ndarray) -> bytes:
     bw.write(0x2F, 8)  # signature
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(1 if px.shape[2] == 4 else 0, 1)  # alpha hint
+    bw.write(1 if has_alpha else 0, 1)  # alpha hint (pre-expansion)
     bw.write(0, 3)  # version
     bw.write(0, 1)  # no transforms
     bw.write(0, 1)  # no color cache

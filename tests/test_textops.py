@@ -790,3 +790,70 @@ def test_vp8l_decoder_is_crash_free_on_corrupt_input():
     bomb[21:25] = (0x3FFF | (0x3FFF << 14)).to_bytes(4, "little")
     with _pytest.raises((ValueError, NotImplementedError)):
         vc.decode_vp8l(bytes(bomb), max_pixels=1 << 20)
+
+
+def test_sample_frames_bounds_declared_pts(spark):
+    # a tiny payload declaring a huge stts delta must not allocate a
+    # giant sampling schedule: lax skips the row, strict raises
+    import pytest as _pytest
+
+    bomb = multimodal.encode_mp4_meta(
+        1000, width=8, height=8,
+        sample_sizes=[10] * 5, sample_delta_ms=4_000_000_000,
+    )
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(bomb))],
+        "media_id long, kind string, payload binary",
+    )
+    assert multimodal.sample_frames(media).count() == 0
+    with _pytest.raises(Exception, match="implausible sampling span"):
+        multimodal.sample_frames(media, strict=True).count()
+
+
+def test_vp8l_adversarial_streams_raise_value_error():
+    import pytest as _pytest
+
+    from serd_spark.operators import vp8l_codec as vc
+
+    def header(bw):
+        bw.write(0x2F, 8)
+        bw.write(0, 14)  # w-1
+        bw.write(0, 14)  # h-1
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(0, 1)  # no transforms
+        bw.write(0, 1)  # no cache
+        bw.write(0, 1)  # no meta
+
+    def simple1(bw, sym):
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # 1 symbol
+        bw.write(1, 1)  # 8-bit
+        bw.write(sym, 8)
+
+    # distance code simple-form symbol 200 >= alphabet 40
+    bw = vc._BitWriter()
+    header(bw)
+    for _ in range(4):  # green, red, blue, alpha
+        simple1(bw, 0)
+    simple1(bw, 200)  # distance: out of range
+    with _pytest.raises(ValueError, match="out of range"):
+        vc.decode_vp8l(bw.bytes())
+
+    # code-length code with ALL zero lengths
+    bw = vc._BitWriter()
+    header(bw)
+    bw.write(0, 1)  # normal form for green
+    bw.write(0, 4)  # n_clc = 4
+    for _ in range(4):
+        bw.write(0, 3)  # all CLC lengths zero
+    with _pytest.raises(ValueError, match="no symbols"):
+        vc.decode_vp8l(bw.bytes())
+
+
+def test_stratified_rate_one_keeps_everything(spark):
+    from serd_spark.operators.corpus import stratified_sample
+
+    rows = [(i, "t", "en") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    assert stratified_sample(d, {"en": 1.0}).count() == 50
