@@ -1138,6 +1138,38 @@ _SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
 _SAMPLE_DEFAULT = 0.05
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via catalog-registered bucketed tables: orders
+    and customer are bucketed+sorted on custkey with the same bucket
+    count, so the join plan proves co-location and elides the shuffle
+    (asserted by test_plans; the oracle checks the RESULT against a
+    plain SQL join). At 100 TB this is the difference between
+    re-shuffling the fact table per query and reading it in place."""
+    from serd_spark.operators.materialize import write_bucketed_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = f"/tmp/serd_spark_bucketed/{tag}"
+    write_bucketed_table(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        f"bt_orders_{tag}", "o_custkey", 8, path=f"{base}/orders",
+    )
+    write_bucketed_table(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        f"bt_customer_{tag}", "c_custkey", 8, path=f"{base}/customer",
+    )
+    bo = spark.table(f"bt_orders_{tag}")
+    bc = spark.table(f"bt_customer_{tag}")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).cast("long")
+            .alias("sum_cents"),
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash-threshold sampling. sum(doc_id)
     pins the exact membership of the kept set, not just its size; the
@@ -1221,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_unigram_lm": q_unigram_lm,
         "q_domain_stats": q_domain_stats,
+        "q_bucketed_join": q_bucketed_join,
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf": q_tfidf,
         "q_keyword_search": q_keyword_search,
@@ -2144,6 +2177,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(b) AS BIGINT) AS sum_bytes,
                    CAST(floor(SUM(b) / COUNT(*)) AS BIGINT) AS mean_bytes
             FROM p GROUP BY host
+        """,
+        # The bucketed join's RESULT must equal a plain relational
+        # join — bucketing is a physical-layout property only.
+        "q_bucketed_join": """
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         # Byte-identical md5-hex threshold comparison: fixed-width
         # lowercase hex strings order exactly like the 32-bit cut

@@ -92,3 +92,30 @@ def write_triples(
         .partitionBy("subj_bucket")
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Catalog-registered Hive-style bucketed table (``bucketBy`` +
+    ``sortBy`` + ``saveAsTable``): unlike the directory-bucketed
+    parquet above, the bucketing METADATA lives in the catalog, so
+    Spark's planner proves co-location and elides the shuffle when two
+    tables bucketed on the same key with the same count are joined —
+    the dominant-join killer at 100 TB (a fact table joined on its
+    bucket key shuffles ZERO bytes; only the probe side's map-side
+    work remains). ``path`` makes it an external table (default:
+    session warehouse dir)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

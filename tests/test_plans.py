@@ -87,3 +87,47 @@ def test_extraction_is_shuffle_free(spark, tmp_path):
         )
     )
     assert "Exchange" not in p  # the fused pipeline has no shuffle
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key with equal bucket
+    counts must join WITHOUT an Exchange (co-location proven by
+    catalog metadata) — the raw-parquet join of the same data keeps
+    its shuffles."""
+    from serd_spark.operators.materialize import write_bucketed_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed_table(
+        orders, "tp_bt_orders", "o_custkey", 4,
+        path=str(tmp_path / "orders"),
+    )
+    write_bucketed_table(
+        customer, "tp_bt_customer", "c_custkey", 4,
+        path=str(tmp_path / "customer"),
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # disable broadcast + AQE so the plan shows the raw strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        bo = spark.table("tp_bt_orders")
+        bc = spark.table("tp_bt_customer")
+        bucketed = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan_b, plan_b
+        plain = orders.join(customer,
+                            orders.o_custkey == customer.c_custkey)
+        plan_p = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan_p
+        # physical layout must not change the answer
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
