@@ -1203,6 +1203,62 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(d, ["spark", "query"])
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark 13-gram decontamination. The "benchmark" is a
+    deterministic slice of the corpus itself (doc_id % 37 == 0), so
+    contamination provably exists: those docs self-hit at 1.0 and any
+    cross-doc shared 13-gram surfaces. The benchmark span set is
+    broadcast; the corpus side never shuffles text."""
+    from serd_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(d, bench, k=13)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click matched to the user's latest
+    view at-or-before it — the union+window as-of shape (ONE shuffle
+    on user_id, no inequality-join row blowup). Ties on (user, ts)
+    break by max view event_id; timestamps emitted as formatted
+    strings and the gap in whole seconds for cross-engine equality."""
+    from serd_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof_join(clicks, views, on="user_id", ts="ts", tie_col="event_id")
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.col("event_id_r").alias("view_id"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).cast("long").alias("gap_s"),
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-micros PageRank over the customer–supplier bipartite
+    graph (distinct (o_custkey, l_suppkey) trade pairs, mirrored to
+    undirected; node ids disjoint via 2k / 2k+1). 5 iterations of
+    join+aggregate with per-iteration lineage cuts — the KG
+    hub-entity scoring shape."""
+    from serd_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, n_iter=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -1257,6 +1313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf": q_tfidf,
         "q_keyword_search": q_keyword_search,
+        "q_decontaminate": q_decontaminate,
+        "q_asof_join": q_asof_join,
+        "q_pagerank": q_pagerank,
     }
 
 
@@ -1275,6 +1334,50 @@ def _lang_case_sql() -> str:
           ELSE 'und'
         END
     """
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping_pct: int = 85) -> str:
+    """Replays operators/graph.py's integer-micros PageRank as chained
+    CTEs — one per iteration, identical floor-division arithmetic, so
+    the match is bit-exact (integer sums are order-independent)."""
+    head = f"""
+        WITH dir_edges AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+          SELECT src, dst FROM dir_edges
+          UNION
+          SELECT dst AS src, src AS dst FROM dir_edges
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), params AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST((1000000 * {100 - damping_pct}) // (100 * COUNT(*))
+                      AS BIGINT) AS base,
+                 CAST(1000000 // COUNT(*) AS BIGINT) AS r0
+          FROM nodes
+        ), r0 AS (
+          SELECT node, (SELECT r0 FROM params) AS rank_micros FROM nodes
+        )"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f""", r{i} AS (
+          SELECT nd.node,
+                 CAST((SELECT base FROM params)
+                      + ({damping_pct} * COALESCE(infl.s, 0)) // 100
+                      AS BIGINT) AS rank_micros
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(r.rank_micros // d.deg) AS BIGINT) AS s
+            FROM r{i - 1} r
+            JOIN edges e ON e.src = r.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) infl ON infl.node = nd.node
+        )""")
+    return head + "".join(iters) + f"\n        SELECT node, rank_micros FROM r{n_iter}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2258,4 +2361,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             HAVING COUNT(DISTINCT w) = 2
         """,
+        # Re-shingle 13-grams and replay the benchmark overlap with
+        # raw gram TEXT keys (Spark keys by xxhash64 — identical
+        # counts absent collisions, which are absent at oracle scale).
+        "q_decontaminate": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, t, string_split(t, ' ') AS w FROM norm
+            ), spans AS (
+              SELECT doc_id, array_to_string(w[i : i + 12], ' ') AS span
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 12)) AS i
+                    FROM toks WHERE len(w) >= 13)
+              UNION ALL
+              SELECT doc_id, t AS span FROM toks WHERE len(w) < 13
+            ), bench AS (
+              SELECT DISTINCT span, 1 AS hit FROM spans WHERE doc_id % 37 = 0
+            )
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(COALESCE(b.hit, 0)) AS BIGINT) AS n_hit,
+                   round(SUM(COALESCE(b.hit, 0)) / COUNT(*)::DOUBLE, 6)
+                     AS hit_frac
+            FROM spans s LEFT JOIN bench b USING (span)
+            GROUP BY s.doc_id
+        """,
+        # Replay the as-of match as an inequality join + argmax —
+        # fine at oracle scale, exactly the blowup the Spark
+        # union+window shape avoids. Same (ts DESC, id DESC) winner.
+        "q_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), views AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'
+            ), pairs AS (
+              SELECT c.event_id AS click_id, c.user_id,
+                     c.ts AS cts, v.event_id AS view_id, v.ts AS vts,
+                     row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY v.ts DESC NULLS LAST,
+                                v.event_id DESC NULLS LAST
+                     ) AS rn
+              FROM clicks c LEFT JOIN views v
+                ON v.user_id = c.user_id AND v.ts <= c.ts
+            )
+            SELECT click_id, user_id,
+                   strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   view_id,
+                   strftime(vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+                   CAST(FLOOR(epoch(cts)) - FLOOR(epoch(vts)) AS BIGINT)
+                     AS gap_s
+            FROM pairs WHERE rn = 1
+        """,
+        "q_pagerank": _pagerank_oracle_sql(n_iter=5),
     }

@@ -112,20 +112,29 @@ def span_dedup_stats(
         F.col(id_col), F.explode(span_hashes(F.col(text_col), k)).alias("span")
     )
     # reduce to (doc, span, multiplicity) before anything else: the
-    # partial aggregate collapses within-doc repeats map-side, and the
-    # checkpoint lets two consumers share ONE scan+shingle pass.
-    doc_spans = (
-        spans.groupBy(id_col, "span")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(eager=False)
+    # partial aggregate collapses within-doc repeats map-side. Both
+    # consumers below sit on this SAME aggregate, so its shuffle is
+    # written once and read twice (ReusedExchange — verified in plan;
+    # an explicit localCheckpoint measured ~1 s SLOWER at sf0.1: the
+    # RDD materialization barrier buys nothing the shuffle files
+    # don't already provide).
+    doc_spans = spans.groupBy(id_col, "span").agg(F.count(F.lit(1)).alias("m"))
+    # join back ONLY the duplicated spans (tot > 1): in a web corpus
+    # most spans are unique, so the join side shrinks by the unique
+    # fraction — small enough for AQE to broadcast at bench scale,
+    # and far less shuffle at 100 TB where it stays a sort-merge.
+    dup_spans = (
+        doc_spans.groupBy("span")
+        .agg(F.sum("m").alias("tot"))
+        .filter(F.col("tot") > 1)
+        .select("span", F.lit(1).alias("_dup"))
     )
-    span_tot = doc_spans.groupBy("span").agg(F.sum("m").alias("tot"))
     per_doc = (
-        doc_spans.join(span_tot, "span")
+        doc_spans.join(dup_spans, "span", "left")
         .groupBy(id_col)
         .agg(
             F.sum("m").cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("tot") > 1, F.col("m")).otherwise(F.lit(0)))
+            F.sum(F.when(F.col("_dup") == 1, F.col("m")).otherwise(F.lit(0)))
             .cast("long")
             .alias("n_dup_spans"),
         )
@@ -135,6 +144,55 @@ def span_dedup_stats(
         )
     )
     return per_doc
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination signal: per training document, how
+    many of its k-token spans also appear in an evaluation benchmark
+    (the GPT-3 appendix-C / RefinedWeb 13-gram overlap rule). The
+    usual gate drops documents with ``hit_frac`` above a threshold
+    (or any hit at all for strict eval hygiene).
+
+    Scale shape: a benchmark is MBs while the corpus is TBs, so the
+    benchmark's distinct span-hash set is broadcast and the corpus
+    side never shuffles — the only wide exchange is the final per-doc
+    aggregate of (id, counters), which partial-combines map-side.
+    Spans are keyed by ``span_hashes`` (xxhash64 over the token-array
+    window, multiset per doc; see that docstring for the collision
+    budget — false hits at 100 TB are ~1e-7 relative, and zero at
+    oracle scale where the DuckDB mirror re-keys by raw gram text).
+
+    Returns (id_col, n_spans, n_hit, hit_frac) with multiset
+    semantics: a span repeated in the document counts each time, so
+    ``hit_frac`` is the contaminated fraction of the document's span
+    stream. ``hit_frac`` is rounded to 6 dp.
+    """
+    docs = _min_parallelism(docs)
+    bench_spans = (
+        benchmark.select(
+            F.explode(span_hashes(F.col(text_col), k)).alias("span")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    spans = docs.select(
+        F.col(id_col), F.explode(span_hashes(F.col(text_col), k)).alias("span")
+    )
+    return (
+        spans.join(F.broadcast(bench_spans), "span", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn("hit_frac", F.round(F.col("n_hit") / F.col("n_spans"), 6))
+    )
 
 
 def unigram_logprob(

@@ -1,0 +1,85 @@
+"""Iterative graph ranking over an edge table — hub-entity scoring
+for the constructed KG (which entities dominate the link graph), the
+same shape GraphX/Pregel jobs use, re-expressed as DataFrame joins so
+it runs on plain Spark SQL with AQE.
+
+Determinism across engines: PageRank is a float fixpoint, and float
+summation order differs between Spark and any mirror — so every
+quantity here is INTEGER MICROS with floor division at each step
+(contribution = r // deg, damping = (d_pct * inflow) // 100). Integer
+sums are associative, so the DuckDB oracle replaying the same
+iterations over the same parquet matches bit-for-bit. The floor bias
+(< 1 micro per step) is irrelevant for a ranking signal.
+
+Scale shape: the degree-annotated edge table is built ONCE and
+localCheckpointed; each iteration is one hash join (ranks × edges on
+src — ranks is nodes-sized, i.e. tiny next to edges, so AQE
+broadcasts it when it fits) plus one partial-combining aggregate on
+dst. Lineage is cut per iteration so the plan stays flat at any
+iteration count. No driver-side collect anywhere: the only scalar is
+the node count (one agg job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_UNIT = 1_000_000  # total rank mass of 1.0, in micros
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    undirected: bool = True,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over an edge list; returns (node, rank_micros).
+
+    ``edges`` — (src, dst) pairs; parallel edges are collapsed.
+    ``undirected=True`` mirrors every edge (the entity-link graph is
+    symmetric). ``damping_pct`` is the damping factor in percent so
+    the arithmetic stays integral. Isolated nodes never appear (an
+    edge list has no degree-0 nodes once mirrored); dangling nodes
+    cannot exist in an undirected graph, so no dangling-mass term.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct()
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # one wide table reused every iteration: (src, dst, deg)
+    edges_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+
+    n = nodes.count()
+    base = (RANK_UNIT * (100 - damping_pct)) // (100 * n)
+    ranks = nodes.withColumn("rank_micros", F.lit(RANK_UNIT // n).cast("long"))
+
+    for _ in range(n_iter):
+        contrib = edges_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.floor(F.col("rank_micros") / F.col("deg")).cast("long").alias("c"),
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damping_pct) * F.coalesce(F.col("inflow"), F.lit(0)) / 100
+                    )
+                )
+                .cast("long")
+                .alias("rank_micros"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1,0 +1,103 @@
+"""as-of join (operators/asof.py) and integer PageRank
+(operators/graph.py)."""
+
+from datetime import datetime
+
+from serd_spark.operators.asof import asof_join
+from serd_spark.operators.graph import pagerank
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, v string")
+
+
+def test_asof_basic_latest_at_or_before(spark):
+    left = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:05"), 100, "c1"),
+            (1, _ts("2024-01-01 10:00:01"), 101, "c2"),
+            (2, _ts("2024-01-01 09:00:00"), 102, "c3"),  # no prior right
+        ],
+    )
+    right = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 200, "v1"),
+            (1, _ts("2024-01-01 10:00:03"), 201, "v2"),
+            (2, _ts("2024-01-01 09:30:00"), 202, "v3"),  # after the click
+        ],
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, on="user_id", ts="ts", tie_col="event_id").collect()
+    }
+    assert out[100]["event_id_r"] == 201 and out[100]["v_r"] == "v2"
+    assert out[101]["event_id_r"] == 200
+    assert out[102]["event_id_r"] is None and out[102]["ts_r"] is None
+
+
+def test_asof_equal_ts_inclusive_and_tiebreak(spark):
+    t = _ts("2024-01-01 12:00:00")
+    left = _events(spark, [(1, t, 100, "c")])
+    right = _events(spark, [(1, t, 200, "a"), (1, t, 201, "b")])
+    out = asof_join(left, right, on="user_id", ts="ts", tie_col="event_id").collect()
+    # same-instant rows are eligible; max event_id wins the tie
+    assert out[0]["event_id_r"] == 201 and out[0]["v_r"] == "b"
+
+
+def test_asof_carried_columns_not_torn(spark):
+    # the LATEST right row has a NULL payload column: the match must
+    # carry (event_id=201, v=None) — not event_id from row 201 with v
+    # backfilled from row 200.
+    left = _events(spark, [(1, _ts("2024-01-01 12:00:10"), 100, "c")])
+    right = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 12:00:01"), 200, "keep"),
+            (1, _ts("2024-01-01 12:00:02"), 201, None),
+        ],
+    )
+    out = asof_join(left, right, on="user_id", ts="ts", tie_col="event_id").collect()
+    assert out[0]["event_id_r"] == 201 and out[0]["v_r"] is None
+
+
+def _pagerank_py(edges, n_iter=5, damping_pct=85):
+    """Independent integer replay of the documented arithmetic."""
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    nodes = sorted({s for s, _ in und} | {d for _, d in und})
+    deg = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    base = (1_000_000 * (100 - damping_pct)) // (100 * n)
+    r = {v: 1_000_000 // n for v in nodes}
+    for _ in range(n_iter):
+        inflow = {v: 0 for v in nodes}
+        for s, d in und:
+            inflow[d] += r[s] // deg[s]
+        r = {v: base + (damping_pct * inflow[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_independent_integer_replay(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micros"] for r in pagerank(df, n_iter=5).collect()}
+    assert got == _pagerank_py(edges, n_iter=5)
+
+
+def test_pagerank_star_center_dominates(spark):
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micros"] for r in pagerank(df, n_iter=3).collect()}
+    assert got[0] > max(got[i] for i in range(1, 6))
+    # leaves are symmetric
+    assert len({got[i] for i in range(1, 6)}) == 1

@@ -150,3 +150,31 @@ def test_keyword_search_conjunctive(spark):
     out = {r.doc_id: r.n_hits for r in
            keyword_search(d, ["spark", "query"]).collect()}
     assert out == {1: 2, 4: 2}  # both terms required; case-folded
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from serd_spark.operators.corpus import decontaminate
+
+    bench_text = " ".join(f"b{i}" for i in range(13))  # exactly one 13-gram
+    clean = " ".join(f"c{i}" for i in range(20))
+    # doc 1 embeds the benchmark 13-gram inside 20 tokens
+    dirty = " ".join([f"x{i}" for i in range(7)]) + " " + bench_text
+    docs = _docs(spark, [(1, dirty), (2, clean)])
+    bench = _docs(spark, [(100, bench_text)])
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, k=13).collect()}
+    assert out[1]["n_spans"] == 8 and out[1]["n_hit"] == 1
+    assert out[1]["hit_frac"] == 0.125
+    assert out[2]["n_spans"] == 8 and out[2]["n_hit"] == 0
+
+
+def test_decontaminate_short_doc_and_multiset(spark):
+    from serd_spark.operators.corpus import decontaminate
+
+    short = "tiny benchmark line"  # < k tokens: whole text is the span
+    twice = " ".join(f"b{i}" for i in range(13))
+    docs = _docs(spark, [(1, short), (2, twice + " " + twice)])
+    bench = _docs(spark, [(100, short), (101, twice)])
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, k=13).collect()}
+    assert out[1]["n_spans"] == 1 and out[1]["n_hit"] == 1
+    # 26 tokens -> 14 spans; spans 1 and 14 are the benchmark gram
+    assert out[2]["n_spans"] == 14 and out[2]["n_hit"] == 2
