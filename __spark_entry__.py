@@ -1259,6 +1259,103 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=5)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: per click, the count and latest id of the same
+    user's views in the preceding 10 minutes (inclusive both ends) —
+    the bucketized-equi-join range join (operators/rangejoin.py), left
+    outer so zero-view clicks appear. The oracle replays it as the
+    naive inequality join, affordable at oracle scale."""
+    from serd_spark.operators.rangejoin import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = range_join(clicks, views, on="user_id", before_s=600, after_s=0, how="left")
+    return out.groupBy("click_id", "user_id").agg(
+        F.count("view_id").cast("long").alias("n_views_10m"),
+        F.max("view_id").alias("last_view_id"),
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentile_disc quantiles of order value in
+    integer cents (operators/stats.py): groupBy(value) first, rank
+    selection over the distinct-value table — no global sort, no
+    sketch approximation."""
+    from serd_spark.operators.stats import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents(F.col("l_extendedprice")).alias("price_cents")
+    )
+    return exact_quantiles(
+        li, "price_cents", [10, 250, 500, 750, 990], by=["l_returnflag"]
+    )
+
+
+BPE_MERGES = 6
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the
+    corpus collapses to a word-frequency table in one pass, then each
+    merge is a weighted pair-count aggregate + total-tie-break argmax
+    + JVM-side greedy fold. The per-iteration symbolization tables are
+    materialized at oracle scale; DuckDB independently recomputes every
+    iteration's pair counts and argmax from them (the fold itself is
+    pinned by tests/test_bpe.py against a pure-Python reference)."""
+    from serd_spark.operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents").select("text")
+
+    def hook(rank: int, syms_df: DataFrame) -> None:
+        _materialize(sf_dir, f"bpe/w{rank}", lambda: syms_df)
+
+    merges = train_bpe(d, n_merges=BPE_MERGES, on_iteration=hook)
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.pair_count) for m in merges],
+        "rank int, merge_left string, merge_right string, pair_count long",
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): global token
+    offsets via a distributed two-level prefix sum (per-block sums +
+    block-offset window over the tiny block table), then budget cuts —
+    no global-order window over the data."""
+    from serd_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, budget_tokens=2048)
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (the streaming-capable session
+    operator — the same expression works under a watermark in
+    Structured Streaming) certified against an independent
+    gaps-and-islands mirror. Semantics pinned: an event at exactly
+    start+gap does NOT extend the session (new session when the
+    inter-event gap is >= 30 min), and the session end is
+    last_event_ts + gap."""
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("sess_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -1316,6 +1413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_asof_join": q_asof_join,
         "q_pagerank": q_pagerank,
+        "q_range_join": q_range_join,
+        "q_quantiles": q_quantiles,
+        "q_bpe_train": q_bpe_train,
+        "q_pack_sequences": q_pack_sequences,
+        "q_session_window": q_session_window,
     }
 
 
@@ -1378,6 +1480,35 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping_pct: int = 85) -> str:
           ) infl ON infl.node = nd.node
         )""")
     return head + "".join(iters) + f"\n        SELECT node, rank_micros FROM r{n_iter}"
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Replays every BPE training iteration independently: for each
+    rank i, DuckDB recomputes the weighted adjacent-pair counts over
+    the materialized symbolization table w{i} (the state BEFORE merge
+    i) and takes the argmax under the same total tie-break
+    (count DESC, left ASC, right ASC). A wrong fold, count, or pick on
+    the Spark side desynchronizes every later iteration."""
+    parts = []
+    for i in range(n_merges):
+        parts.append(f"""
+            SELECT CAST({i} AS INTEGER) AS rank, l AS merge_left,
+                   r AS merge_right, cnt AS pair_count
+            FROM (
+              SELECT syms[i] AS l, syms[i + 1] AS r,
+                     CAST(SUM(freq) AS BIGINT) AS cnt
+              FROM (
+                SELECT freq, syms,
+                       unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM read_parquet('{ORACLE_DIR}/sf0.01/bpe/w{i}/*.parquet')
+              )
+              GROUP BY 1, 2
+              ORDER BY cnt DESC, l ASC, r ASC
+              LIMIT 1
+            )""")
+        # the per-iteration LIMIT must bind inside each branch, so each
+        # SELECT wraps its own ordered subquery before the UNION ALL
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2419,4 +2550,106 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE rn = 1
         """,
         "q_pagerank": _pagerank_oracle_sql(n_iter=5),
+        # Replay the range join as the naive inequality join the Spark
+        # shape deliberately avoids; BETWEEN is inclusive on both ends,
+        # matching range_join's [ts - before, ts + after].
+        "q_range_join": """
+            WITH clicks AS (
+              SELECT event_id AS click_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ), views AS (
+              SELECT event_id AS view_id, user_id, ts FROM events
+              WHERE event_type = 'view'
+            )
+            SELECT c.click_id, c.user_id,
+                   CAST(COUNT(v.view_id) AS BIGINT) AS n_views_10m,
+                   MAX(v.view_id) AS last_view_id
+            FROM clicks c LEFT JOIN views v
+              ON v.user_id = c.user_id
+             AND v.ts BETWEEN c.ts - INTERVAL 600 SECOND AND c.ts
+            GROUP BY c.click_id, c.user_id
+        """,
+        # Replay the percentile_disc rule itself (window cumsum over
+        # the distinct-value table, rank = ceil(q*n/1000) in integer
+        # arithmetic) — NOT quantile_disc(), whose interpolation rule
+        # needn't match bit-for-bit.
+        "q_quantiles": """
+            WITH cents AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem
+            ), counts AS (
+              SELECT l_returnflag, c, COUNT(*) AS cnt
+              FROM cents GROUP BY 1, 2
+            ), cum AS (
+              SELECT l_returnflag, c,
+                     SUM(cnt) OVER (PARTITION BY l_returnflag
+                                    ORDER BY c) AS cu,
+                     SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+              FROM counts
+            ), qs AS (
+              SELECT unnest([10, 250, 500, 750, 990]) AS q_permille
+            )
+            SELECT l_returnflag, CAST(q_permille AS INTEGER) AS q_permille,
+                   CAST(MIN(c) AS BIGINT) AS value
+            FROM cum, qs
+            WHERE cu >= (q_permille * n + 999) // 1000
+            GROUP BY 1, 2
+        """,
+        "q_bpe_train": _bpe_oracle_sql(BPE_MERGES),
+        # The two-level prefix sum must equal the plain global window
+        # cumsum it decomposes; same token rule as q_token_stats.
+        "q_pack_sequences": """
+            WITH counted AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                               THEN 0
+                               ELSE len(regexp_split_to_array(trim(text),
+                                                              '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_offset
+              FROM counted
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 2048 AS seq_first,
+                   greatest(tok_offset, tok_offset + n_tokens - 1) // 2048
+                     AS seq_last
+            FROM cum
+        """,
+        # Gaps-and-islands replay of Spark's native session_window:
+        # a new island when the inter-event gap >= 30 min (an event at
+        # exactly start+gap starts a NEW session); end = last + 30 min.
+        "q_session_window": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                          ) >= INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                          ) IS NULL
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+            ), islands AS (
+              SELECT user_id, ts,
+                     SUM(boundary) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS island
+              FROM ordered
+            )
+            SELECT user_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+                   strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM islands
+            GROUP BY user_id, island
+        """,
     }

@@ -32,6 +32,17 @@ def main() -> int:
         help="cap on the corpus-duplicated 10-token span fraction "
              "(e.g. 0.5); omit to skip the span-dedup stage",
     )
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="parquet of evaluation-benchmark documents (text column); "
+             "when given, a final 13-gram decontamination stage drops "
+             "documents overlapping the benchmark",
+    )
+    ap.add_argument(
+        "--max-hit-frac", type=float, default=0.0,
+        help="max tolerated benchmark-overlap span fraction "
+             "(0.0 = any hit drops the document)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -47,6 +58,10 @@ def main() -> int:
         near_dup_threshold=args.near_dup_threshold,
         min_lp_mean_micros=args.min_lp_mean_micros,
         max_dup_span_frac=args.max_dup_span_frac,
+        benchmark=(
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        ),
+        max_hit_frac=args.max_hit_frac,
     )
     res.curated.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"stages": res.metrics}))

@@ -44,6 +44,9 @@ def pagerank(
     the arithmetic stays integral. Isolated nodes never appear (an
     edge list has no degree-0 nodes once mirrored); dangling nodes
     cannot exist in an undirected graph, so no dangling-mass term.
+    With ``undirected=False`` sink nodes (dst-only) are ranked but
+    their mass is not redistributed — the common simplification;
+    ranks then sum to less than RANK_UNIT.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -53,7 +56,14 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # one wide table reused every iteration: (src, dst, deg)
     edges_deg = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    # mirrored edges put every node in src; a DIRECTED graph also has
+    # sink nodes that only ever appear as dst — they must still hold
+    # rank mass (their absent out-edges leak mass, the standard
+    # no-dangling-redistribution simplification; documented).
+    nodes_col = e.select(F.col("src").alias("node"))
+    if not undirected:
+        nodes_col = nodes_col.unionByName(e.select(F.col("dst").alias("node")))
+    nodes = nodes_col.distinct().localCheckpoint(eager=False)
 
     n = nodes.count()
     base = (RANK_UNIT * (100 - damping_pct)) // (100 * n)

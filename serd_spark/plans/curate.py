@@ -2,9 +2,10 @@
 the training-data operators (OPERATORS.md "Training-data pipeline
 ops") that a 100 TB pre-training corpus build runs after extraction:
 
-    documents → language filter → quality filter → exact dedup →
-    MinHash near-dup removal → curated corpus + per-stage survival
-    metrics
+    documents → language filter → quality filter → [unigram-LM floor]
+    → exact dedup → [duplicated-span cap] → MinHash near-dup removal
+    → [benchmark decontamination] → curated corpus + per-stage
+    survival metrics   (bracketed stages optional, default-off)
 
 Scale posture:
 - language + quality filters are pure WholeStageCodegen expressions —
@@ -48,6 +49,9 @@ def curate_documents(
     near_dup_threshold: float = 0.8,
     min_lp_mean_micros: int | None = None,
     max_dup_span_frac: float | None = None,
+    benchmark: DataFrame | None = None,
+    max_hit_frac: float = 0.0,
+    decontam_k: int = 13,
     collect_metrics: bool = True,
 ) -> CurationResult:
     """Filter-and-dedup chain with per-stage survivor metrics.
@@ -139,6 +143,22 @@ def curate_documents(
     curated = note(
         "near_dup_removal", exact.join(losers, id_col, "left_anti")
     )
+
+    # 5. (optional) benchmark decontamination — LAST, on the smallest
+    # candidate set (the RefinedWeb ordering): drop documents whose
+    # k-gram overlap with the evaluation benchmark exceeds the cap
+    # (0.0 = any hit drops the document). Safe as a semi-join because
+    # span_hashes guarantees >= 1 span per document.
+    if benchmark is not None:
+        from serd_spark.operators.corpus import decontaminate
+
+        hits = decontaminate(
+            curated, benchmark, k=decontam_k, text_col=text_col, id_col=id_col
+        )
+        keep = hits.filter(F.col("hit_frac") <= max_hit_frac).select(id_col)
+        curated = note(
+            "decontaminate", curated.join(keep, id_col, "left_semi")
+        )
 
     return CurationResult(curated=curated, metrics=metrics, losers=losers)
 

@@ -101,3 +101,18 @@ def test_pagerank_star_center_dominates(spark):
     assert got[0] > max(got[i] for i in range(1, 6))
     # leaves are symmetric
     assert len({got[i] for i in range(1, 6)}) == 1
+
+
+def test_pagerank_directed_keeps_sink_nodes(spark):
+    # 3 is a pure sink (dst-only): it must still be ranked, and rank
+    # higher than the symmetric sources feeding it
+    edges = [(1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank(df, n_iter=3, undirected=False).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[3] > got[1] == got[2]
+    # sink mass is not redistributed: total strictly under one unit
+    assert sum(got.values()) < 1_000_000

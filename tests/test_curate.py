@@ -97,3 +97,26 @@ def test_curate_optional_lm_and_span_stages(spark, docs):
         max_punct_ratio=0.2, min_lp_mean_micros=0,
     )
     assert dict(res2.metrics)["lm_filter"] == 0
+
+
+def test_curate_decontaminate_stage(spark, docs):
+    # benchmark shares doc 6's exact sentence; doc 6 must be dropped
+    bench = spark.createDataFrame(
+        [(100, "this is a perfectly normal english sentence about the weather and the sea")],
+        ["doc_id", "text"],
+    )
+    res = curate_documents(
+        docs, keep_langs=("en",), min_tokens=5,
+        max_punct_ratio=0.2, near_dup_threshold=0.5,
+        benchmark=bench, max_hit_frac=0.0,
+    )
+    m = dict(res.metrics)
+    kept = {r.doc_id for r in res.curated.collect()}
+    assert 6 not in kept
+    assert "decontaminate" in m
+    # without the stage, doc 6 survives
+    res2 = curate_documents(
+        docs, keep_langs=("en",), min_tokens=5,
+        max_punct_ratio=0.2, near_dup_threshold=0.5,
+    )
+    assert 6 in {r.doc_id for r in res2.curated.collect()}

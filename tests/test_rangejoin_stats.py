@@ -1,0 +1,125 @@
+"""Range join (operators/rangejoin.py) and exact distributed
+quantiles (operators/stats.py) — each checked against a brute-force
+reference computed in Python over the same rows."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from serd_spark.operators.rangejoin import range_join
+from serd_spark.operators.stats import exact_quantiles
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+
+
+def test_range_join_matches_brute_force(spark):
+    # dense cluster around minute boundaries to exercise bucket edges
+    base = _ts("2024-03-01 12:00:00")
+    lrows = [(1, base + timedelta(seconds=s), 100 + s) for s in range(0, 120, 7)]
+    rrows = [(1, base + timedelta(seconds=s), 200 + s) for s in range(0, 120, 5)]
+    rrows += [(2, base, 300)]  # other key never matches key 1
+    left = _events(spark, lrows)
+    right = _events(spark, rrows).withColumnRenamed("eid", "rid")
+
+    out = range_join(
+        left, right, on="k", before_s=10, after_s=3
+    )
+    got = {(r["eid"], r["rid"]) for r in out.collect()}
+    want = {
+        (le, re)
+        for (lk, lt, le) in lrows
+        for (rk, rt, re) in rrows
+        if lk == rk and lt - timedelta(seconds=10) <= rt <= lt + timedelta(seconds=3)
+    }
+    assert got == want and len(want) > 20
+
+
+def test_range_join_boundary_inclusive_exact(spark):
+    # rows EXACTLY on the window edges and on bucket boundaries
+    base = _ts("2024-03-01 00:00:00")
+    left = _events(spark, [(1, base + timedelta(seconds=60), 1)])
+    right = _events(
+        spark,
+        [
+            (1, base + timedelta(seconds=50), 10),  # == ts - before
+            (1, base + timedelta(seconds=65), 11),  # == ts + after
+            (1, base + timedelta(seconds=49, microseconds=999999), 12),  # out
+            (1, base + timedelta(seconds=65, microseconds=1), 13),  # out
+        ],
+    ).withColumnRenamed("eid", "rid")
+    got = sorted(
+        r["rid"] for r in range_join(left, right, on="k", before_s=10, after_s=5).collect()
+    )
+    assert got == [10, 11]
+
+
+def test_range_join_left_outer_keeps_unmatched_once(spark):
+    base = _ts("2024-03-01 00:00:00")
+    left = _events(spark, [(1, base, 1), (2, base, 2)])
+    right = _events(spark, [(1, base, 10)]).withColumnRenamed("eid", "rid")
+    out = range_join(left, right, on="k", before_s=1, after_s=1, how="left").collect()
+    by_eid = {}
+    for r in out:
+        by_eid.setdefault(r["eid"], []).append(r)
+    assert len(by_eid[1]) == 1 and by_eid[1][0]["rid"] == 10
+    assert len(by_eid[2]) == 1 and by_eid[2][0]["rid"] is None
+
+
+def test_range_join_rejects_bad_args(spark):
+    df = _events(spark, [(1, _ts("2024-01-01 00:00:00"), 1)])
+    with pytest.raises(ValueError):
+        range_join(df, df, on="k", before_s=0, after_s=0)
+    with pytest.raises(ValueError):
+        range_join(df, df, on="k", before_s=1, after_s=1, how="full")
+
+
+def _pdisc(values, q_permille):
+    s = sorted(values)
+    rank = -(-q_permille * len(s) // 1000)  # ceil
+    return s[rank - 1]
+
+
+def test_exact_quantiles_global(spark):
+    vals = [7, 1, 3, 3, 9, 2, 8, 3, 5, 4, 6, 3]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["q_permille"]: r["value"]
+        for r in exact_quantiles(df, "x", [1, 250, 500, 750, 1000]).collect()
+    }
+    assert got == {q: _pdisc(vals, q) for q in (1, 250, 500, 750, 1000)}
+
+
+def test_exact_quantiles_grouped(spark):
+    rows = [("a", v) for v in range(1, 11)] + [("b", v) for v in (5, 5, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        (r["g"], r["q_permille"]): r["value"]
+        for r in exact_quantiles(df, "x", [500, 900], by=["g"]).collect()
+    }
+    assert got[("a", 500)] == _pdisc(range(1, 11), 500)
+    assert got[("a", 900)] == _pdisc(range(1, 11), 900)
+    assert got[("b", 500)] == 5 and got[("b", 900)] == 9
+
+
+def test_exact_quantiles_validates(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "x", [0])
+
+
+def test_exact_quantiles_ignores_nulls(spark):
+    rows = [(1,), (None,), (3,), (None,), (2,)]
+    df = spark.createDataFrame(rows, "x long")
+    got = {
+        r["q_permille"]: r["value"]
+        for r in exact_quantiles(df, "x", [1, 1000]).collect()
+    }
+    assert got == {1: 1, 1000: 3}
