@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from serd_spark.rdf.jsonld import parse_jsonld
 from serd_spark.rdf.microdata import parse_microdata
+from serd_spark.rdf.rdfa import parse_rdfa
 from serd_spark.rdf.model import BLANK, ParseError, Statement, Term
 from serd_spark.rdf.ntriples import parse_nquads, parse_ntriples
 from serd_spark.rdf.turtle import parse_trig, parse_turtle
@@ -194,4 +195,17 @@ def extract_document(
     triples.extend(
         (md_ord, "microdata", scoped(st, md_ord)) for st in md_stmts
     )
+
+    ra_ord = md_ord + 1
+    try:
+        ra_stmts, ra_errs = parse_rdfa(html_text, base, lax=lax)
+    except ParseError as e:  # pragma: no cover - defensive
+        ra_stmts, ra_errs = [], [(e.line, e.col, e.message)]
+    except RecursionError:  # pragma: no cover - adversarial DOM depth
+        if not lax:
+            raise
+        ra_stmts, ra_errs = [], [(0, 0, "DOM nesting depth exceeded")]
+    for le in ra_errs:
+        errors.append((ra_ord, "rdfa", le[0], le[1], le[2]))
+    triples.extend((ra_ord, "rdfa", scoped(st, ra_ord)) for st in ra_stmts)
     return triples, errors

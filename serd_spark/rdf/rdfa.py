@@ -1,0 +1,260 @@
+"""HTML+RDFa Lite → RDF statements.
+
+Implements the RDFa Lite 1.1 attribute set (``vocab``, ``prefix``,
+``typeof``, ``property``, ``resource`` — W3C Rec) plus the RDFa Core
+attributes real-world markup leans on (``about``, ``content``,
+``datatype``, ``href``/``src`` as object sources, ``lang``/
+``xml:lang``), over the same stdlib DOM as ``microdata.py``. This is
+the third structured-data-in-HTML syntax next to JSON-LD and
+microdata — Open Graph ``<meta property="og:...">`` tags and
+schema.org-in-RDFa both land here.
+
+Subset of the Core processing rules (documented divergences):
+- no ``@rel``/``@rev`` chaining and no incomplete triples (those are
+  exactly what RDFa *Lite* removed);
+- property-value precedence follows Core §7.5 step 11: non-empty
+  ``@datatype`` → typed literal; ``@content`` → plain literal;
+  ``@resource``/``@href``/``@src`` → IRI; ``@typeof`` (no ``@about``)
+  → new typed blank/resource node; else the element's text content as
+  a (language-tagged) plain literal;
+- ``@vocab`` sets the term vocabulary for descendants (empty value
+  resets it); ``@prefix`` declares CURIE mappings; a small fixed
+  subset of the W3C RDFa initial context (schema, og, dc, foaf, …) is
+  predeclared;
+- bare terms with no in-scope ``@vocab`` are ignored (per Core);
+- elements whose property value is an IRI (or a typed node) pass that
+  node to their descendants as the new subject, so nested
+  ``resource``/``typeof`` markup chains the way publishers expect.
+
+Blank labels are ``r=1, r=2, …`` — disjoint from the parser labels
+and microdata's ``m=…`` by construction; the caller island-scopes
+them (html_islands.extract_document).
+"""
+
+from __future__ import annotations
+
+from serd_spark.rdf import uri as urimod
+from serd_spark.rdf.microdata import _El, _text_content, _TreeBuilder
+from serd_spark.rdf.model import BLANK, IRI, LITERAL, RDF_TYPE, Statement, Term
+
+__all__ = ["parse_rdfa"]
+
+# Subset of the published W3C RDFa 1.1 initial context — the
+# vocabularies that dominate real deployments (Open Graph meta tags,
+# Dublin Core, schema.org-in-RDFa).
+INITIAL_PREFIXES: dict[str, str] = {
+    "dc": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "og": "http://ogp.me/ns#",
+    "prov": "http://www.w3.org/ns/prov#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "schema": "http://schema.org/",
+    "sioc": "http://rdfs.org/sioc/ns#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+class _RdfaToRdf:
+    def __init__(self, base_iri: str):
+        self.base = base_iri
+        self.blank_n = 0
+        self.statements: list[Statement] = []
+
+    def _new_blank(self) -> Term:
+        self.blank_n += 1
+        return Term(BLANK, f"r={self.blank_n}")
+
+    def _resolve(self, ref: str) -> str:
+        return urimod.resolve(self.base, ref) if self.base else ref
+
+    def _expand(
+        self, term: str, vocab: str, prefixes: dict[str, str]
+    ) -> str | None:
+        """CURIE/term → IRI. Safe CURIEs unwrap; unknown prefixes fall
+        through as-is when the value already looks like an IRI
+        (``mailto:x``, ``http://…``); bare terms need @vocab."""
+        term = term.strip()
+        if not term:
+            return None
+        if term.startswith("[") and term.endswith("]"):
+            term = term[1:-1].strip()
+        if ":" in term:
+            pfx, rest = term.split(":", 1)
+            if rest.startswith("//"):
+                return term
+            if pfx in prefixes:
+                return prefixes[pfx] + rest
+            return term
+        if vocab:
+            return vocab + term
+        return None
+
+    @staticmethod
+    def _parse_prefix_attr(
+        value: str, prefixes: dict[str, str]
+    ) -> dict[str, str]:
+        """``prefix="p1: uri1 p2: uri2"`` → updated copy."""
+        toks = value.split()
+        out = dict(prefixes)
+        i = 0
+        while i + 1 < len(toks):
+            name = toks[i]
+            if name.endswith(":"):
+                out[name[:-1]] = toks[i + 1]
+                i += 2
+            else:
+                i += 1  # malformed pair: skip token, stay in sync
+        return out
+
+    def run(self, root: _El) -> list[Statement]:
+        doc_subj = (
+            Term(IRI, self.base) if self.base else self._new_blank()
+        )
+        for c in root.children:
+            if isinstance(c, _El):
+                self._walk(c, doc_subj, "", dict(INITIAL_PREFIXES), "")
+        return self.statements
+
+    def _walk(
+        self,
+        el: _El,
+        subj: Term,
+        vocab: str,
+        prefixes: dict[str, str],
+        lang: str,
+    ) -> None:
+        a = el.attrs
+        if "vocab" in a:
+            vocab = a["vocab"].strip()
+        if "prefix" in a:
+            prefixes = self._parse_prefix_attr(a["prefix"], prefixes)
+        lang = a.get("lang", a.get("xml:lang", lang)) or ""
+
+        props = [
+            p
+            for t in a.get("property", "").split()
+            if (p := self._expand(t, vocab, prefixes))
+        ]
+        types = [
+            t2
+            for t in a.get("typeof", "").split()
+            if (t2 := self._expand(t, vocab, prefixes))
+        ]
+        res_attr = next(
+            (a[k] for k in ("resource", "href", "src") if k in a), None
+        )
+
+        cur_subj = (
+            Term(IRI, self._resolve(a["about"])) if "about" in a else subj
+        )
+        new_subj = cur_subj
+
+        if props:
+            if types and "about" not in a:
+                # property + typeof: the value is a NEW typed node
+                node = (
+                    Term(IRI, self._resolve(res_attr))
+                    if res_attr is not None
+                    else self._new_blank()
+                )
+                for p in props:
+                    self.statements.append(
+                        Statement(cur_subj, Term(IRI, p), node)
+                    )
+                for t in types:
+                    self.statements.append(
+                        Statement(node, Term(IRI, RDF_TYPE), Term(IRI, t))
+                    )
+                new_subj = node
+            else:
+                value, is_iri = self._prop_value(
+                    el, a, res_attr, vocab, prefixes, lang
+                )
+                for p in props:
+                    self.statements.append(
+                        Statement(cur_subj, Term(IRI, p), value)
+                    )
+                for t in types:  # about + typeof (+ property)
+                    self.statements.append(
+                        Statement(cur_subj, Term(IRI, RDF_TYPE), Term(IRI, t))
+                    )
+                if is_iri:
+                    # IRI-valued property chains the object to the
+                    # descendants (nested resource markup)
+                    new_subj = value
+        elif types:
+            node = (
+                cur_subj
+                if "about" in a
+                else (
+                    Term(IRI, self._resolve(res_attr))
+                    if res_attr is not None
+                    else self._new_blank()
+                )
+            )
+            for t in types:
+                self.statements.append(
+                    Statement(node, Term(IRI, RDF_TYPE), Term(IRI, t))
+                )
+            new_subj = node
+        elif "about" in a:
+            new_subj = cur_subj
+        elif "resource" in a:
+            # bare @resource re-points the subject for descendants
+            new_subj = Term(IRI, self._resolve(a["resource"]))
+
+        for c in el.children:
+            if isinstance(c, _El):
+                self._walk(c, new_subj, vocab, prefixes, lang)
+
+    def _prop_value(
+        self,
+        el: _El,
+        a: dict[str, str],
+        res_attr: str | None,
+        vocab: str,
+        prefixes: dict[str, str],
+        lang: str,
+    ) -> tuple[Term, bool]:
+        """Core §7.5 step-11 precedence; returns (term, is_iri)."""
+        dt_attr = a.get("datatype")
+        if dt_attr is not None and dt_attr.strip():
+            dt = self._expand(dt_attr, vocab, prefixes)
+            lex = a.get("content", _text_content(el))
+            if dt:
+                return Term(LITERAL, lex, datatype=dt), False
+            return Term(LITERAL, lex, lang=lang), False
+        if dt_attr is not None:  # datatype="" forces a plain literal
+            return (
+                Term(LITERAL, a.get("content", _text_content(el)), lang=lang),
+                False,
+            )
+        if "content" in a:
+            return Term(LITERAL, a["content"], lang=lang), False
+        if res_attr is not None:
+            return Term(IRI, self._resolve(res_attr)), True
+        return Term(LITERAL, _text_content(el), lang=lang), False
+
+
+def parse_rdfa(
+    html_text: str, base_iri: str = "", lax: bool = False
+) -> tuple[list[Statement], list[tuple[int, int, str]]]:
+    """Extract RDFa Lite statements from an HTML document string.
+
+    Cheap pre-filter (the web-scale common case): without any of the
+    trigger attribute substrings no DOM is ever built."""
+    if (
+        "property=" not in html_text
+        and "typeof" not in html_text
+        and "vocab=" not in html_text
+    ):
+        return [], []
+    tb = _TreeBuilder()
+    tb.feed(html_text)
+    tb.close()
+    conv = _RdfaToRdf(base_iri)
+    return conv.run(tb.root), []

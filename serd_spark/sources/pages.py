@@ -13,7 +13,7 @@ which is what makes correctness checks and the two-parallelism
 scaling bench comparable.
 
 Content mix (FIXTURES.md §1): Turtle / TriG / N-Triples / N-Quads /
-JSON-LD script islands + microdata; ~10% of pages carry no RDF; ~5%
+JSON-LD script islands + microdata + RDFa Lite; ~10% of pages carry no RDF; ~5%
 carry a deliberately malformed island (exercises the lax side
 output); ~2% re-crawled urls (same url, later warc_ts); ~1% of pages
 reference a small hub-entity set (exercises skew salting).
@@ -80,7 +80,7 @@ def _page_for(
     else:
         is_hub = _h(seed, i, "hub") % 100 == 0
         obj = hub_iri(_h(seed, i, "which-hub") % N_HUBS) if is_hub else peer
-        syntax = _h(seed, i, "syntax") % 5
+        syntax = _h(seed, i, "syntax") % 6
         if syntax == 0:
             parts.append(
                 '<script type="text/turtle">\n'
@@ -134,7 +134,7 @@ def _page_for(
                 f"<{ent}> <http://schema.org/relatedLink> <{obj}> .\n"
                 "</script>"
             )
-        else:
+        elif syntax == 4:
             parts.append(
                 '<script type="application/trig">\n'
                 "@prefix s: <http://schema.org/> .\n"
@@ -143,6 +143,16 @@ def _page_for(
                 f"    s:relatedLink <{obj}> .\n"
                 f"}}\n"
                 "</script>"
+            )
+        else:
+            # RDFa Lite (schema.org-in-RDFa): same triple shape as the
+            # microdata variant — type + name + relatedLink
+            parts.append(
+                f'<div vocab="http://schema.org/" typeof="Thing" '
+                f'about="{ent}">'
+                f'<span property="name">{name}</span>'
+                f'<a property="relatedLink" href="{obj}">rel</a>'
+                "</div>"
             )
         if _h(seed, i, "bad") % 100 < 5:
             parts.append(

@@ -53,7 +53,9 @@ def test_extract_produces_triples_and_errors(extracted):
     assert n_t > N  # multiple triples per RDF page
     assert n_e > 0  # ~5% malformed islands
     syntaxes = {r["syntax"] for r in t.select("syntax").distinct().collect()}
-    assert {"turtle", "jsonld", "microdata", "ntriples", "trig"} <= syntaxes
+    assert {
+        "turtle", "jsonld", "microdata", "ntriples", "trig", "rdfa"
+    } <= syntaxes
 
 
 def test_text_passthrough_byte_identical(corpus):

@@ -1,0 +1,147 @@
+"""RDFa Lite extraction (rdf/rdfa.py) — attribute semantics, CURIE
+expansion, precedence rules, and the extract_document integration."""
+
+from serd_spark.rdf.model import BLANK, IRI, LITERAL, RDF_TYPE
+from serd_spark.rdf.rdfa import parse_rdfa
+
+BASE = "https://page.example/dir/page"
+
+
+def _set(stmts):
+    return {
+        (
+            (s.subject.kind, s.subject.value),
+            s.predicate.value,
+            (s.object.kind, s.object.value, s.object.datatype, s.object.lang),
+        )
+        for s in stmts
+    }
+
+
+def test_vocab_typeof_property_about():
+    html = (
+        '<div vocab="http://schema.org/" about="#it" typeof="Thing">'
+        '<span property="name">X</span>'
+        '<a property="url" href="/y">y</a></div>'
+    )
+    stmts, errs = parse_rdfa(html, BASE)
+    assert errs == []
+    got = _set(stmts)
+    it = (IRI, BASE + "#it")
+    assert (it, RDF_TYPE, (IRI, "http://schema.org/Thing", "", "")) in got
+    assert (it, "http://schema.org/name", (LITERAL, "X", "", "")) in got
+    assert (
+        it,
+        "http://schema.org/url",
+        (IRI, "https://page.example/y", "", ""),
+    ) in got
+
+
+def test_open_graph_meta_initial_context():
+    html = (
+        "<head>"
+        '<meta property="og:title" content="The Title"/>'
+        '<meta property="og:type" content="article"/>'
+        "</head>"
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    doc = (IRI, BASE)
+    assert (doc, "http://ogp.me/ns#title", (LITERAL, "The Title", "", "")) in got
+    assert (doc, "http://ogp.me/ns#type", (LITERAL, "article", "", "")) in got
+
+
+def test_prefix_attr_and_unknown_prefix():
+    html = (
+        '<div prefix="ex: http://ex.org/ns#">'
+        '<span property="ex:p">v</span>'
+        '<span property="mailto:bob@x.example">w</span>'
+        '<span property="bare">ignored: no vocab</span></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    preds = {p for _, p, _ in got}
+    assert "http://ex.org/ns#p" in preds
+    assert "mailto:bob@x.example" in preds  # unknown prefix: IRI as-is
+    assert not any(p.endswith("bare") for p in preds)  # bare term dropped
+
+
+def test_property_typeof_creates_typed_bnode():
+    html = (
+        '<div vocab="http://schema.org/" about="#it">'
+        '<div property="author" typeof="Person">'
+        '<span property="name">Ada</span></div></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    # find the bnode that is the author
+    nodes = [
+        o for s, p, o in got
+        if p == "http://schema.org/author" and o[0] == BLANK
+    ]
+    assert len(nodes) == 1
+    bn = nodes[0][:2]
+    assert (bn, RDF_TYPE, (IRI, "http://schema.org/Person", "", "")) in got
+    # the nested name attaches to the bnode, not the outer subject
+    assert (bn, "http://schema.org/name", (LITERAL, "Ada", "", "")) in got
+
+
+def test_content_datatype_lang_precedence():
+    html = (
+        '<div vocab="http://schema.org/" about="#it" lang="en">'
+        '<span property="a" content="c">text</span>'
+        '<span property="b" datatype="xsd:integer">7</span>'
+        '<span property="c" datatype="">plain</span>'
+        '<span property="d">tagged</span>'
+        '<span property="e" content="c2" resource="#r">x</span></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    by_pred = {p.rsplit("/", 1)[-1]: o for _, p, o in _set(stmts)}
+    assert by_pred["a"] == (LITERAL, "c", "", "en")
+    assert by_pred["b"] == (
+        LITERAL, "7", "http://www.w3.org/2001/XMLSchema#integer", "",
+    )
+    assert by_pred["c"] == (LITERAL, "plain", "", "en")
+    assert by_pred["d"] == (LITERAL, "tagged", "", "en")
+    assert by_pred["e"] == (LITERAL, "c2", "", "en")  # content beats resource
+
+
+def test_resource_chains_subject():
+    html = (
+        '<div vocab="http://schema.org/" about="#it">'
+        '<div property="publisher" resource="#org">'
+        '<span property="name">Acme</span></div></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    org = (IRI, BASE + "#org")
+    assert (
+        (IRI, BASE + "#it"),
+        "http://schema.org/publisher",
+        (*org, "", ""),
+    ) in got
+    assert (org, "http://schema.org/name", (LITERAL, "Acme", "", "")) in got
+
+
+def test_prefilter_and_plain_page():
+    assert parse_rdfa("<html><body><p>hi</p></body></html>", BASE) == ([], [])
+
+
+def test_extract_document_integration():
+    from serd_spark.rdf.html_islands import extract_document
+
+    html = (
+        "<html><head>"
+        '<script type="application/ld+json">'
+        '{"@id":"https://e.org/a","https://e.org/p":"v"}</script>'
+        "</head><body>"
+        '<div vocab="http://schema.org/" typeof="Thing" about="#t">'
+        '<span property="name">N</span></div>'
+        "</body></html>"
+    )
+    triples, errors = extract_document(html, BASE, lax=True)
+    assert errors == []
+    syntaxes = {t[1] for t in triples}
+    assert syntaxes == {"jsonld", "rdfa"}
+    rdfa = [st for _, syn, st in triples if syn == "rdfa"]
+    assert len(rdfa) == 2  # type + name
