@@ -18,8 +18,8 @@ import re
 from collections.abc import Callable
 
 from serd_spark.rdf.jsonld import parse_jsonld
-from serd_spark.rdf.microdata import parse_microdata
-from serd_spark.rdf.rdfa import parse_rdfa
+from serd_spark.rdf.microdata import build_tree, parse_microdata
+from serd_spark.rdf.rdfa import has_rdfa_markers, parse_rdfa
 from serd_spark.rdf.model import BLANK, ParseError, Statement, Term
 from serd_spark.rdf.ntriples import parse_nquads, parse_ntriples
 from serd_spark.rdf.turtle import parse_trig, parse_turtle
@@ -181,31 +181,38 @@ def extract_document(
             errors.append((ord_, syntax, le[0], le[1], le[2]))
         triples.extend((ord_, syntax, scoped(st, ord_)) for st in stmts)
 
+    # microdata + RDFa share ONE light-DOM build (the expensive part);
+    # each gate is a substring check so RDF-free pages skip all of it
     md_ord = len(islands)
-    try:
-        md_stmts, md_errs = parse_microdata(html_text, base, lax=lax)
-    except ParseError as e:  # pragma: no cover - defensive
-        md_stmts, md_errs = [], [(e.line, e.col, e.message)]
-    except RecursionError:  # pragma: no cover - adversarial DOM depth
-        if not lax:
-            raise
-        md_stmts, md_errs = [], [(0, 0, "DOM nesting depth exceeded")]
-    for le in md_errs:
-        errors.append((md_ord, "microdata", le[0], le[1], le[2]))
-    triples.extend(
-        (md_ord, "microdata", scoped(st, md_ord)) for st in md_stmts
-    )
-
     ra_ord = md_ord + 1
-    try:
-        ra_stmts, ra_errs = parse_rdfa(html_text, base, lax=lax)
-    except ParseError as e:  # pragma: no cover - defensive
-        ra_stmts, ra_errs = [], [(e.line, e.col, e.message)]
-    except RecursionError:  # pragma: no cover - adversarial DOM depth
-        if not lax:
-            raise
-        ra_stmts, ra_errs = [], [(0, 0, "DOM nesting depth exceeded")]
-    for le in ra_errs:
-        errors.append((ra_ord, "rdfa", le[0], le[1], le[2]))
-    triples.extend((ra_ord, "rdfa", scoped(st, ra_ord)) for st in ra_stmts)
+    need_md = "itemscope" in html_text
+    need_ra = has_rdfa_markers(html_text)
+    tree = None
+    if need_md or need_ra:
+        try:
+            tree = build_tree(html_text)
+        except RecursionError:  # pragma: no cover - adversarial depth
+            if not lax:
+                raise
+            errors.append(
+                (md_ord, "microdata", 0, 0, "DOM nesting depth exceeded")
+            )
+            need_md = need_ra = False
+    for needed, ord_, syntax, parse in (
+        (need_md, md_ord, "microdata", parse_microdata),
+        (need_ra, ra_ord, "rdfa", parse_rdfa),
+    ):
+        if not needed:
+            continue
+        try:
+            stmts, errs = parse(html_text, base, lax=lax, tree=tree)
+        except ParseError as e:  # pragma: no cover - defensive
+            stmts, errs = [], [(e.line, e.col, e.message)]
+        except RecursionError:  # pragma: no cover - adversarial depth
+            if not lax:
+                raise
+            stmts, errs = [], [(0, 0, "DOM nesting depth exceeded")]
+        for le in errs:
+            errors.append((ord_, syntax, le[0], le[1], le[2]))
+        triples.extend((ord_, syntax, scoped(st, ord_)) for st in stmts)
     return triples, errors

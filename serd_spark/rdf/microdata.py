@@ -244,17 +244,25 @@ class _MicrodataToRdf:
         return Term(LITERAL, _text_content(el))
 
 
+def build_tree(html_text: str) -> _El:
+    """Parse HTML into the light DOM shared by the microdata and RDFa
+    extractors — callers holding both gates build it ONCE."""
+    tb = _TreeBuilder()
+    tb.feed(html_text)
+    tb.close()
+    return tb.root
+
+
 def parse_microdata(
-    html_text: str, base_iri: str = "", lax: bool = False
+    html_text: str, base_iri: str = "", lax: bool = False,
+    tree: _El | None = None,
 ) -> tuple[list[Statement], list[tuple[int, int, str]]]:
     """Extract microdata items from an HTML document string.
 
     Cheap pre-filter: documents without the ``itemscope`` substring
-    never build a DOM (the common case at web scale)."""
+    never build a DOM (the common case at web scale). ``tree`` lets a
+    caller that already built the shared DOM skip the re-parse."""
     if "itemscope" not in html_text:
         return [], []
-    tb = _TreeBuilder()
-    tb.feed(html_text)
-    tb.close()
     conv = _MicrodataToRdf(base_iri)
-    return conv.run(tb.root), []
+    return conv.run(tree if tree is not None else build_tree(html_text)), []

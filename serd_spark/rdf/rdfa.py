@@ -240,21 +240,26 @@ class _RdfaToRdf:
         return Term(LITERAL, _text_content(el), lang=lang), False
 
 
+def has_rdfa_markers(html_text: str) -> bool:
+    """Cheap substring gate (the web-scale common case: False, and no
+    DOM is ever built)."""
+    return (
+        "property=" in html_text
+        or "typeof" in html_text
+        or "vocab=" in html_text
+    )
+
+
 def parse_rdfa(
-    html_text: str, base_iri: str = "", lax: bool = False
+    html_text: str, base_iri: str = "", lax: bool = False,
+    tree: "_El | None" = None,
 ) -> tuple[list[Statement], list[tuple[int, int, str]]]:
     """Extract RDFa Lite statements from an HTML document string.
-
-    Cheap pre-filter (the web-scale common case): without any of the
-    trigger attribute substrings no DOM is ever built."""
-    if (
-        "property=" not in html_text
-        and "typeof" not in html_text
-        and "vocab=" not in html_text
-    ):
+    ``tree`` lets a caller that already built the shared DOM (see
+    ``microdata.build_tree``) skip the re-parse."""
+    if not has_rdfa_markers(html_text):
         return [], []
-    tb = _TreeBuilder()
-    tb.feed(html_text)
-    tb.close()
+    from serd_spark.rdf.microdata import build_tree
+
     conv = _RdfaToRdf(base_iri)
-    return conv.run(tb.root), []
+    return conv.run(tree if tree is not None else build_tree(html_text)), []
