@@ -76,6 +76,16 @@ def main() -> None:
         "q_span_dedup": entrymod.q_span_dedup,
         "q_unigram_lm": entrymod.q_unigram_lm,
         "mm_frames": entrymod.mm_frames,
+        # round-3 late additions (keys are additive; earlier keys stay
+        # comparable round-over-round)
+        "q_asof_join": entrymod.q_asof_join,
+        "q_range_join": entrymod.q_range_join,
+        "q_pagerank": entrymod.q_pagerank,
+        "q_quantiles": entrymod.q_quantiles,
+        "q_decontaminate": entrymod.q_decontaminate,
+        "q_pack_sequences": entrymod.q_pack_sequences,
+        "q_bpe_train": entrymod.q_bpe_train,
+        "q_session_window": entrymod.q_session_window,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

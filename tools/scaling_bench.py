@@ -28,14 +28,27 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS = os.environ.get(
-    "SPARK_GRAFT_SCALE_CORPUS", "/tmp/serd_spark_scale_corpus"
-)
 N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "300000"))
 RICHNESS = int(os.environ.get("SPARK_GRAFT_SCALE_RICHNESS", "8"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
 BIG = 4 * SMALL
+
+
+def _default_corpus() -> str:
+    """Corpus path keyed by (pages, richness, generator-code hash) —
+    the same self-invalidation bench.py uses, so editing the page
+    generator can never silently re-measure stale input."""
+    import hashlib
+
+    import serd_spark.sources.pages as _pages_mod
+
+    with open(_pages_mod.__file__, "rb") as fh:
+        gen_hash = hashlib.blake2b(fh.read(), digest_size=6).hexdigest()
+    return f"/tmp/serd_spark_scale_corpus_{N_PAGES}_r{RICHNESS}_{gen_hash}"
+
+
+CORPUS = os.environ.get("SPARK_GRAFT_SCALE_CORPUS") or _default_corpus()
 
 
 def ensure_corpus() -> None:
