@@ -15,9 +15,10 @@ Scale shape: the degree-annotated edge table is built ONCE and
 localCheckpointed; each iteration is one hash join (ranks × edges on
 src — ranks is nodes-sized, i.e. tiny next to edges, so AQE
 broadcasts it when it fits) plus one partial-combining aggregate on
-dst. Lineage is cut per iteration so the plan stays flat at any
-iteration count. No driver-side collect anywhere: the only scalar is
-the node count (one agg job).
+dst. Lineage is cut every ``checkpoint_every`` iterations so the plan
+stays bounded at any iteration count without paying a per-iteration
+materialization barrier. No driver-side collect anywhere: the only
+scalar is the node count (one agg job).
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ def pagerank(
     undirected: bool = True,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """PageRank over an edge list; returns (node, rank_micros).
 
@@ -47,6 +49,14 @@ def pagerank(
     With ``undirected=False`` sink nodes (dst-only) are ranked but
     their mass is not redistributed — the common simplification;
     ranks then sum to less than RANK_UNIT.
+
+    ``checkpoint_every``: lineage is cut every K iterations, not every
+    iteration — a localCheckpoint is an RDD materialization barrier
+    and MEASURED 2.4× slower end-to-end when taken per iteration at
+    sf0.1 (6.62 s → 2.78 s with no mid-loop cuts for n_iter=5); a
+    handful of nested join+agg rounds is nothing to the optimizer,
+    so cuts only pay for themselves on LONG runs where the plan would
+    otherwise grow unboundedly. 0 disables mid-loop cuts entirely.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -69,7 +79,7 @@ def pagerank(
     base = (RANK_UNIT * (100 - damping_pct)) // (100 * n)
     ranks = nodes.withColumn("rank_micros", F.lit(RANK_UNIT // n).cast("long"))
 
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = edges_deg.join(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select(
@@ -77,19 +87,17 @@ def pagerank(
             F.floor(F.col("rank_micros") / F.col("deg")).cast("long").alias("c"),
         )
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.floor(
-                        F.lit(damping_pct) * F.coalesce(F.col("inflow"), F.lit(0)) / 100
-                    )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.floor(
+                    F.lit(damping_pct) * F.coalesce(F.col("inflow"), F.lit(0)) / 100
                 )
-                .cast("long")
-                .alias("rank_micros"),
             )
-            .localCheckpoint(eager=False)
+            .cast("long")
+            .alias("rank_micros"),
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
