@@ -1356,6 +1356,63 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows driven end-to-end: the events table
+    flows through an availableNow stream into the session-window
+    state store under a 2 h watermark; the no-data flush batch then
+    evicts every session whose end <= max(ts) - 2 h (boundary
+    INCLUDED — semantics pinned empirically, see
+    streaming/incremental.streaming_sessions). One data batch by
+    design: with multi-file triggers the file→batch assignment is
+    not event-time-ordered, so intermediate watermarks would drop
+    late events nondeterministically and no engine-independent
+    oracle could mirror the output (the multi-batch cross-batch
+    session MERGE is certified by tests/test_streaming.py instead).
+    The DuckDB oracle rebuilds the sessions as gaps-and-islands and
+    applies the same eviction cut."""
+    import shutil
+
+    from serd_spark.streaming.incremental import streaming_sessions
+
+    base = os.path.join(
+        "/tmp/serd_spark_stream_sessions",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    in_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).repartition(6).write.parquet(in_dir)
+
+    ev = spark.readStream.schema("user_id long, ts timestamp").parquet(in_dir)
+    agg = streaming_sessions(ev, gap="30 minutes", watermark="2 hours")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("sess_start"),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("sess_end"),
+        "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -1418,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": q_bpe_train,
         "q_pack_sequences": q_pack_sequences,
         "q_session_window": q_session_window,
+        "stream_sessions": stream_sessions,
     }
 
 
@@ -2651,5 +2709,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM islands
             GROUP BY user_id, island
+        """,
+        # Same islands rebuild as q_session_window, PLUS the streaming
+        # eviction cut: only sessions whose end (last + 30 min) is at
+        # or before the final watermark max(ts) - 2 h were emitted
+        # (boundary included — pinned empirically).
+        "stream_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                          ) >= INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                          ) IS NULL
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+            ), islands AS (
+              SELECT user_id, ts,
+                     SUM(boundary) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS island
+              FROM ordered
+            ), sess AS (
+              SELECT user_id,
+                     MIN(ts) AS s,
+                     MAX(ts) + INTERVAL 30 MINUTE AS e,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM islands
+              GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   strftime(s, '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+                   strftime(e, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+                   n_events
+            FROM sess
+            WHERE e <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
         """,
     }

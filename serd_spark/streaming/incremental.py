@@ -213,3 +213,38 @@ def stream_dedup_urls(
             if use_ttl else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation over an event stream — Spark's
+    native ``session_window`` under a watermark, the stateful
+    merge-as-events-arrive operator (two events of one user arriving
+    in different micro-batches merge into one session in the state
+    store).
+
+    Append-mode emission semantics, pinned empirically and mirrored
+    by the DuckDB oracle (stream_sessions in __spark_entry__): a
+    session row is emitted exactly once, when the watermark reaches
+    its close — eviction fires at ``session_end <= watermark``
+    (BOUNDARY INCLUDED; a session ending exactly at the watermark is
+    emitted), and with no-data micro-batches enabled (the default)
+    the final watermark after an availableNow run is
+    ``max(event_ts) - delay``. Sessions still open past that stay in
+    state and are NOT emitted — the oracle applies the same cut.
+
+    Returns (key, session_window struct, n_events); callers project/
+    format the window bounds.
+    """
+    c = F.col(ts).cast("timestamp")
+    return (
+        events_stream.withColumn("_ts", c)
+        .withWatermark("_ts", watermark)
+        .groupBy(F.col(key), F.session_window(F.col("_ts"), gap))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )

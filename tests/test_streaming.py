@@ -210,3 +210,73 @@ def test_stream_dedup_ttl_eviction_reemits(spark, tmp_path):
     # A was evicted between its two sightings → emitted twice
     a_url = a.first().url
     assert counts[a_url] == 2, counts
+
+
+def test_streaming_sessions_merge_across_batches(spark, tmp_path):
+    """Two events of one user arriving in DIFFERENT micro-batches must
+    merge into one session in the state store; the flusher batch
+    advances the watermark and evicts it (end <= watermark, boundary
+    included — the comparator the stream_sessions oracle mirrors)."""
+    import os
+    import time as _time
+
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from serd_spark.streaming.incremental import streaming_sessions
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    batches = [
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 10:05:00"))],
+        # within 30 min of 10:05 -> must MERGE with the stored session
+        [(1, _ts("2024-01-01 10:20:00")), (2, _ts("2024-01-01 10:00:00"))],
+        # flusher: watermark -> 12:00, evicting both earlier sessions
+        [(9, _ts("2024-01-01 13:00:00"))],
+    ]
+    for k, rows in enumerate(batches):
+        p = str(in_dir / f"b{k}.parquet")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        # FileStreamSource orders new files by modification time:
+        # pin strictly increasing mtimes so arrival order == k
+        t = 1_700_000_000 + 1000 * k
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    _time.sleep(0.01)
+
+    ev = spark.readStream.schema("user_id long, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(in_dir) + "/*")
+    agg = streaming_sessions(ev, gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_merge")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select user_id, session_window.start s, session_window.end e, "
+        "n_events from sess_merge"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # ONE merged session for user 1 spanning all three events
+    assert len(by_user[1]) == 1
+    u1 = by_user[1][0]
+    assert u1["n_events"] == 3
+    assert u1["s"] == _ts("2024-01-01 10:00:00")
+    assert u1["e"] == _ts("2024-01-01 10:50:00")
+    assert by_user[2][0]["n_events"] == 1
+    # the flusher's own session is past the watermark: held, not emitted
+    assert 9 not in by_user
