@@ -1314,7 +1314,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hook(rank: int, syms_df: DataFrame) -> None:
         _materialize(sf_dir, f"bpe/w{rank}", lambda: syms_df)
 
-    merges = train_bpe(d, n_merges=BPE_MERGES, on_iteration=hook)
+    # min_pair_count=1: the oracle replays exactly BPE_MERGES fixed
+    # iterations (one CTE branch per materialized table), so training
+    # must not early-stop at sf0.01 — any non-degenerate corpus has a
+    # surviving pair at every rank here
+    merges = train_bpe(
+        d, n_merges=BPE_MERGES, min_pair_count=1, on_iteration=hook
+    )
     return spark.createDataFrame(
         [(m.rank, m.left, m.right, m.pair_count) for m in merges],
         "rank int, merge_left string, merge_right string, pair_count long",

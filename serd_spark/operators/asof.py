@@ -51,6 +51,11 @@ def asof_join(
     ``last(ignorenulls)`` would tear the match whenever a later right
     row holds a NULL in one carried column but not another.
     """
+    # a NULL right timestamp must never match (SQL: `r.ts <= l.ts` is
+    # unknown) — without this filter NULLs sort FIRST under the
+    # ascending window order and would seed last(ignorenulls) as an
+    # infinitely-old row
+    right = right.filter(F.col(ts).isNotNull())
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, ts)]
     carried = [ts] + [c for c in right_cols if c != ts]

@@ -190,6 +190,14 @@ def tokenize_bpe(
         for m in merges
     ]
 
+    import re
+
+    # EXACTLY the tokenization word_freqs trains on (_norm: lower +
+    # Java \s collapse): Python str.split() splits on Unicode spaces
+    # (NBSP, U+2028, …) that Java's ASCII \s does not, which would
+    # tokenize against a vocabulary the merges never saw
+    _java_ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
     @F.pandas_udf("struct<bpe_tokens:long,bpe_words:long>")
     def _tok(texts: pd.Series) -> pd.DataFrame:
         memo: dict[str, int] = {}
@@ -197,7 +205,10 @@ def tokenize_bpe(
         def count(text: str) -> tuple[int, int]:
             if not text:
                 return 0, 0
-            words = text.lower().split()
+            words = [
+                w for w in _java_ws.split(text.strip(" \t\n\x0b\f\r").lower())
+                if w
+            ]
             total = 0
             for w in words:
                 n = memo.get(w)

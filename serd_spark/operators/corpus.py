@@ -174,15 +174,17 @@ def decontaminate(
     stream. ``hit_frac`` is rounded to 6 dp.
     """
     docs = _min_parallelism(docs)
+    # NULL text → coalesce to '' so every document keeps its >=1-span
+    # guarantee (explode of a NULL array would silently DROP the row,
+    # breaking the semi-join pattern curate_documents builds on this)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     bench_spans = (
-        benchmark.select(
-            F.explode(span_hashes(F.col(text_col), k)).alias("span")
-        )
+        benchmark.select(F.explode(span_hashes(t, k)).alias("span"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     spans = docs.select(
-        F.col(id_col), F.explode(span_hashes(F.col(text_col), k)).alias("span")
+        F.col(id_col), F.explode(span_hashes(t, k)).alias("span")
     )
     return (
         spans.join(F.broadcast(bench_spans), "span", "left")

@@ -76,6 +76,8 @@ def pagerank(
     nodes = nodes_col.distinct().localCheckpoint(eager=False)
 
     n = nodes.count()
+    if n == 0:  # empty edge table: empty ranks, not ZeroDivisionError
+        return nodes.withColumn("rank_micros", F.lit(0).cast("long"))
     base = (RANK_UNIT * (100 - damping_pct)) // (100 * n)
     ranks = nodes.withColumn("rank_micros", F.lit(RANK_UNIT // n).cast("long"))
 

@@ -66,8 +66,8 @@ def pack_sequences(
         F.expr(f"{id_col} div {block}").alias("_blk"),
     )
     blk_sums = counted.groupBy("_blk").agg(F.sum("n_tokens").alias("_bsum"))
-    # prefix offsets over the tiny block table; rangeBetween excludes
-    # the current block (sum of all STRICTLY earlier blocks)
+    # prefix offsets over the tiny block table; the rowsBetween frame
+    # ends at -1, so each block sums all STRICTLY earlier blocks
     wb = (
         Window.orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -94,7 +94,6 @@ def pack_sequences(
             ).alias("tok_offset"),
         )
     )
-    b = F.lit(budget_tokens)
     return out.select(
         id_col,
         "n_tokens",

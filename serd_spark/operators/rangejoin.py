@@ -114,9 +114,13 @@ def range_join(
     # unmatched left rows exactly once via anti-join on the original.
     matched = lhs.join(rhs, [on, "_b"]).filter(refine).drop("_b")
     l_cols = left.columns
-    unmatched = left.join(
-        matched.select(*l_cols).distinct(), l_cols, "left_anti"
-    )
+    # null-SAFE anti-join: with plain equality a matched left row
+    # holding a NULL in any column would fail to match itself here and
+    # be re-emitted as a spurious unmatched row. (Fully duplicate left
+    # rows are treated as one group either way — documented.)
+    m_sel = matched.select(*l_cols).distinct()
+    cond = [left[c].eqNullSafe(m_sel[c]) for c in l_cols]
+    unmatched = left.join(m_sel, cond, "left_anti")
     for c in [rts_out, *r_payload]:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
     return matched.unionByName(unmatched)

@@ -155,7 +155,13 @@ def curate_documents(
         hits = decontaminate(
             curated, benchmark, k=decontam_k, text_col=text_col, id_col=id_col
         )
-        keep = hits.filter(F.col("hit_frac") <= max_hit_frac).select(id_col)
+        # compare UNROUNDED: hit_frac is rounded to 6 dp, so a huge
+        # document with one hit would round to 0.0 and slip a strict
+        # max_hit_frac=0.0 gate; n_hit <= frac * n_spans is exact at
+        # 0.0 (requires n_hit == 0) and unrounded elsewhere
+        keep = hits.filter(
+            F.col("n_hit") <= F.lit(max_hit_frac) * F.col("n_spans")
+        ).select(id_col)
         curated = note(
             "decontaminate", curated.join(keep, id_col, "left_semi")
         )

@@ -194,9 +194,17 @@ def extract_document(
         except RecursionError:  # pragma: no cover - adversarial depth
             if not lax:
                 raise
-            errors.append(
-                (md_ord, "microdata", 0, 0, "DOM nesting depth exceeded")
-            )
+            # attribute the failure to every extractor whose gate
+            # fired — a 'typeof' page with no 'itemscope' must not log
+            # a microdata error it never attempted
+            if need_md:
+                errors.append(
+                    (md_ord, "microdata", 0, 0, "DOM nesting depth exceeded")
+                )
+            if need_ra:
+                errors.append(
+                    (ra_ord, "rdfa", 0, 0, "DOM nesting depth exceeded")
+                )
             need_md = need_ra = False
     for needed, ord_, syntax, parse in (
         (need_md, md_ord, "microdata", parse_microdata),

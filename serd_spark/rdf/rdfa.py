@@ -242,10 +242,14 @@ class _RdfaToRdf:
 
 def has_rdfa_markers(html_text: str) -> bool:
     """Cheap substring gate (the web-scale common case: False, and no
-    DOM is ever built)."""
+    DOM is ever built). All three markers require the '=' — a bare
+    'typeof' would match virtually every page with inline JavaScript
+    (the JS `typeof` operator) and defeat the fast path on the
+    extraction hot loop; the cost is missing the rare
+    whitespace-around-'=' attribute spelling."""
     return (
         "property=" in html_text
-        or "typeof" in html_text
+        or "typeof=" in html_text
         or "vocab=" in html_text
     )
 

@@ -116,3 +116,17 @@ def test_pagerank_directed_keeps_sink_nodes(spark):
     assert got[3] > got[1] == got[2]
     # sink mass is not redistributed: total strictly under one unit
     assert sum(got.values()) < 1_000_000
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    left = _events(spark, [(1, _ts("2024-01-01 10:00:00"), 1, "c")])
+    right = spark.createDataFrame(
+        [(1, None, 9, "v")], "user_id long, ts timestamp, event_id long, v string"
+    )
+    out = asof_join(left, right, on="user_id", ts="ts", tie_col="event_id").collect()
+    assert len(out) == 1 and out[0]["event_id_r"] is None
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, n_iter=2).count() == 0

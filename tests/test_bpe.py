@@ -120,3 +120,13 @@ def test_tokenize_bpe_counts(spark):
     # 'the' -> [the] (1), 'theme' -> [the, m, e] (3)
     assert out[1]["bpe_tokens"] == 4 and out[1]["bpe_words"] == 2
     assert out[2]["bpe_tokens"] == 0 and out[3]["bpe_tokens"] == 0
+
+
+def test_tokenize_bpe_java_whitespace_parity(spark):
+    # NBSP is NOT a separator for Java \s (training) — the tokenizer
+    # must agree, or counts drift from the trained vocabulary
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    out = tokenize_bpe(docs, []).collect()[0]
+    assert out["bpe_words"] == 2  # ['a\xa0b', 'c'], not 3

@@ -178,3 +178,15 @@ def test_decontaminate_short_doc_and_multiset(spark):
     assert out[1]["n_spans"] == 1 and out[1]["n_hit"] == 1
     # 26 tokens -> 14 spans; spans 1 and 14 are the benchmark gram
     assert out[2]["n_spans"] == 14 and out[2]["n_hit"] == 2
+
+
+def test_decontaminate_null_text_keeps_row(spark):
+    from serd_spark.operators.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "some text here")], "doc_id long, text string"
+    )
+    bench = _docs(spark, [(100, "unrelated benchmark line")])
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, k=13).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_spans"] == 1 and out[1]["n_hit"] == 0

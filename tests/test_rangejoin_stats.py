@@ -123,3 +123,19 @@ def test_exact_quantiles_ignores_nulls(spark):
         for r in exact_quantiles(df, "x", [1, 1000]).collect()
     }
     assert got == {1: 1, 1000: 3}
+
+
+def test_range_join_left_outer_null_payload_not_duplicated(spark):
+    # review finding: null-unsafe anti-join re-emitted matched rows
+    # carrying a NULL payload column as spurious unmatched rows
+    base = _ts("2024-03-01 00:00:00")
+    left = spark.createDataFrame(
+        [(1, base, 1, None), (1, base, 2, "x")],
+        "k long, ts timestamp, eid long, note string",
+    )
+    right = spark.createDataFrame(
+        [(1, base, 10)], "k long, ts timestamp, rid long"
+    )
+    out = range_join(left, right, on="k", before_s=1, after_s=1, how="left").collect()
+    assert len(out) == 2
+    assert all(r["rid"] == 10 for r in out)

@@ -145,3 +145,12 @@ def test_extract_document_integration():
     assert syntaxes == {"jsonld", "rdfa"}
     rdfa = [st for _, syn, st in triples if syn == "rdfa"]
     assert len(rdfa) == 2  # type + name
+
+
+def test_prefilter_ignores_js_typeof_operator():
+    html = '<script>if (typeof window !== "undefined") { x(); }</script>'
+    assert parse_rdfa(html, BASE) == ([], [])
+    # but the attribute spelling still gates in
+    html2 = '<div vocab="http://s.org/" typeof="T"></div>'
+    stmts, _ = parse_rdfa(html2, BASE)
+    assert len(stmts) == 1
