@@ -154,3 +154,47 @@ def test_prefilter_ignores_js_typeof_operator():
     html2 = '<div vocab="http://s.org/" typeof="T"></div>'
     stmts, _ = parse_rdfa(html2, BASE)
     assert len(stmts) == 1
+
+
+def test_rdfa_fuzz_never_raises():
+    """Adversarial/malformed HTML must never raise out of the lax
+    extraction path (it runs inside the fused UDF over every page)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from serd_spark.rdf.html_islands import extract_document
+
+    frag = st.sampled_from([
+        "<div", ">", 'typeof="', 'property=', 'vocab=""', "</span>",
+        '<span property="a:b"', '<meta content="x"', "&", "&#x41;",
+        'prefix="p: q:"', 'about="%zz"', "<p>", "</p>", '"', "'",
+        'datatype="x"', "resource=", '<a href="h t">', "\x00", "é",
+        '<div typeof="A B" property="c d">',
+    ])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(frag, min_size=0, max_size=12))
+    def run(parts):
+        html = "".join(parts)
+        triples, errors = extract_document(html, "https://f.example/x", lax=True)
+        for _, syn, stmt in triples:
+            assert stmt.subject is not None and stmt.predicate is not None
+
+    run()
+
+
+def test_rdfa_deep_nesting_is_error_not_crash():
+    from serd_spark.rdf.html_islands import extract_document
+
+    import pytest
+
+    html = '<div typeof="T" vocab="http://s.org/">' * 20000
+    triples, errors = extract_document(html, "https://f.example/x", lax=True)
+    # lax: one depth error, attributed to the extractor whose gate
+    # fired (rdfa — there is no itemscope on this page)
+    assert [(e[1], e[4]) for e in errors] == [
+        ("rdfa", "DOM nesting depth exceeded")
+    ]
+    assert triples == []
+    with pytest.raises(RecursionError):
+        extract_document(html, "https://f.example/x", lax=False)
