@@ -1058,13 +1058,37 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, list(q), k=10)
 
 
+# Brute-force certification queries are capped: a crossJoin over the
+# embeddings table is O(n²) by construction and exists ONLY to certify
+# the bucketed scale paths (dedup_embedding / ann_ivf) at oracle scale.
+# Above this many rows the guard refuses rather than silently launching
+# a cartesian product that would never finish at 100 TB.
+_BRUTE_FORCE_ROW_CAP = 100_000
+
+
+def _assert_brute_force_scale(df: DataFrame, name: str) -> None:
+    """Refuse to run a brute-force O(n²) certification query on an
+    input too large for it. ``limit(cap+1).count()`` short-circuits the
+    scan, so the guard itself is cheap even over a huge table."""
+    n = df.limit(_BRUTE_FORCE_ROW_CAP + 1).count()
+    if n > _BRUTE_FORCE_ROW_CAP:
+        raise ValueError(
+            f"{name} is a brute-force O(n²) certification baseline and is "
+            f"capped at {_BRUTE_FORCE_ROW_CAP} input rows (got >{n - 1}); "
+            "use the bucketed scale path (dedup_embedding / ann_ivf) for "
+            "real workloads"
+        )
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cos ≥ 0.45, brute force) —
     the DuckDB-checkable baseline for the LSH-bucketed
-    ``dedup_embedding`` scale path."""
+    ``dedup_embedding`` scale path. Guarded: refuses inputs past
+    ``_BRUTE_FORCE_ROW_CAP`` rows instead of going O(n²) at scale."""
     from serd_spark.operators.dedup import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
+    _assert_brute_force_scale(emb, "q_embedding_dups")
     a = emb.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
     )
@@ -1081,9 +1105,13 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join for 5 query vectors (brute force) — the
+    DuckDB-checkable baseline for the IVF-pruned ``ann_ivf`` scale
+    path. Guarded like ``q_embedding_dups``."""
     from serd_spark.operators.dedup import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
+    _assert_brute_force_scale(emb, "q_knn_join")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

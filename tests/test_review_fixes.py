@@ -389,3 +389,16 @@ def test_decoder_size_caps_are_not_implemented_errors():
                + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         mm.decode_png(big_png)
+
+
+def test_brute_force_guard_refuses_large_input(spark):
+    """The two O(n²) certification queries in the contract must refuse
+    inputs past the documented cap instead of launching a cartesian
+    product (VERDICT r3 'What's wrong' item 1)."""
+    import __spark_entry__ as entry
+
+    big = spark.range(entry._BRUTE_FORCE_ROW_CAP + 10)
+    with pytest.raises(ValueError, match="brute-force"):
+        entry._assert_brute_force_scale(big, "test_query")
+    # under the cap: no raise
+    entry._assert_brute_force_scale(spark.range(100), "test_query")
