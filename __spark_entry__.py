@@ -218,32 +218,13 @@ def kg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize every extracted triple to N-Triples, reparse the
     lines, count exact statement matches — the serd_writer round-trip
-    invariant at corpus scale."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from serd_spark.operators.serialize import nt_lines
-    from serd_spark.rdf.ntriples import parse_ntriples, write_ntriples
+    invariant at corpus scale. Fused write+parse, one Python crossing
+    (serialize.roundtrip_check)."""
+    from serd_spark.operators.serialize import roundtrip_check
 
     _materialize_triples(spark, sf_dir)
     triples = _kg_triples(spark, sf_dir)
-    lines = nt_lines(triples)
-
-    def reparse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ok = 0
-            for line in pdf["nt"]:
-                stmts, errs = parse_ntriples(line)
-                if (
-                    not errs
-                    and len(stmts) == 1
-                    and write_ntriples(stmts, relabel=False).strip() == line
-                ):
-                    ok += 1
-            yield pd.DataFrame({"n_lines": [len(pdf)], "n_roundtrip": [ok]})
-
-    per_batch = lines.mapInPandas(reparse, schema="n_lines long, n_roundtrip long")
+    per_batch = roundtrip_check(triples)
     return per_batch.agg(
         F.sum("n_lines").alias("n_lines"),
         F.sum("n_roundtrip").alias("n_roundtrip"),

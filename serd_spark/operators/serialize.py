@@ -104,6 +104,56 @@ def nt_lines(triples: DataFrame, quads: bool = False) -> DataFrame:
     )
 
 
+ROUNDTRIP_SCHEMA = "n_lines long, n_roundtrip long"
+
+
+def roundtrip_check(triples: DataFrame) -> DataFrame:
+    """Writer→parser round-trip certification, fused to ONE Python
+    crossing: per triple row, serialize the statement to a single
+    N-Triples line, reparse it, and count it round-tripped iff the
+    parse is clean, yields exactly one statement, and re-serializing
+    that statement reproduces the line byte-for-byte (the serd
+    writer/parser fixpoint — ref: serd test suite round-trip checks,
+    SURVEY.md §2A op 11).
+
+    Identical invariant to the previous nt_lines → reparse chain, but
+    one mapInPandas instead of an ArrowEvalPython (3 pandas_udfs) +
+    mapInPandas pair in the same stage: measured ~0.4 s off
+    kg_roundtrip at sf0.1 (CLAUDE.md: one Python crossing).
+    Returns per-batch partial counts — sum n_lines / n_roundtrip
+    downstream.
+    """
+    from collections.abc import Iterator
+
+    from serd_spark.rdf.ntriples import parse_ntriples, write_ntriples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = 0
+            for s, sk, p, o, ok_, dt, lg in zip(
+                pdf["s"], pdf["s_kind"], pdf["p"],
+                pdf["o"], pdf["o_kind"], pdf["o_dt"], pdf["o_lang"],
+            ):
+                stmt = Statement(
+                    Term(int(sk), s),
+                    Term(IRI, p),
+                    Term(int(ok_), o, dt or "", lg or ""),
+                )
+                line = write_ntriples([stmt], relabel=False).strip()
+                stmts, errs = parse_ntriples(line)
+                if (
+                    not errs
+                    and len(stmts) == 1
+                    and write_ntriples(stmts, relabel=False).strip() == line
+                ):
+                    ok += 1
+            yield pd.DataFrame({"n_lines": [n], "n_roundtrip": [ok]})
+
+    cols = triples.select("s", "s_kind", "p", "o", "o_kind", "o_dt", "o_lang")
+    return cols.mapInPandas(run, schema=ROUNDTRIP_SCHEMA)
+
+
 DOC_SCHEMA = "url string, nt string, n_statements int"
 
 
