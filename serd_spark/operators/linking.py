@@ -268,7 +268,13 @@ def connected_components(
     # driver_threshold=0 (forced distributed path) skips the count
     # probe entirely — no wasted action on the at-scale path
     if driver_threshold > 0 and edges.count() < driver_threshold:
-        head = edges.collect()
+        # Arrow both directions: toPandas / createDataFrame(pandas)
+        # move columnar batches; the old row-wise collect() +
+        # createDataFrame(list-of-tuples) pickled every row (measured
+        # ~0.5 s of the 0.7 s CC phase at sf0.1 on 77k edges)
+        import pandas as pd
+
+        pdf = edges.toPandas()
         spark = edges.sparkSession
         parent: dict[str, str] = {}
 
@@ -280,8 +286,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in head:
-            a, b = row[0], row[1]
+        for a, b in zip(pdf["entity_a"].values, pdf["entity_b"].values):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -291,8 +296,13 @@ def connected_components(
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
-        rows = [(e, find(e)) for e in parent]
-        return spark.createDataFrame(rows, "entity string, canon string")
+        out = pd.DataFrame(
+            {
+                "entity": list(parent.keys()),
+                "canon": [find(e) for e in parent],
+            }
+        )
+        return spark.createDataFrame(out, schema="entity string, canon string")
     sym = edges.select(
         F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
     ).union(
