@@ -753,6 +753,36 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling that ends in PIXELS: MJPEG-in-MP4 payloads
+    (every mdat sample a real baseline JPEG) → sample table parse →
+    ranged slice → JPEG decode → per-frame luminance features. The
+    oracle is hybrid: the STRUCTURE columns (n_sampled, max_frame,
+    frame dims) are recomputed by DuckDB from the generator formulas
+    alone — no payload bytes — while the luminance sums re-aggregate
+    the materialized per-frame rows (mm_features pattern: the Spark
+    side decodes from scratch, so a hash match proves deterministic
+    decode + structural agreement with declared ground truth)."""
+    from serd_spark.operators.multimodal import (
+        decode_frames,
+        synthesize_mjpeg_media,
+    )
+
+    media = synthesize_mjpeg_media(spark, max(32, _n_pages(sf_dir) // 64))
+    _materialize(
+        sf_dir, "mm_frame_decode",
+        lambda: decode_frames(media, every_ms=300),
+    )
+    return decode_frames(media, every_ms=300).groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.max("frame_idx").cast("long").alias("max_frame"),
+        F.max("fw").cast("long").alias("fw"),
+        F.max("fh").cast("long").alias("fh"),
+        F.sum("lum_mean_u").cast("long").alias("sum_lum_mean_u"),
+        F.sum("lum_std_u").cast("long").alias("sum_lum_std_u"),
+    )
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
@@ -1451,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "mm_probe": mm_probe,
         "mm_frames": mm_frames,
+        "mm_frame_decode": mm_frame_decode,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -1953,6 +1984,33 @@ def oracle_sql() -> dict[str, str]:
             FROM sampled s
             JOIN offs o ON o.id = s.id AND o.k = s.k
             GROUP BY s.id
+        """,
+        # Frame DECODE: structure (how many instants sample which
+        # frame at what dimensions) recomputed from the generator
+        # formulas alone — 4+id%5 frames at 200 ms deltas sampled
+        # every 300 ms, dims 16+(id%3)*8 × 16+(id%2)*8 — while the
+        # luminance sums re-aggregate the materialized per-frame rows
+        # (pixel truth has no SQL formula; determinism is the claim).
+        "mm_frame_decode": f"""
+            WITH f AS (
+              SELECT media_id,
+                     CAST(SUM(lum_mean_u) AS BIGINT) AS sum_lum_mean_u,
+                     CAST(SUM(lum_std_u) AS BIGINT) AS sum_lum_std_u
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/mm_frame_decode/*.parquet')
+              GROUP BY media_id
+            ), m AS (
+              SELECT media_id, 4 + media_id % 5 AS n_f FROM f
+            )
+            SELECT m.media_id,
+                   CAST((200 * (n_f - 1)) // 300 + 1 AS BIGINT)
+                     AS n_sampled,
+                   CAST((300 * ((200 * (n_f - 1)) // 300)) // 200
+                     AS BIGINT) AS max_frame,
+                   CAST(16 + (m.media_id % 3) * 8 AS BIGINT) AS fw,
+                   CAST(16 + (m.media_id % 2) * 8 AS BIGINT) AS fh,
+                   f.sum_lum_mean_u, f.sum_lum_std_u
+            FROM m JOIN f USING (media_id)
         """,
         # Round-trip INVARIANT oracles: the writer→parser fixpoint must
         # hold for EVERY statement/document, so the expected counts are

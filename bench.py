@@ -86,6 +86,8 @@ def main() -> None:
         "q_pack_sequences": entrymod.q_pack_sequences,
         "q_bpe_train": entrymod.q_bpe_train,
         "q_session_window": entrymod.q_session_window,
+        # round-4 additions
+        "mm_frame_decode": entrymod.mm_frame_decode,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

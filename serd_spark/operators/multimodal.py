@@ -1219,6 +1219,29 @@ def frame_sample_plan(
     )
 
 
+def _sampled_ranges(
+    b: bytes, every_ms: int
+) -> tuple[list[tuple[int, int, int]], np.ndarray, np.ndarray]:
+    """Shared sampling schedule for ``sample_frames`` /
+    ``decode_frames``: parse the sample table, bound the schedule by
+    the DECLARED last pts BEFORE allocating (a tiny payload declaring
+    a huge stts delta must not arange() gigabytes), and return
+    (table, sampled_ts, sample_idx_per_ts)."""
+    table = mp4_sample_table(b)
+    if not table:
+        raise ValueError("empty sample table")
+    n_instants = table[-1][0] // every_ms + 1
+    if n_instants > _MAX_MP4_SAMPLES:
+        raise ValueError(
+            f"implausible sampling span: {n_instants} "
+            f"instants at every_ms={every_ms}"
+        )
+    ptss = np.array([p for p, _, _ in table], dtype=np.int64)
+    ts = np.arange(0, int(ptss[-1]) + 1, every_ms, dtype=np.int64)
+    idx = np.searchsorted(ptss, ts, side="right") - 1
+    return table, ts, idx
+
+
 def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,
@@ -1245,27 +1268,11 @@ def sample_frames(
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(raw) if raw is not None else b""
                 try:
-                    table = mp4_sample_table(b)
-                    if not table:
-                        continue
-                    # bound the sampling schedule by the DECLARED last
-                    # pts BEFORE allocating: a tiny payload declaring
-                    # a huge stts delta (or timescale 1) must not
-                    # arange() gigabytes in either mode
-                    n_instants = table[-1][0] // every_ms + 1
-                    if n_instants > _MAX_MP4_SAMPLES:
-                        raise ValueError(
-                            f"implausible sampling span: {n_instants} "
-                            f"instants at every_ms={every_ms}"
-                        )
+                    table, ts, idx = _sampled_ranges(b, every_ms)
                 except Exception:
                     if strict:
                         raise
                     continue
-                ptss = np.array([p for p, _, _ in table], dtype=np.int64)
-                ts = np.arange(0, int(ptss[-1]) + 1, every_ms,
-                               dtype=np.int64)
-                idx = np.searchsorted(ptss, ts, side="right") - 1
                 c_id.extend([int(mid)] * len(ts))
                 c_t.extend(ts.tolist())
                 c_idx.extend(idx.tolist())
@@ -1288,6 +1295,182 @@ def sample_frames(
             "byte_off long, n_bytes long"
         ),
     )
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    sample_delta_ms: int = 100,
+) -> bytes:
+    """MJPEG-in-MP4: ftyp + moov (whose stco offsets point into the
+    following mdat) + mdat holding one REAL image payload per sample.
+    The layout round-trips exactly through ``mp4_sample_table``:
+    slicing [byte_off, byte_off + n_bytes) out of the file yields the
+    original frame bytes — the input ``decode_frames`` decodes.
+
+    Built in two passes: the moov size is independent of the offset
+    VALUES (stco entries are fixed-width >I), so pass 1 measures the
+    metadata length and pass 2 re-emits it with the real mdat base."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    sizes = [len(f) for f in frames]
+    duration = sample_delta_ms * len(frames)
+    meta0 = encode_mp4_meta(
+        duration, width, height, tracks=(b"vide",),
+        sample_sizes=sizes, sample_delta_ms=sample_delta_ms,
+        chunk_base_off=0,
+    )
+    base = len(meta0) + 8  # mdat data begins after its 8-byte header
+    meta = encode_mp4_meta(
+        duration, width, height, tracks=(b"vide",),
+        sample_sizes=sizes, sample_delta_ms=sample_delta_ms,
+        chunk_base_off=base,
+    )
+    return meta + _mp4_box(b"mdat", b"".join(frames))
+
+
+def decode_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """Sampled video frames decoded to PIXELS: the byte ranges that
+    ``sample_frames`` plans are sliced out of the payload and pushed
+    through the stdlib image decoders (MJPEG samples → the repo's
+    JPEG codec; any magic ``decode_image`` knows works). Emits one
+    row per sampled instant with the frame's dimensions and
+    luminance stats in integer MILLIONTHS (cross-engine-exact — the
+    float math happens once, here).
+
+    At cluster scale the slice becomes an object-store ranged GET of
+    [byte_off, byte_off + n_bytes): the decode stage reads sampled
+    kilobytes, never whole videos. Decoded frames are memoized per
+    byte offset within a row (a sampling grid denser than the frame
+    rate re-reads the same keyframe). Undecodable frames are skipped
+    in lax mode (``strict`` raises); decoders bound their own work
+    by declared dimensions (see the codec modules)."""
+    src = media.filter(F.col("kind") == "video").select(id_col, payload_col)
+    _LUM = np.array([0.299, 0.587, 0.114])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_id, c_t, c_idx, c_pts = [], [], [], []
+            c_w, c_h, c_mean, c_std = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    table, ts, idx = _sampled_ranges(b, every_ms)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                memo: dict[int, tuple[int, int, int, int]] = {}
+                for t, j in zip(ts.tolist(), idx.tolist()):
+                    pts, off, sz = table[int(j)]
+                    try:
+                        feat = memo.get(off)
+                        if feat is None:
+                            frame = b[off : off + sz]
+                            if len(frame) != sz:
+                                raise ValueError(
+                                    "frame range beyond payload"
+                                )
+                            px = decode_image(frame)
+                            lum = (px.astype(np.float64) / 255.0) @ _LUM
+                            feat = (
+                                px.shape[1],
+                                px.shape[0],
+                                int(round(float(lum.mean()) * 1_000_000)),
+                                int(round(float(lum.std()) * 1_000_000)),
+                            )
+                            memo[off] = feat
+                    except Exception:
+                        if strict:
+                            raise
+                        continue
+                    c_id.append(int(mid))
+                    c_t.append(int(t))
+                    c_idx.append(int(j))
+                    c_pts.append(pts)
+                    c_w.append(feat[0])
+                    c_h.append(feat[1])
+                    c_mean.append(feat[2])
+                    c_std.append(feat[3])
+            yield pd.DataFrame(
+                {
+                    id_col: c_id, "t_ms": c_t, "frame_idx": c_idx,
+                    "pts_ms": c_pts, "fw": c_w, "fh": c_h,
+                    "lum_mean_u": c_mean, "lum_std_u": c_std,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, t_ms long, frame_idx int, pts_ms long, "
+            "fw int, fh int, lum_mean_u long, lum_std_u long"
+        ),
+    )
+
+
+def synthesize_mjpeg_media(
+    spark, n_rows: int, seed: int = 42, partitions: int = 8
+) -> DataFrame:
+    """Deterministic MJPEG-in-MP4 media table: every mdat sample is a
+    REAL baseline JPEG from this repo's encoder, so the video path
+    ends in decoded pixels, not just byte ranges. Payload bytes are a
+    pure function of (seed, id) — same determinism contract as
+    ``synthesize_media``."""
+    base = spark.range(0, n_rows, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serd_spark.operators.jpeg_codec import encode_jpeg
+
+        for pdf in batches:
+            c_id, c_kind, c_payload, c_mime = [], [], [], []
+            c_w, c_h, c_dur = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 16 + (i % 3) * 8
+                h = 16 + (i % 2) * 8
+                n_f = 4 + i % 5  # 4..8 frames
+                delta = 200
+                frames = []
+                for k in range(n_f):
+                    need, out, c = w * h * 3, b"", 0
+                    tag = f"{seed}:{i}:{k}".encode()
+                    while len(out) < need:
+                        out += hashlib.blake2b(
+                            tag + c.to_bytes(4, "big"), digest_size=32
+                        ).digest()
+                        c += 1
+                    px = np.frombuffer(out[:need], dtype=np.uint8).reshape(
+                        h, w, 3
+                    )
+                    frames.append(
+                        encode_jpeg(px, quality=90, subsample=True)
+                    )
+                c_id.append(i)
+                c_kind.append("video")
+                c_payload.append(
+                    encode_mp4_mjpeg(frames, w, h, sample_delta_ms=delta)
+                )
+                c_mime.append("video/mp4")
+                c_w.append(w)
+                c_h.append(h)
+                c_dur.append(delta * n_f)
+            yield pd.DataFrame(
+                {
+                    "media_id": c_id, "kind": c_kind, "payload": c_payload,
+                    "mime": c_mime, "width": c_w, "height": c_h,
+                    "duration_ms": c_dur,
+                }
+            )
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synthesize_media(

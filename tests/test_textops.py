@@ -857,3 +857,95 @@ def test_stratified_rate_one_keeps_everything(spark):
     rows = [(i, "t", "en") for i in range(50)]
     d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     assert stratified_sample(d, {"en": 1.0}).count() == 50
+
+
+def test_mp4_mjpeg_roundtrip_and_decode():
+    # container round-trip: each sample slice is the original JPEG,
+    # decode_image recovers exactly the pixels decode_jpeg sees
+    import hashlib
+
+    import numpy as np
+
+    from serd_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    frames = []
+    for k in range(4):
+        out, c = b"", 0
+        while len(out) < 16 * 24 * 3:
+            out += hashlib.blake2b(
+                f"f:{k}".encode() + c.to_bytes(4, "big"), digest_size=32
+            ).digest()
+            c += 1
+        px = np.frombuffer(out[: 16 * 24 * 3], dtype=np.uint8).reshape(
+            16, 24, 3
+        )
+        frames.append(encode_jpeg(px, quality=90, subsample=True))
+    pay = multimodal.encode_mp4_mjpeg(frames, 24, 16, sample_delta_ms=200)
+    table = multimodal.mp4_sample_table(pay)
+    assert [p for p, _, _ in table] == [0, 200, 400, 600]
+    for k, (_, off, sz) in enumerate(table):
+        assert pay[off : off + sz] == frames[k]
+        assert np.array_equal(
+            multimodal.decode_image(pay[off : off + sz]),
+            decode_jpeg(frames[k]),
+        )
+    pr = multimodal.probe_mp4(pay)
+    assert (pr["width"], pr["height"], pr["n_tracks"]) == (24, 16, 1)
+
+
+def test_decode_frames_spark(spark):
+    media = multimodal.synthesize_mjpeg_media(spark, 16)
+    rows = multimodal.decode_frames(media, every_ms=300).collect()
+    assert rows
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == set(range(16))
+    for mid, rs in by_id.items():
+        n_f = 4 + mid % 5
+        assert len(rs) == (200 * (n_f - 1)) // 300 + 1
+        for r in sorted(rs, key=lambda r: r.t_ms):
+            assert r.frame_idx == r.t_ms // 200
+            assert (r.fw, r.fh) == (16 + (mid % 3) * 8, 16 + (mid % 2) * 8)
+            assert 0 <= r.lum_mean_u <= 1_000_000
+            assert 0 <= r.lum_std_u <= 500_000  # std of [0,1] data <= .5
+    # determinism: a second run is bit-identical
+    again = multimodal.decode_frames(media, every_ms=300).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_decode_frames_corrupt_frame_lax_and_strict(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from serd_spark.operators.jpeg_codec import encode_jpeg
+
+    good = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), quality=90)
+    bad = b"\xff\xd8" + b"\x00" * 40  # JPEG magic, garbage body
+    pay = multimodal.encode_mp4_mjpeg(
+        [good, bad, good], 8, 8, sample_delta_ms=100
+    )
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(pay))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = multimodal.decode_frames(media, every_ms=100).collect()
+    assert [
+        r.frame_idx for r in sorted(rows, key=lambda r: r.t_ms)
+    ] == [0, 2]
+    with _pytest.raises(Exception):
+        multimodal.decode_frames(media, every_ms=100, strict=True).collect()
+
+
+def test_decode_frames_range_beyond_payload(spark):
+    # stco pointing past the file: lax skips those frames before any
+    # decoder sees a short slice
+    meta = multimodal.encode_mp4_meta(
+        300, width=8, height=8, sample_sizes=[100, 100, 100],
+        sample_delta_ms=100, chunk_base_off=1 << 20,
+    )
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(meta))],
+        "media_id long, kind string, payload binary",
+    )
+    assert multimodal.decode_frames(media, every_ms=100).count() == 0
