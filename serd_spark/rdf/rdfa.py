@@ -10,8 +10,20 @@ microdata — Open Graph ``<meta property="og:...">`` tags and
 schema.org-in-RDFa both land here.
 
 Subset of the Core processing rules (documented divergences):
-- no ``@rel``/``@rev`` chaining and no incomplete triples (those are
-  exactly what RDFa *Lite* removed);
+- ``@rel``/``@rev`` chaining INCLUDING incomplete triples: with an
+  object resource on the same element (``@resource``/``@href``/
+  ``@src``) the link triples emit immediately and the object becomes
+  the descendants' subject; without one, the pending rel/rev links
+  complete at EACH descendant branch's first element that establishes
+  a node (``@about``, ``@typeof``, ``@resource``/``@href``/``@src``,
+  or ``property``+``typeof``) — elements that merely inherit pass
+  them through. Divergences from Core §7.5: an element with only
+  ``@rel``/``@rev`` does not itself complete its parent's pending
+  links (Core's step-10 self-completion yields degenerate
+  ``(gp, rel, parent)`` triples real markup never wants), and when
+  ``@property`` coexists, bare (non-CURIE) rel/rev terms are ignored
+  (the RDFa 1.1 rule) while ``@resource``/``@href``/``@src`` feed the
+  rel/rev links and ``@property`` takes the literal path;
 - property-value precedence follows Core §7.5 step 11: non-empty
   ``@datatype`` → typed literal; ``@content`` → plain literal;
   ``@resource``/``@href``/``@src`` → IRI; ``@typeof`` (no ``@about``)
@@ -126,6 +138,7 @@ class _RdfaToRdf:
         vocab: str,
         prefixes: dict[str, str],
         lang: str,
+        pending: tuple[list[str], list[str], Term] | None = None,
     ) -> None:
         a = el.attrs
         if "vocab" in a:
@@ -148,10 +161,32 @@ class _RdfaToRdf:
             (a[k] for k in ("resource", "href", "src") if k in a), None
         )
 
+        # rel/rev links (Core). The RDFa 1.1 rule: bare terms in
+        # @rel/@rev are IGNORED when @property coexists — it exists
+        # precisely so <link property=… rel=stylesheet> noise never
+        # mints vocab+stylesheet predicates.
+        def _links(attr: str) -> list[str]:
+            out = []
+            for t in a.get(attr, "").split():
+                if props and ":" not in t:
+                    continue
+                if x := self._expand(t, vocab, prefixes):
+                    out.append(x)
+            return out
+
+        rels, revs = _links("rel"), _links("rev")
+
         cur_subj = (
             Term(IRI, self._resolve(a["about"])) if "about" in a else subj
         )
         new_subj = cur_subj
+
+        if rels or revs:
+            self._walk_linking(
+                el, a, cur_subj, props, types, res_attr, rels, revs,
+                vocab, prefixes, lang, pending,
+            )
+            return
 
         if props:
             if types and "about" not in a:
@@ -207,9 +242,100 @@ class _RdfaToRdf:
             # bare @resource re-points the subject for descendants
             new_subj = Term(IRI, self._resolve(a["resource"]))
 
+        # a node established here completes the nearest ancestor's
+        # pending @rel/@rev links (one completion per descendant
+        # branch: siblings each receive their own copy)
+        if pending is not None and ("about" in a or new_subj != subj):
+            p_rels, p_revs, p_subj = pending
+            for r in p_rels:
+                self.statements.append(
+                    Statement(p_subj, Term(IRI, r), new_subj)
+                )
+            for r in p_revs:
+                self.statements.append(
+                    Statement(new_subj, Term(IRI, r), p_subj)
+                )
+            pending = None
+
         for c in el.children:
             if isinstance(c, _El):
-                self._walk(c, new_subj, vocab, prefixes, lang)
+                self._walk(c, new_subj, vocab, prefixes, lang, pending)
+
+    def _walk_linking(
+        self,
+        el: _El,
+        a: dict[str, str],
+        cur_subj: Term,
+        props: list[str],
+        types: list[str],
+        res_attr: str | None,
+        rels: list[str],
+        revs: list[str],
+        vocab: str,
+        prefixes: dict[str, str],
+        lang: str,
+        pending: tuple[list[str], list[str], Term] | None,
+    ) -> None:
+        """@rel/@rev element: the object resource (if any) takes the
+        link triples and becomes the descendants' subject; otherwise
+        the links go pending until a descendant establishes a node.
+        @property on the same element takes the literal path (the
+        resource is consumed by the links)."""
+        obj: Term | None = (
+            Term(IRI, self._resolve(res_attr))
+            if res_attr is not None
+            else None
+        )
+        if obj is None and types and "about" not in a:
+            # @typeof with no @about and no resource: the typed blank
+            # node is the links' object (Core's "typed resource")
+            obj = self._new_blank()
+
+        # an @about here names a fresh subject — it also completes an
+        # ANCESTOR's pending links before creating this element's own
+        # (a rel/rev element WITHOUT @about inherits its subject, so
+        # completing there would mint degenerate (gp, rel, parent)
+        # triples — the Core step-10 behavior this parser diverges
+        # from, per the module docstring)
+        if pending is not None and "about" in a:
+            p_rels, p_revs, p_subj = pending
+            for r in p_rels:
+                self.statements.append(
+                    Statement(p_subj, Term(IRI, r), cur_subj)
+                )
+            for r in p_revs:
+                self.statements.append(
+                    Statement(cur_subj, Term(IRI, r), p_subj)
+                )
+
+        type_target = cur_subj if "about" in a else obj
+        if type_target is not None:
+            for t in types:
+                self.statements.append(
+                    Statement(type_target, Term(IRI, RDF_TYPE), Term(IRI, t))
+                )
+        if props:
+            # literal path only: res_attr belongs to the links
+            value, _ = self._prop_value(
+                el, a, None, vocab, prefixes, lang
+            )
+            for p in props:
+                self.statements.append(
+                    Statement(cur_subj, Term(IRI, p), value)
+                )
+
+        if obj is not None:
+            for r in rels:
+                self.statements.append(Statement(cur_subj, Term(IRI, r), obj))
+            for r in revs:
+                self.statements.append(Statement(obj, Term(IRI, r), cur_subj))
+            new_subj, child_pending = obj, None
+        else:
+            new_subj, child_pending = cur_subj, (rels, revs, cur_subj)
+
+        for c in el.children:
+            if isinstance(c, _El):
+                self._walk(c, new_subj, vocab, prefixes, lang, child_pending)
 
     def _prop_value(
         self,
@@ -242,15 +368,20 @@ class _RdfaToRdf:
 
 def has_rdfa_markers(html_text: str) -> bool:
     """Cheap substring gate (the web-scale common case: False, and no
-    DOM is ever built). All three markers require the '=' — a bare
+    DOM is ever built). All markers require the '=' — a bare
     'typeof' would match virtually every page with inline JavaScript
     (the JS `typeof` operator) and defeat the fast path on the
     extraction hot loop; the cost is missing the rare
-    whitespace-around-'=' attribute spelling."""
+    whitespace-around-'=' attribute spelling. ``rel=`` is
+    deliberately NOT a marker (every stylesheet link has one), so
+    rel/rev-only RDFa that also lacks vocab/prefix/property/typeof
+    goes undetected here — such documents can't mint predicates
+    anyway except through full-IRI CURIEs, a corpus-negligible case."""
     return (
         "property=" in html_text
         or "typeof=" in html_text
         or "vocab=" in html_text
+        or "prefix=" in html_text
     )
 
 

@@ -145,15 +145,27 @@ def _page_for(
                 "</script>"
             )
         else:
-            # RDFa Lite (schema.org-in-RDFa): same triple shape as the
-            # microdata variant — type + name + relatedLink
-            parts.append(
-                f'<div vocab="http://schema.org/" typeof="Thing" '
-                f'about="{ent}">'
-                f'<span property="name">{name}</span>'
-                f'<a property="relatedLink" href="{obj}">rel</a>'
-                "</div>"
-            )
+            # RDFa (schema.org-in-RDFa): same triple shape as the
+            # microdata variant — type + name + relatedLink. Every
+            # third page links via @rel chaining (the Core form) so
+            # both link spellings are exercised; the bare rel term
+            # expands through the in-scope @vocab, SAME triples.
+            if i % 3 == 0:
+                parts.append(
+                    f'<div vocab="http://schema.org/" typeof="Thing" '
+                    f'about="{ent}">'
+                    f'<span property="name">{name}</span>'
+                    f'<a rel="relatedLink" href="{obj}">rel</a>'
+                    "</div>"
+                )
+            else:
+                parts.append(
+                    f'<div vocab="http://schema.org/" typeof="Thing" '
+                    f'about="{ent}">'
+                    f'<span property="name">{name}</span>'
+                    f'<a property="relatedLink" href="{obj}">rel</a>'
+                    "</div>"
+                )
         if _h(seed, i, "bad") % 100 < 5:
             parts.append(
                 '<script type="text/turtle">'

@@ -198,3 +198,124 @@ def test_rdfa_deep_nesting_is_error_not_crash():
     assert triples == []
     with pytest.raises(RecursionError):
         extract_document(html, "https://f.example/x", lax=False)
+
+
+def test_rel_with_href_links_and_chains():
+    html = (
+        '<div vocab="http://schema.org/" about="#me">'
+        '<a rel="author" href="/alice">'
+        '<span property="name">Alice</span></a></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    me = (IRI, BASE + "#me")
+    alice = (IRI, "https://page.example/alice")
+    assert (me, "http://schema.org/author", alice + ("", "")) in got
+    # the object resource becomes the descendants' subject
+    assert (alice, "http://schema.org/name", (LITERAL, "Alice", "", "")) in got
+
+
+def test_rev_reverses_subject_and_object():
+    html = (
+        '<div about="#paper" prefix="dc: http://purl.org/dc/terms/">'
+        '<span rev="dc:creator" resource="#me"></span></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    assert (
+        (IRI, BASE + "#me"),
+        "http://purl.org/dc/terms/creator",
+        (IRI, BASE + "#paper", "", ""),
+    ) in got
+
+
+def test_incomplete_triples_complete_per_branch():
+    # @rel with no object: each child branch establishing a node
+    # completes the pending link once
+    html = (
+        '<div vocab="http://xmlns.com/foaf/0.1/" about="#me" rel="knows">'
+        '<span about="#alice">a</span>'
+        '<span about="#bob">b</span></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    me = (IRI, BASE + "#me")
+    knows = "http://xmlns.com/foaf/0.1/knows"
+    assert (me, knows, (IRI, BASE + "#alice", "", "")) in got
+    assert (me, knows, (IRI, BASE + "#bob", "", "")) in got
+    assert len(stmts) == 2
+
+
+def test_incomplete_completes_at_typed_blank_node():
+    html = (
+        '<div vocab="http://schema.org/" about="#post" rel="author">'
+        '<span typeof="Person"><span property="name">X</span></span>'
+        "</div>"
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    bnodes = {s.object.value for s in stmts if s.object.kind == BLANK}
+    assert len(bnodes) == 1
+    b = bnodes.pop()
+    assert ((IRI, BASE + "#post"), "http://schema.org/author",
+            (BLANK, b, "", "")) in got
+    assert ((BLANK, b), RDF_TYPE,
+            (IRI, "http://schema.org/Person", "", "")) in got
+    assert ((BLANK, b), "http://schema.org/name",
+            (LITERAL, "X", "", "")) in got
+
+
+def test_pending_not_reused_below_completing_node():
+    # the inner @about completes the pending link; a deeper node must
+    # NOT complete it again
+    html = (
+        '<div vocab="http://xmlns.com/foaf/0.1/" about="#me" rel="knows">'
+        '<div about="#alice"><span about="#deep">d</span></div></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    knows = [s for s in stmts if s.predicate.value.endswith("knows")]
+    assert len(knows) == 1
+    assert knows[0].object.value == BASE + "#alice"
+
+
+def test_rel_and_property_share_an_element():
+    # the resource feeds @rel; @property takes the literal path
+    html = (
+        '<div vocab="http://xmlns.com/foaf/0.1/" about="#me">'
+        '<a rel="foaf:knows" property="foaf:nick" href="/bob">Bobby</a>'
+        "</div>"
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    me = (IRI, BASE + "#me")
+    assert (me, "http://xmlns.com/foaf/0.1/knows",
+            (IRI, "https://page.example/bob", "", "")) in got
+    assert (me, "http://xmlns.com/foaf/0.1/nick",
+            (LITERAL, "Bobby", "", "")) in got
+
+
+def test_bare_rel_terms_ignored_when_property_present():
+    # rel=stylesheet next to a property must not mint vocab+stylesheet
+    html = (
+        '<div vocab="http://schema.org/">'
+        '<link property="url" rel="stylesheet" href="/style.css"/></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    preds = {s.predicate.value for s in stmts}
+    assert preds == {"http://schema.org/url"}
+    # without @property the bare term expands through @vocab (Core)
+    html2 = (
+        '<div vocab="http://xmlns.com/foaf/0.1/" about="#me">'
+        '<a rel="knows" href="/bob">b</a></div>'
+    )
+    stmts2, _ = parse_rdfa(html2, BASE)
+    assert {s.predicate.value for s in stmts2} == {
+        "http://xmlns.com/foaf/0.1/knows"
+    }
+
+
+def test_rel_without_vocab_or_prefix_is_inert():
+    # plain HTML link types never become triples without a vocab
+    html = '<div about="#x"><a rel="stylesheet next" href="/s.css">s</a></div>'
+    stmts, _ = parse_rdfa(html, BASE)
+    assert stmts == []
