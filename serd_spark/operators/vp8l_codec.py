@@ -434,6 +434,12 @@ def decode_vp8l(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     features raise NotImplementedError naming the feature."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         if payload[12:16] != b"VP8L":
+            # Environment-blocked, not merely unimplemented: a lossy
+            # VP8 decoder that really reads web streams needs RFC
+            # 6386's normative constant tables (default coefficient
+            # probabilities, mode trees, quant lookups), which exist
+            # nowhere in this offline sandbox. Invented tables would
+            # decode only self-encoded streams — fake interop.
             raise NotImplementedError(
                 f"WebP chunk {payload[12:16]!r}: only VP8L (lossless) "
                 "decodes without a VP8 codec library"
