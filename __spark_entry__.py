@@ -1335,6 +1335,19 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketch (operators/stats.py sketch_distinct):
+    per-language estimate of distinct document texts via md5-prefix
+    threshold sampling — the keep/drop predicate runs map-side BEFORE
+    the shuffle, so at 100 TB the distinct agg sees a 16^z-times-
+    smaller table. The DuckDB oracle replays the identical hex-prefix
+    rule, so counts AND estimates match bit-for-bit."""
+    from serd_spark.operators.stats import sketch_distinct
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return sketch_distinct(docs, "text", by=["lang"], prefix_zeros=1)
+
+
 BPE_MERGES = 6
 
 
@@ -1518,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
+        "q_distinct_sketch": q_distinct_sketch,
         "q_bpe_train": q_bpe_train,
         "q_pack_sequences": q_pack_sequences,
         "q_session_window": q_session_window,
@@ -2726,6 +2740,19 @@ def oracle_sql() -> dict[str, str]:
             FROM cum, qs
             WHERE cu >= (q_permille * n + 999) // 1000
             GROUP BY 1, 2
+        """,
+        # Identical hex-prefix sampling rule on both engines: a
+        # fixed-width md5 PREFIX compare equals a numeric threshold
+        # on the hash, with no integer conversion to disagree on.
+        "q_distinct_sketch": """
+            SELECT lang,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_kept,
+                   CAST(COUNT(DISTINCT text) * 16 AS BIGINT)
+                     AS distinct_est
+            FROM documents
+            WHERE text IS NOT NULL
+              AND substring(md5(text), 1, 1) = '0'
+            GROUP BY lang
         """,
         "q_bpe_train": _bpe_oracle_sql(BPE_MERGES),
         # The two-level prefix sum must equal the plain global window

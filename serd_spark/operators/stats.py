@@ -1,5 +1,6 @@
-"""Exact distributed order statistics — `percentile_disc`-style
-quantiles without a global sort.
+"""Distributed statistics: exact `percentile_disc`-style quantiles
+without a global sort, and a deterministic distinct-count sketch
+(fixed-threshold hash sampling).
 
 Spark's built-ins offer `percentile_approx` (sketch, not exact) or
 `percentile` (exact but funnels values through a single aggregation
@@ -26,6 +27,55 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def sketch_distinct(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    prefix_zeros: int = 2,
+) -> DataFrame:
+    """Distinct-count ESTIMATE via fixed-threshold hash sampling (the
+    bottom-theta / KMV family): keep a value iff its md5 hex digest
+    starts with ``prefix_zeros`` zeros (a deterministic
+    16^-prefix_zeros Bernoulli sample of the DISTINCT DOMAIN —
+    duplicates share their value's hash, so the keep/drop decision is
+    per distinct value, not per row), count the distinct survivors
+    exactly, and scale back up.
+
+    Why this shape at 100 TB: exact ``countDistinct`` shuffles every
+    distinct value; the hash-prefix filter drops (1 - 16^-z) of the
+    domain BEFORE the shuffle — a plain predicate, fully map-side —
+    so the distinct aggregation runs over a table 16^z times smaller.
+    Standard error ≈ 1/sqrt(n_kept) (binomial). Deterministic (md5 of
+    the UTF-8 bytes, no RNG, retry-invariant) and exactly replayable
+    in any engine with md5: comparing a fixed-width hex PREFIX equals
+    comparing the hash numerically, so the DuckDB mirror is
+    ``substring(md5(x), 1, z) = '00…'`` — no integer conversion to
+    disagree on.
+
+    Returns ``(*by, n_kept, distinct_est)`` with
+    ``distinct_est = n_kept * 16^prefix_zeros``.
+    """
+    if not (1 <= prefix_zeros <= 8):
+        raise ValueError("prefix_zeros must be in [1, 8]")
+    by = list(by or [])
+    zeros = "0" * prefix_zeros
+    kept = df.filter(F.col(value_col).isNotNull()).filter(
+        F.substring(
+            F.md5(F.encode(F.col(value_col), "UTF-8")), 1, prefix_zeros
+        )
+        == zeros
+    )
+    scale = 16 ** prefix_zeros
+    agg = kept.groupBy(*by).agg(
+        F.countDistinct(value_col).alias("n_kept")
+    )
+    return agg.select(
+        *by,
+        "n_kept",
+        (F.col("n_kept") * F.lit(scale)).cast("long").alias("distinct_est"),
+    )
 
 
 def exact_quantiles(

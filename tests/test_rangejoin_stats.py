@@ -139,3 +139,44 @@ def test_range_join_left_outer_null_payload_not_duplicated(spark):
     out = range_join(left, right, on="k", before_s=1, after_s=1, how="left").collect()
     assert len(out) == 2
     assert all(r["rid"] == 10 for r in out)
+
+
+def test_sketch_distinct_estimates_within_tolerance(spark):
+    from serd_spark.operators.stats import sketch_distinct
+
+    # 40k distinct values, each duplicated 3x: the estimate must track
+    # the DISTINCT count (the sample decision is per value, not per
+    # row), within binomial noise of the ~156 expected survivors
+    n = 40_000
+    df = (
+        spark.range(n)
+        .selectExpr("concat('value-', id) AS v")
+        .union(spark.range(n).selectExpr("concat('value-', id) AS v"))
+        .union(spark.range(n).selectExpr("concat('value-', id) AS v"))
+    )
+    row = sketch_distinct(df, "v", prefix_zeros=2).collect()[0]
+    assert row.distinct_est == row.n_kept * 256
+    assert abs(row.distinct_est - n) / n < 0.25  # ~3 sigma of 1/sqrt(156)
+    # deterministic: same input -> identical estimate
+    again = sketch_distinct(df, "v", prefix_zeros=2).collect()[0]
+    assert (row.n_kept, row.distinct_est) == (again.n_kept, again.distinct_est)
+
+
+def test_sketch_distinct_grouped_and_validates(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.stats import sketch_distinct
+
+    df = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(5000)]
+        + [("b", f"x{i}") for i in range(100)]
+        + [("b", None)],
+        ["g", "v"],
+    )
+    rows = {r.g: r for r in sketch_distinct(df, "v", by=["g"]).collect()}
+    # group b keeps so few values it may vanish entirely; group a must
+    # be present and scaled
+    assert rows["a"].distinct_est == rows["a"].n_kept * 256
+    assert rows["a"].n_kept > 0
+    with _pytest.raises(ValueError):
+        sketch_distinct(df, "v", prefix_zeros=0)
