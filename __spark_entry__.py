@@ -598,6 +598,83 @@ def stream_dedup_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection (applyInPandasWithState over
+    SimHash chunk buckets) driven end-to-end: the documents table is
+    staged as FOUR doc_id-ordered slice files written in mtime order,
+    so arrival order == id order and the stream's "dup of the best
+    earlier doc" rule equals the batch rule "dup of the (min hamming,
+    then min id) doc with a smaller id" — which the DuckDB oracle
+    brute-forces from independently materialized signatures. Recall
+    below the state cap is exact (4×16-bit chunks cover Hamming ≤ 3
+    by pigeonhole; sf0.01's 500 docs sit far below the cap)."""
+    import shutil
+    import time as _time
+
+    from serd_spark.operators.dedup import simhash_signatures
+    from serd_spark.streaming.incremental import stream_near_dup_docs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.join(
+        "/tmp/serd_spark_stream_neardup",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    docs_dir = os.path.join(base, "docs")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    # four id-range slices, written sequentially: the file source
+    # processes oldest-mtime first, making arrival order = id order
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    step = max(1, (hi - lo + 1) // 4)
+    for k in range(4):
+        a = lo + k * step
+        b = hi + 1 if k == 3 else lo + (k + 1) * step
+        sl = docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+        if k:
+            _time.sleep(1.05)  # distinct mtimes: deterministic order
+        sl.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    ded = stream_near_dup_docs(stream)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        ded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _materialize(
+        sf_dir, "stream_simhash_sigs", lambda: simhash_signatures(docs)
+    )
+    out = spark.read.parquet(out_dir)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.min(F.struct("hamming", "dup_of")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.dup_of").alias("dup_of"),
+            F.col("m.hamming").alias("hamming"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def kg_node_ctors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver exposure for the node constructors and the file-URI
     bridge (SURVEY §2A rows 8/15 — serd_node_new_integer/decimal/blob,
@@ -1490,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_metrics_full": curate_metrics_full,
         "stream_extract_counts": stream_extract_counts,
         "stream_dedup_pages": stream_dedup_pages,
+        "stream_near_dups": stream_near_dups,
         "kg_node_ctors": kg_node_ctors,
         "mm_features": mm_features,
         "mm_probe": mm_probe,
@@ -2814,6 +2892,31 @@ def oracle_sql() -> dict[str, str]:
         # eviction cut: only sessions whose end (last + 30 min) is at
         # or before the final watermark max(ts) - 2 h were emitted
         # (boundary included — pinned empirically).
+        # Streaming-vs-batch equivalence for near-dup suppression:
+        # the stream feeds id-ordered slices, so "best earlier doc"
+        # is brute-forceable as min (hamming, then id) over all
+        # smaller-id docs within Hamming 3 — from signatures
+        # materialized by an independent BATCH run of the same UDF.
+        "stream_near_dups": f"""
+            WITH s AS (
+              SELECT doc_id, simhash
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/stream_simhash_sigs/*.parquet')
+            ), pairs AS (
+              SELECT b.doc_id AS doc_id, a.doc_id AS dup_of,
+                     CAST(bit_count(xor(a.simhash, b.simhash))
+                          AS INTEGER) AS hamming
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), ranked AS (
+              SELECT doc_id, dup_of, hamming,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY hamming, dup_of) AS rn
+              FROM pairs
+            )
+            SELECT doc_id, CAST(dup_of AS BIGINT) AS dup_of, hamming
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
+        """,
         "stream_sessions": """
             WITH ordered AS (
               SELECT user_id, ts,

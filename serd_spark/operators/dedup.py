@@ -132,6 +132,23 @@ def simhash64(col: Column) -> Column:
     return sig
 
 
+def popcount64(x) -> "np.ndarray":
+    """Vectorized 64-bit popcount (SWAR) — numpy 1.x has no
+    ``bitwise_count``; used by the streaming near-dup operator's
+    Hamming verify. Accepts int64 (signed reinterpreted as uint64)."""
+    import numpy as np
+
+    v = np.asarray(x).astype(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64
+    )
+
+
 def simhash64_fast(texts) -> "pd.Series":
     """Vectorized SimHash over an Arrow batch: blake2b token hashes
     (stable across processes) unpacked to bit matrices with numpy.

@@ -215,6 +215,115 @@ def stream_dedup_urls(
     )
 
 
+def stream_near_dup_docs(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_state: int = 4096,
+) -> DataFrame:
+    """Cross-micro-batch streaming NEAR-duplicate detection: incoming
+    documents are flagged when they sit within Hamming ``max_hamming``
+    (on 64-bit SimHash) of any EARLIER-arriving document.
+
+    Shape — the streaming twin of ``dedup.simhash_near_dups``:
+    signatures come from the SAME vectorized pandas_udf as batch, the
+    4×16-bit chunk explode provides the LSH keying (any pair within
+    Hamming 3 shares ≥1 chunk by pigeonhole, so recall is exact below
+    the state cap), and ``applyInPandasWithState`` keyed by
+    (chunk, chunk_val) holds the bucket's seen (id, sig) pairs in the
+    streaming state store. Per incoming doc the exact Hamming verify
+    runs vectorized (SWAR popcount) against bucket state plus
+    earlier-in-batch docs.
+
+    Ordering semantics: "earlier" = arrival order; WITHIN a batch,
+    ascending ``id_col`` breaks ties deterministically (group row
+    order after a shuffle is undefined), so when the feed arrives in
+    id order — a crawl stream's natural time order — the output
+    equals the batch rule "dup of the best (min hamming, then min id)
+    earlier doc", which a brute-force SQL mirror can replay.
+
+    A doc matching in several buckets emits up to 4 rows; reduce with
+    ``min(struct(hamming, dup_of))`` per doc. ``max_state`` caps each
+    bucket's state arrays (first-seen kept — at web scale a
+    degenerate bucket, e.g. simhash 0 of empty docs, would otherwise
+    grow without bound); pairs whose every shared bucket overflowed
+    are missed, the same documented trade as batch ``max_bucket``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from serd_spark.operators.dedup import popcount64, simhash_signatures
+
+    sigs = simhash_signatures(docs_stream, id_col, text_col)
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk", "ch.chunk_val")
+
+    def run(key, pdfs, state: GroupState):
+        if state.exists:
+            s_ids, s_sigs = state.get
+            s_ids = np.asarray(s_ids, dtype=np.int64)
+            s_sigs = np.asarray(s_sigs, dtype=np.int64)
+        else:
+            s_ids = np.empty(0, dtype=np.int64)
+            s_sigs = np.empty(0, dtype=np.int64)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        allp = (
+            (parts[0] if len(parts) == 1 else pd.concat(parts))
+            .sort_values(id_col, kind="mergesort")
+        )
+        ids = allp[id_col].to_numpy(np.int64)
+        sgs = allp["simhash"].to_numpy(np.int64)
+        out_id, out_dup, out_ham = [], [], []
+        for i in range(len(ids)):
+            cand_ids = np.concatenate([s_ids, ids[:i]])
+            cand_sigs = np.concatenate([s_sigs, sgs[:i]])
+            if not len(cand_ids):
+                continue
+            ham = popcount64(cand_sigs ^ sgs[i])
+            m = ham <= max_hamming
+            if m.any():
+                hm, im = ham[m], cand_ids[m]
+                k = np.lexsort((im, hm))[0]  # min (hamming, then id)
+                out_id.append(int(ids[i]))
+                out_dup.append(int(im[k]))
+                out_ham.append(int(hm[k]))
+        new_ids = np.concatenate([s_ids, ids])[:max_state]
+        new_sigs = np.concatenate([s_sigs, sgs])[:max_state]
+        state.update((new_ids.tolist(), new_sigs.tolist()))
+        if out_id:
+            yield pd.DataFrame(
+                {id_col: out_id, "dup_of": out_dup, "hamming": out_ham}
+            )
+
+    return chunks.groupBy("chunk", "chunk_val").applyInPandasWithState(
+        run,
+        outputStructType=f"{id_col} long, dup_of long, hamming int",
+        stateStructType="ids array<long>, sigs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_sessions(
     events_stream: DataFrame,
     key: str = "user_id",

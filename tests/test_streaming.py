@@ -280,3 +280,56 @@ def test_streaming_sessions_merge_across_batches(spark, tmp_path):
     assert by_user[2][0]["n_events"] == 1
     # the flusher's own session is past the watermark: held, not emitted
     assert 9 not in by_user
+
+
+def test_stream_near_dup_docs(spark, tmp_path):
+    """Cross-batch streaming near-dup: identical text arriving in a
+    later micro-batch is flagged against the state store; in-batch
+    dups resolve by ascending doc_id; unrelated docs stay silent."""
+    import time as _time
+
+    from serd_spark.streaming.incremental import stream_near_dup_docs
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight nine ten",
+        2: "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        3: "pack my box with five dozen liquor jugs tonight",
+        4: "the quick brown fox jumps over the lazy dog",
+        5: "the quick brown fox jumps over the lazy dog",  # in-batch dup of 4
+    }
+    batch2 = {
+        10: "alpha beta gamma delta epsilon zeta eta theta",  # dup of 0
+        11: "completely different new content nobody matches here",
+    }
+    d = str(tmp_path / "docs_neardup")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)  # distinct mtimes: file order = arrival order
+    spark.createDataFrame(
+        sorted(batch2.items()), "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_near_dup_docs(stream)
+    ckpt = str(tmp_path / "ckpt_neardup")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dups")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select doc_id, min(struct(hamming, dup_of)) as m "
+        "from near_dups group by doc_id"
+    ).collect()
+    got = {r.doc_id: (r.m.hamming, r.m.dup_of) for r in rows}
+    assert got == {5: (0, 4), 10: (0, 0)}, got
