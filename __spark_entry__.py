@@ -1375,6 +1375,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=5)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/graph.py triangle_count) over
+    a hash-folded trade graph (customer/supplier keys folded into one
+    id space mod 9973, so the bipartite structure closes into
+    triangles). Degree-ordered orientation keeps the wedge join near
+    m^1.5 — hub nodes get LOW out-degree. The DuckDB oracle
+    brute-forces the count with a canonical a<b<c three-way
+    self-join over the identically derived edge set."""
+    from serd_spark.operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") % 9973).alias("src"),
+        (F.col("l_suppkey") % 9973).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: per click, the count and latest id of the same
     user's views in the preceding 10 minutes (inclusive both ends) —
@@ -1453,6 +1472,34 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m.rank, m.left, m.right, m.pair_count) for m in merges],
         "rank int, merge_left string, merge_right string, pair_count long",
+    )
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer SIDE of BPE (operators/bpe.py tokenize_bpe):
+    train the same BPE_MERGES merges as q_bpe_train, then tokenize
+    every document (Arrow-batched, per-worker word→length memo).
+    Hybrid oracle: bpe_words is recomputed by DuckDB from the raw
+    text with the identical Java-whitespace split rule, while
+    bpe_tokens re-aggregates the materialized per-doc counts (greedy
+    rank-order merge application has no SQL formula; the fold is
+    pinned by tests/test_bpe.py against the pure-Python reference) —
+    the Spark side recomputes BOTH from scratch, so a hash match
+    proves deterministic training+tokenization and word-rule parity."""
+    from serd_spark.operators.bpe import tokenize_bpe, train_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(
+        docs.select("text"), n_merges=BPE_MERGES, min_pair_count=1
+    )
+    _materialize(
+        sf_dir, "bpe_tokenized",
+        lambda: tokenize_bpe(docs, merges).select("doc_id", "bpe_tokens"),
+    )
+    return (
+        tokenize_bpe(docs, merges)
+        .select("doc_id", "bpe_words", "bpe_tokens")
+        .orderBy("doc_id")
     )
 
 
@@ -1607,10 +1654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_asof_join": q_asof_join,
         "q_pagerank": q_pagerank,
+        "q_triangles": q_triangles,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
         "q_bpe_train": q_bpe_train,
+        "q_bpe_tokenize": q_bpe_tokenize,
         "q_pack_sequences": q_pack_sequences,
         "q_session_window": q_session_window,
         "stream_sessions": stream_sessions,
@@ -2773,6 +2822,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE rn = 1
         """,
         "q_pagerank": _pagerank_oracle_sql(n_iter=5),
+        # Brute-force canonical a<b<c three-way self-join — the exact
+        # count the degree-oriented wedge join must reproduce.
+        "q_triangles": """
+            WITH raw AS (
+              SELECT DISTINCT (o.o_custkey % 9973) AS x,
+                              (l.l_suppkey % 9973) AS y
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            ), e AS (
+              SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+              FROM raw WHERE x <> y
+            ), nodes AS (
+              SELECT a AS n FROM e UNION SELECT b FROM e
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes)
+                     AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+                     AS n_triangles
+        """,
         # Replay the range join as the naive inequality join the Spark
         # shape deliberately avoids; BETWEEN is inclusive on both ends,
         # matching range_join's [ts - before, ts + after].
@@ -2833,6 +2904,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "q_bpe_train": _bpe_oracle_sql(BPE_MERGES),
+        # bpe_words recomputed from raw text with the identical
+        # Java-whitespace rule (the class is embedded as RAW control
+        # characters, so both engines see the same bytes); bpe_tokens
+        # re-aggregated from the materialized per-doc counts.
+        "q_bpe_tokenize": f"""
+            WITH m AS (
+              SELECT doc_id, bpe_tokens
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/bpe_tokenized/*.parquet')
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN d.text IS NULL
+                               OR length(trim(d.text, ' \t\n\x0b\f\r')) = 0
+                             THEN 0
+                        ELSE len(regexp_split_to_array(
+                               trim(d.text, ' \t\n\x0b\f\r'),
+                               '[ \t\n\x0b\f\r]+'))
+                        END AS BIGINT) AS bpe_words,
+                   m.bpe_tokens
+            FROM documents d JOIN m USING (doc_id)
+            ORDER BY doc_id
+        """,
         # The two-level prefix sum must equal the plain global window
         # cumsum it decomposes; same token rule as q_token_stats.
         "q_pack_sequences": """

@@ -88,6 +88,8 @@ def main() -> None:
         "q_session_window": entrymod.q_session_window,
         # round-4 additions
         "mm_frame_decode": entrymod.mm_frame_decode,
+        "q_triangles": entrymod.q_triangles,
+        "q_bpe_tokenize": entrymod.q_bpe_tokenize,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -103,3 +103,70 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count via DEGREE-ORDERED ORIENTATION —
+    the standard trick that keeps the wedge join near m^1.5 instead
+    of sum(degree^2): canonicalize to undirected distinct edges,
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger, and count wedges (u→x, u→y with x before y in the same
+    order) closed by an oriented edge x→y. Under that total order a
+    triangle p<q<r orients p→q, p→r, q→r and is counted exactly once
+    (the wedge at p). Hub nodes get LOW out-degree (≤ O(sqrt m)), so
+    the self-join on the wedge source never explodes on skew — at
+    100 TB this is the difference between a runnable job and a
+    quadratic one. Everything is JVM joins/aggregates; AQE picks
+    broadcast for the degree table when it fits.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    und = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=False)  # feeds the wedge join twice + close
+    e1 = oriented.select(
+        "u", F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    e2 = oriented.select(
+        "u", F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedges = (
+        e1.join(e2, "u")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select(F.col("x").alias("u"), F.col("y").alias("v"))
+    )
+    tri = wedges.join(oriented.select("u", "v"), ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )

@@ -130,3 +130,28 @@ def test_asof_null_right_ts_never_matches(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, n_iter=2).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from serd_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + a disjoint path a-b-c (0), duplicate and
+    # reversed edges and a self-loop must not change the count
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    noise = [(1, 0), (2, 2), (3, 2)]  # reversed dup, self-loop, dup
+    path = [(10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + noise + path, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (7, 8, 4)
+
+    # triangle + pendant: exactly one triangle, hub degree handled
+    tri = [(0, 1), (1, 2), (0, 2), (2, 3), (2, 4), (2, 5)]
+    row = triangle_count(
+        spark.createDataFrame(tri, ["src", "dst"])
+    ).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (6, 6, 1)
+
+    # empty graph
+    empty = spark.createDataFrame([], "src long, dst long")
+    row = triangle_count(empty).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
