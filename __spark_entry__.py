@@ -662,7 +662,11 @@ def stream_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize(
         sf_dir, "stream_simhash_sigs", lambda: simhash_signatures(docs)
     )
-    out = spark.read.parquet(out_dir)
+    # explicit schema: a corpus with NO near-dups leaves every batch
+    # dir holding only _SUCCESS, and schema inference would raise
+    out = spark.read.schema("doc_id long, dup_of long, hamming int").parquet(
+        out_dir
+    )
     return (
         out.groupBy("doc_id")
         .agg(F.min(F.struct("hamming", "dup_of")).alias("m"))

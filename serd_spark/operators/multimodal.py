@@ -1229,7 +1229,11 @@ def _sampled_ranges(
     (table, sampled_ts, sample_idx_per_ts)."""
     table = mp4_sample_table(b)
     if not table:
-        raise ValueError("empty sample table")
+        # a VALID but sample-less track: an empty schedule, not an
+        # error — strict mode must not abort on it (it previously
+        # skipped these rows in both modes)
+        empty = np.empty(0, dtype=np.int64)
+        return table, empty, empty
     n_instants = table[-1][0] // every_ms + 1
     if n_instants > _MAX_MP4_SAMPLES:
         raise ValueError(
@@ -1367,11 +1371,13 @@ def decode_frames(
                     if strict:
                         raise
                     continue
-                memo: dict[int, tuple[int, int, int, int]] = {}
+                # keyed by (off, sz): adversarial stco/stsz can map
+                # two samples to one offset with different sizes
+                memo: dict[tuple[int, int], tuple[int, int, int, int]] = {}
                 for t, j in zip(ts.tolist(), idx.tolist()):
                     pts, off, sz = table[int(j)]
                     try:
-                        feat = memo.get(off)
+                        feat = memo.get((off, sz))
                         if feat is None:
                             frame = b[off : off + sz]
                             if len(frame) != sz:
@@ -1386,7 +1392,7 @@ def decode_frames(
                                 int(round(float(lum.mean()) * 1_000_000)),
                                 int(round(float(lum.std()) * 1_000_000)),
                             )
-                            memo[off] = feat
+                            memo[(off, sz)] = feat
                     except Exception:
                         if strict:
                             raise

@@ -291,21 +291,25 @@ class _RdfaToRdf:
             # node is the links' object (Core's "typed resource")
             obj = self._new_blank()
 
-        # an @about here names a fresh subject — it also completes an
-        # ANCESTOR's pending links before creating this element's own
-        # (a rel/rev element WITHOUT @about inherits its subject, so
-        # completing there would mint degenerate (gp, rel, parent)
-        # triples — the Core step-10 behavior this parser diverges
-        # from, per the module docstring)
-        if pending is not None and "about" in a:
+        # a node established HERE — @about names a fresh subject, or
+        # the element's object resource / typed node exists — also
+        # completes an ANCESTOR's pending links, targeting that node
+        # (the module docstring's rule, applied uniformly: on a
+        # linking element the established node IS the link object). A
+        # rel/rev element with NO established node inherits its
+        # subject; completing there would mint degenerate
+        # (gp, rel, parent) triples — the Core step-10 behavior this
+        # parser diverges from.
+        if pending is not None and ("about" in a or obj is not None):
             p_rels, p_revs, p_subj = pending
+            target = cur_subj if "about" in a else obj
             for r in p_rels:
                 self.statements.append(
-                    Statement(p_subj, Term(IRI, r), cur_subj)
+                    Statement(p_subj, Term(IRI, r), target)
                 )
             for r in p_revs:
                 self.statements.append(
-                    Statement(cur_subj, Term(IRI, r), p_subj)
+                    Statement(target, Term(IRI, r), p_subj)
                 )
 
         type_target = cur_subj if "about" in a else obj

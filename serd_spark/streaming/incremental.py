@@ -293,22 +293,26 @@ def stream_near_dup_docs(
         )
         ids = allp[id_col].to_numpy(np.int64)
         sgs = allp["simhash"].to_numpy(np.int64)
+        # one concatenation, sliced as views per row — per-row
+        # np.concatenate would be O(n^2) copies near the state cap
+        all_ids = np.concatenate([s_ids, ids])
+        all_sigs = np.concatenate([s_sigs, sgs])
+        n_state = len(s_ids)
         out_id, out_dup, out_ham = [], [], []
         for i in range(len(ids)):
-            cand_ids = np.concatenate([s_ids, ids[:i]])
-            cand_sigs = np.concatenate([s_sigs, sgs[:i]])
-            if not len(cand_ids):
+            hi = n_state + i
+            if not hi:
                 continue
-            ham = popcount64(cand_sigs ^ sgs[i])
+            ham = popcount64(all_sigs[:hi] ^ sgs[i])
             m = ham <= max_hamming
             if m.any():
-                hm, im = ham[m], cand_ids[m]
+                hm, im = ham[m], all_ids[:hi][m]
                 k = np.lexsort((im, hm))[0]  # min (hamming, then id)
                 out_id.append(int(ids[i]))
                 out_dup.append(int(im[k]))
                 out_ham.append(int(hm[k]))
-        new_ids = np.concatenate([s_ids, ids])[:max_state]
-        new_sigs = np.concatenate([s_sigs, sgs])[:max_state]
+        new_ids = all_ids[:max_state]
+        new_sigs = all_sigs[:max_state]
         state.update((new_ids.tolist(), new_sigs.tolist()))
         if out_id:
             yield pd.DataFrame(

@@ -319,3 +319,20 @@ def test_rel_without_vocab_or_prefix_is_inert():
     html = '<div about="#x"><a rel="stylesheet next" href="/s.css">s</a></div>'
     stmts, _ = parse_rdfa(html, BASE)
     assert stmts == []
+
+
+def test_pending_completes_at_linking_descendant_object():
+    # a descendant that itself carries @rel + an object resource
+    # establishes that object — the ancestor's pending link completes
+    # at it instead of being silently dropped
+    html = (
+        '<div vocab="http://xmlns.com/foaf/0.1/" about="#me" rel="knows">'
+        '<a rel="homepage" href="/bob">b</a></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    me = (IRI, BASE + "#me")
+    bob = (IRI, "https://page.example/bob", "", "")
+    assert (me, "http://xmlns.com/foaf/0.1/knows", bob) in got
+    assert (me, "http://xmlns.com/foaf/0.1/homepage", bob) in got
+    assert len(stmts) == 2

@@ -949,3 +949,17 @@ def test_decode_frames_range_beyond_payload(spark):
         "media_id long, kind string, payload binary",
     )
     assert multimodal.decode_frames(media, every_ms=100).count() == 0
+
+
+def test_sample_frames_empty_sample_table_skips_in_both_modes(spark):
+    # zero-sample stts: a valid but empty schedule, not an error
+    meta = multimodal.encode_mp4_meta(
+        0, width=8, height=8, sample_sizes=[], sample_delta_ms=100
+    )
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(meta))],
+        "media_id long, kind string, payload binary",
+    )
+    assert multimodal.sample_frames(media).count() == 0
+    assert multimodal.sample_frames(media, strict=True).count() == 0
+    assert multimodal.decode_frames(media, strict=True).count() == 0
