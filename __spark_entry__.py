@@ -1323,6 +1323,18 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(d, ["spark", "query"])
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for ['spark', 'query', 'data'] — the
+    ranking sibling of q_keyword_search. Integer-micros saturation
+    arithmetic (operators/corpus.py::bm25_search) makes the top-20
+    (score DESC, doc_id ASC) bit-exact across engines; the oracle
+    replays tf/df/idf/dl/avgdl and the pinned DIV chain in SQL."""
+    from serd_spark.operators.corpus import bm25_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search(d, ["spark", "query", "data"], top_k=20)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark 13-gram decontamination. The "benchmark" is a
     deterministic slice of the corpus itself (doc_id % 37 == 0), so
@@ -1655,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf": q_tfidf,
         "q_keyword_search": q_keyword_search,
+        "q_bm25": q_bm25,
         "q_decontaminate": q_decontaminate,
         "q_asof_join": q_asof_join,
         "q_pagerank": q_pagerank,
@@ -2767,6 +2780,57 @@ def oracle_sql() -> dict[str, str]:
             FROM words WHERE w IN ('spark', 'query')
             GROUP BY doc_id
             HAVING COUNT(DISTINCT w) = 2
+        """,
+        # Full BM25 replay: tf/df/idf/dl/avgdl rebuilt from raw text,
+        # and the identical pinned integer-micros DIV chain (DuckDB //
+        # == Spark DIV on the all-positive operands here). The one
+        # float op, ln() for idf, is rounded to micros per TERM on
+        # both engines — same discipline as q_tfidf.
+        "q_bm25": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm
+            ), w2 AS (
+              SELECT doc_id, w FROM words WHERE w <> ''
+            ), dl AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM w2 GROUP BY doc_id
+            ), stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     greatest((CAST(SUM(dl) AS BIGINT) * 1000000)
+                              // greatest(COUNT(*), 1), 1) AS avgdl_micros
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM w2 WHERE w IN ('data', 'query', 'spark')
+              GROUP BY doc_id, w
+            ), idf AS (
+              SELECT w,
+                     CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                                * 1000000) AS BIGINT) AS idf_micros
+              FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+              ), stats
+            ), scored AS (
+              SELECT tf.doc_id,
+                     idf_micros * (
+                       tf * 220 * 10000000000 // (
+                         tf * 1000000 + 120 * (
+                           250000
+                           + 75 * (dl.dl * 1000000000000 // avgdl_micros)
+                             // 100
+                         ) // 100
+                       )
+                     ) // 1000000 AS s_micros
+              FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), stats
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(s_micros) AS BIGINT) AS score_micros
+            FROM scored GROUP BY doc_id
+            ORDER BY score_micros DESC, doc_id ASC LIMIT 20
         """,
         # Re-shingle 13-grams and replay the benchmark overlap with
         # raw gram TEXT keys (Spark keys by xxhash64 — identical

@@ -425,3 +425,118 @@ def domain_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .select("host", "tld", "n_pages", "n_urls", "sum_bytes", "mean_bytes")
     )
     return out
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    top_k: int = 20,
+    k1_pct: int = 120,
+    b_pct: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Disjunctive BM25 ranked retrieval (Robertson/Okapi; the Lucene
+    non-negative idf variant) — the ranking sibling of
+    ``keyword_search``'s boolean retrieval.
+
+    score(d) = sum over matched query terms of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Cross-engine exactness: ``k1``/``b`` are integer percents and the
+    saturation fraction is evaluated entirely in INTEGER MICROS with
+    truncating division (`DIV`) at three pinned points — ratio, norm,
+    saturation — so the per-(doc, term) score is one integer and the
+    document score an integer sum (associative; any engine replaying
+    the same pinned arithmetic matches bit-for-bit). The single float
+    op, ln() for idf, is rounded to micros once per TERM (|terms|
+    values total), the same discipline as ``tfidf_top_terms``.
+
+    Scale shape (100 TB): the corpus pass computes ONE per-document
+    token count (hash agg on the already-scanned text — no shuffle of
+    text, only (doc, dl)); avgdl is a single-row aggregate broadcast
+    by crossJoin; query-term postings are IN-filtered BEFORE the
+    (doc, term) shuffle so the shuffle carries only postings of the
+    |terms| queried terms; idf is a |terms|-row broadcast. The final
+    top-k is an orderBy().limit() — TakeOrderedAndProject, no global
+    sort. Returns (id_col, n_terms, score_micros), ties broken by id.
+    """
+    want = sorted({t.lower() for t in terms})
+    docs = _min_parallelism(docs)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    # one scan feeds both the doc-length branch and the posting
+    # branch (repo convention for reused mid-plans)
+    words = words.localCheckpoint(eager=False)
+
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    ).select(
+        "n_docs",
+        # greatest(,1) guards: an empty/blank corpus must yield zero
+        # rows, not an ANSI division-by-zero (Spark 4 default)
+        F.expr(
+            "greatest(total_tokens * 1000000 DIV greatest(n_docs, 1), 1)"
+        ).alias("avgdl_micros"),
+    )
+
+    tf = (
+        words.filter(F.col("w").isin(want))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .join(F.broadcast(stats.select("n_docs")))
+        .select(
+            "w",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("idf_micros"),
+        )
+    )
+
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, id_col)
+        .join(F.broadcast(stats.select("avgdl_micros")))
+        .select(
+            F.col(id_col),
+            F.col("w"),
+            F.expr(
+                f"""
+                idf_micros * (
+                  tf * {k1_pct + 100} * 10000000000 DIV (
+                    tf * 1000000 + {k1_pct} * (
+                      {(100 - b_pct) * 10_000}
+                      + {b_pct} * (dl * 1000000000000 DIV avgdl_micros)
+                        DIV 100
+                    ) DIV 100
+                  )
+                ) DIV 1000000
+                """
+            ).alias("s_micros"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("s_micros").cast("long").alias("score_micros"),
+        )
+        .orderBy(F.desc("score_micros"), F.asc(id_col))
+        .limit(top_k)
+    )

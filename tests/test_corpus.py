@@ -190,3 +190,39 @@ def test_decontaminate_null_text_keeps_row(spark):
     out = {r["doc_id"]: r for r in decontaminate(docs, bench, k=13).collect()}
     assert set(out) == {1, 2}
     assert out[1]["n_spans"] == 1 and out[1]["n_hit"] == 0
+
+
+def test_bm25_ranking_and_exact_arithmetic(spark):
+    from serd_spark.operators.corpus import bm25_search
+
+    d = _docs(spark, [
+        (1, "spark query spark"),           # tf(spark)=2, dl=3
+        (2, "spark and a longer document about other things entirely"),
+        (3, "query planner"),
+        (4, "no match here"),
+    ])
+    out = {r.doc_id: r for r in bm25_search(d, ["spark", "query"]).collect()}
+    assert 4 not in out                      # disjunctive, but no term
+    assert out[1].n_terms == 2 and out[2].n_terms == 1
+    # doc 1 (both terms, short) must outrank doc 2 (one term, long)
+    assert out[1].score_micros > out[2].score_micros
+
+    # replicate the pinned integer chain in pure Python for doc 3 /
+    # 'query': any drift in the DIV points breaks cross-engine parity
+    import math
+
+    n_docs, df_q, tf, dl_ = 4, 2, 1, 2
+    total = 3 + 9 + 2 + 3
+    avgdl_micros = max(total * 1_000_000 // n_docs, 1)
+    idf = round(math.log(1 + (n_docs - df_q + 0.5) / (df_q + 0.5)) * 1e6)
+    norm = 250_000 + 75 * (dl_ * 10**12 // avgdl_micros) // 100
+    sat = tf * 220 * 10**10 // (tf * 1_000_000 + 120 * norm // 100)
+    assert out[3].score_micros == idf * sat // 1_000_000
+
+
+def test_bm25_empty_corpus(spark):
+    from serd_spark.operators.corpus import bm25_search
+
+    d = _docs(spark, [(1, "   ")])
+    # blank corpus: no postings → zero rows, no ANSI division-by-zero
+    assert bm25_search(d, ["spark"]).count() == 0
