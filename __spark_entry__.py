@@ -1410,6 +1410,40 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=35, 4 synchronous peel rounds — the
+    sf0.01 graph reaches its fixpoint in 2) over the same hash-folded
+    trade graph as q_triangles. The oracle replays the identical
+    rounds as chained CTEs; the fixed round count is what makes the
+    data-dependent peel cross-engine deterministic."""
+    from serd_spark.operators.graph import k_core
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") % 9973).alias("src"),
+        (F.col("l_suppkey") % 9973).alias("dst"),
+    )
+    return k_core(edges, k=35, n_rounds=4)
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (5 iterations, mode-of-neighbor
+    labels, min-label tie-break) over the hash-folded trade graph —
+    the deterministic LPA variant (operators/graph.py). Returns the
+    full (node, label) table so the oracle pins every assignment, not
+    just community sizes."""
+    from serd_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") % 9973).alias("src"),
+        (F.col("l_suppkey") % 9973).alias("dst"),
+    )
+    return label_propagation(edges, n_iter=5)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: per click, the count and latest id of the same
     user's views in the preceding 10 minutes (inclusive both ends) —
@@ -1672,6 +1706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_pagerank": q_pagerank,
         "q_triangles": q_triangles,
+        "q_kcore": q_kcore,
+        "q_label_prop": q_label_prop,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
@@ -1742,6 +1778,60 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping_pct: int = 85) -> str:
           ) infl ON infl.node = nd.node
         )""")
     return head + "".join(iters) + f"\n        SELECT node, rank_micros FROM r{n_iter}"
+
+
+_TRADE_EDGES_SQL = """
+        WITH und AS (
+          SELECT DISTINCT
+                 least(o_custkey % 9973, l_suppkey % 9973) AS a,
+                 greatest(o_custkey % 9973, l_suppkey % 9973) AS b
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_custkey % 9973 <> l_suppkey % 9973
+        ), e0 AS (
+          SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+        )"""
+
+
+def _kcore_oracle_sql(k: int, n_rounds: int) -> str:
+    """Replays operators/graph.py's fixed-round synchronous peel as
+    chained CTEs — one (keep-set, filtered-edges) pair per round over
+    the identically derived mirrored trade graph."""
+    parts = [_TRADE_EDGES_SQL]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""", k{r} AS (
+          SELECT a FROM e{r - 1} GROUP BY a HAVING COUNT(*) >= {k}
+        ), e{r} AS (
+          SELECT e.a, e.b FROM e{r - 1} e
+          JOIN k{r} x ON e.a = x.a
+          JOIN k{r} y ON e.b = y.a
+        )""")
+    parts.append(f"""
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e{n_rounds} GROUP BY a""")
+    return "".join(parts)
+
+
+def _lpa_oracle_sql(n_iter: int) -> str:
+    """Replays the synchronous label-propagation iterations: per
+    round, neighbor-label counts and the (count DESC, label ASC)
+    argmax window, identical to operators/graph.py."""
+    parts = [_TRADE_EDGES_SQL, """, l0 AS (
+          SELECT DISTINCT a AS node, a AS label FROM e0
+        )"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""", l{i} AS (
+          SELECT node, label FROM (
+            SELECT e.b AS node, l.label, COUNT(*) AS cnt,
+                   row_number() OVER (
+                     PARTITION BY e.b
+                     ORDER BY COUNT(*) DESC, l.label ASC
+                   ) AS rn
+            FROM e0 e JOIN l{i - 1} l ON l.node = e.a
+            GROUP BY e.b, l.label
+          ) WHERE rn = 1
+        )""")
+    parts.append(f"\n        SELECT node, label FROM l{n_iter}")
+    return "".join(parts)
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
@@ -2890,6 +2980,8 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE rn = 1
         """,
         "q_pagerank": _pagerank_oracle_sql(n_iter=5),
+        "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
+        "q_label_prop": _lpa_oracle_sql(n_iter=5),
         # Brute-force canonical a<b<c three-way self-join — the exact
         # count the degree-oriented wedge join must reproduce.
         "q_triangles": """

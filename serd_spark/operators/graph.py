@@ -170,3 +170,112 @@ def triangle_count(
         .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tri)
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """k-core subgraph via ``n_rounds`` of SYNCHRONOUS peeling: each
+    round computes degrees over the surviving edge set and drops every
+    node (with its incident edges) of degree < k. The round count is
+    FIXED, not data-dependent — determinism across engines requires
+    the mirror to replay the identical number of rounds, and a
+    converged peel is a fixpoint, so extra rounds are no-ops (tests
+    pin convergence by checking round n == round n+1). Peeling depth
+    in web-scale graphs is small (degeneracy ordering removes whole
+    shells per round); at 100 TB each round is one hash aggregate plus
+    two semi-joins against a node set that only shrinks, and lineage
+    is cut every ``checkpoint_every`` rounds (cf. ``pagerank``).
+
+    Returns (node, deg): degrees over the edge set that survives all
+    rounds (== the k-core when converged).
+    """
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).filter(
+        (F.col("a") != F.col("b"))
+        & F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).distinct()
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    for r in range(n_rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=False)
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation: every
+    node starts labeled with its own id; each iteration relabels every
+    node with the MODE of its neighbors' labels, ties broken by the
+    smallest label — a total order, so the result is a pure function
+    of the edge set (classic LPA randomizes update order; that is
+    unreproducible across engines and retries, so this is the
+    deterministic synchronous variant — its known oscillation risk on
+    bipartite structure is the caller's concern and irrelevant to
+    determinism at a fixed iteration count).
+
+    Scale shape: per iteration, one join (labels × edges on src —
+    labels is nodes-sized, AQE broadcasts when it fits), one
+    partial-combining (node, label) count aggregate, and one
+    per-node argmax window over (count DESC, label ASC) whose
+    partition key is the node — no global sort. Lineage cut every
+    ``checkpoint_every`` iterations.
+
+    Returns (node, label).
+    """
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).filter(
+        (F.col("a") != F.col("b"))
+        & F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).distinct()
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    from pyspark.sql import Window
+
+    labels = e.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    win = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for it in range(n_iter):
+        msgs = e.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

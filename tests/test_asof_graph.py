@@ -155,3 +155,42 @@ def test_triangle_count_known_graphs(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     row = triangle_count(empty).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    from serd_spark.operators.graph import k_core
+
+    # K4 (every node degree 3) + a tail 3-4-5 hanging off node 3's
+    # twin: tail nodes peel away under k=2 in cascading rounds
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + tail, ["src", "dst"])
+    core = {r.node: r.deg for r in k_core(df, k=2, n_rounds=6).collect()}
+    assert core == {0: 3, 1: 3, 2: 3, 3: 3}  # only K4 survives k=2
+    # k=4 empties K4 entirely
+    assert k_core(df, k=4, n_rounds=6).count() == 0
+    # fixpoint: extra rounds change nothing
+    more = {r.node: r.deg for r in k_core(df, k=2, n_rounds=12).collect()}
+    assert more == core
+    # a cycle is exactly its own 2-core, tail gone
+    cyc = [(0, 1), (1, 2), (2, 0), (0, 9)]
+    got = {r.node: r.deg for r in
+           k_core(spark.createDataFrame(cyc, ["src", "dst"]),
+                  k=2, n_rounds=4).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    from serd_spark.operators.graph import label_propagation
+
+    # two K4 cliques joined by one bridge edge: each clique converges
+    # to its own min label; the bridge does not merge them
+    a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    b = [(i + 10, j + 10) for i, j in a]
+    df = spark.createDataFrame(a + b + [(3, 10)], ["src", "dst"])
+    lab = {r.node: r.label for r in label_propagation(df, n_iter=5).collect()}
+    assert {lab[i] for i in range(4)} == {0}
+    assert {lab[i + 10] for i in range(4)} == {10}
+    # deterministic under re-run
+    lab2 = {r.node: r.label for r in label_propagation(df, n_iter=5).collect()}
+    assert lab2 == lab
