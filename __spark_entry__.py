@@ -1410,6 +1410,20 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table exact k-means (k=8, 5 Lloyd rounds) over the
+    embeddings table — operators/clustering.py. Power-of-two
+    quantization (floor(v * 2^20): exact in IEEE double, no rounding
+    mode to disagree on), md5-ordered seeding, truncating-division
+    centroid updates. The oracle replays every iteration as chained
+    CTEs; (vec_id, cluster, dist) pins each assignment AND the exact
+    integer distance to the final centroid."""
+    from serd_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=8, n_iter=5)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=35, 4 synchronous peel rounds — the
     sf0.01 graph reaches its fixpoint in 2) over the same hash-folded
@@ -1708,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": q_triangles,
         "q_kcore": q_kcore,
         "q_label_prop": q_label_prop,
+        "q_kmeans": q_kmeans,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
@@ -1790,6 +1805,63 @@ _TRADE_EDGES_SQL = """
         ), e0 AS (
           SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
         )"""
+
+
+def _kmeans_oracle_sql(n_iter: int, k: int, dim: int = 64) -> str:
+    """Replays operators/clustering.py's exact Lloyd iterations as
+    chained CTEs: per round, the (dist ASC, cid ASC) argmin assignment
+    window and the truncating-division centroid update (DuckDB // ==
+    the operator's sign*(abs//n)), with empty clusters carried via
+    COALESCE. Quantization floor(v * 2^20) is exact in double on both
+    engines — no rounding mode in play."""
+    head = f"""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        vm AS (
+          SELECT vec_id, i - 1 AS d,
+                 CAST(floor(embedding[i]::DOUBLE * 1048576) AS BIGINT) AS v
+          FROM (SELECT vec_id, embedding,
+                       unnest(generate_series(1, {dim})) AS i FROM base)
+        ), seeds AS (
+          SELECT vec_id FROM base
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+        ), seedc AS (
+          SELECT vec_id, row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+          FROM seeds
+        ), c0 AS (
+          SELECT s.cid, vm.d, vm.v AS cv FROM seedc s JOIN vm USING (vec_id)
+        )"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""", a{i} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vm.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY vm.vec_id
+                     ORDER BY SUM((vm.v - c.cv) * (vm.v - c.cv)) ASC,
+                              c.cid ASC) AS rn
+            FROM vm JOIN c{i - 1} c ON c.d = vm.d
+            GROUP BY vm.vec_id, c.cid
+          ) WHERE rn = 1
+        ), c{i} AS (
+          SELECT p.cid, p.d, COALESCE(m.mv, p.cv) AS cv
+          FROM c{i - 1} p LEFT JOIN (
+            SELECT a.cid, vm.d,
+                   CAST(SUM(vm.v) // COUNT(*) AS BIGINT) AS mv
+            FROM a{i} a JOIN vm USING (vec_id)
+            GROUP BY a.cid, vm.d
+          ) m ON m.cid = p.cid AND m.d = p.d
+        )""")
+    tail = f"""
+        SELECT vec_id, CAST(cid AS INTEGER) AS cluster, dist FROM (
+          SELECT vm.vec_id, c.cid,
+                 CAST(SUM((vm.v - c.cv) * (vm.v - c.cv)) AS BIGINT) AS dist,
+                 row_number() OVER (PARTITION BY vm.vec_id
+                   ORDER BY SUM((vm.v - c.cv) * (vm.v - c.cv)) ASC,
+                            c.cid ASC) AS rn
+          FROM vm JOIN c{n_iter} c ON c.d = vm.d
+          GROUP BY vm.vec_id, c.cid
+        ) WHERE rn = 1"""
+    return head + "".join(its) + tail
 
 
 def _kcore_oracle_sql(k: int, n_rounds: int) -> str:
@@ -2982,6 +3054,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": _pagerank_oracle_sql(n_iter=5),
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
+        "q_kmeans": _kmeans_oracle_sql(n_iter=5, k=8),
         # Brute-force canonical a<b<c three-way self-join — the exact
         # count the degree-oriented wedge join must reproduce.
         "q_triangles": """

@@ -1,0 +1,92 @@
+"""Exact k-means (operators/clustering.py): cross-checks against a
+pure-Python Lloyd reference, layout invariance, and the empty-cluster
+carry rule."""
+
+import numpy as np
+import pytest
+
+from serd_spark.operators.clustering import QUANT, _trunc_div, kmeans
+
+
+def _py_kmeans(vecs, ids, k, n_iter):
+    """Independent Lloyd reference: same quantization, seeding, and
+    truncating-division update as the operator contract."""
+    import hashlib
+
+    vm = {
+        i: np.floor(np.asarray(v, dtype=np.float64) * QUANT).astype(np.int64)
+        for i, v in zip(ids, vecs)
+    }
+    seeds = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    cents = [vm[s].copy() for s in seeds]
+
+    def assign_all():
+        out = {}
+        for i in ids:
+            dists = [int(((vm[i] - c) ** 2).sum()) for c in cents]
+            out[i] = min(range(len(cents)), key=lambda c: (dists[c], c))
+        return out
+
+    for _ in range(n_iter):
+        a = assign_all()
+        for c in range(len(cents)):
+            members = [vm[i] for i in ids if a[i] == c]
+            if members:
+                s = np.sum(members, axis=0)
+                cents[c] = np.sign(s) * (np.abs(s) // len(members))
+    a = assign_all()
+    return {
+        i: (a[i], int(((vm[i] - cents[a[i]]) ** 2).sum())) for i in ids
+    }
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    s = np.array([-7, 7, -8, 9, 0], dtype=np.int64)
+    assert _trunc_div(s, 2).tolist() == [-3, 3, -4, 4, 0]
+
+
+def test_kmeans_matches_python_reference(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 6)).astype(np.float32)
+    # two planted clusters so the result is meaningful, not arbitrary
+    vecs[:20] += 3.0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans(df, k=3, n_iter=4).collect()
+    }
+    ref = _py_kmeans([r[1] for r in rows], [r[0] for r in rows], 3, 4)
+    assert got == ref
+    # the two planted clusters must separate
+    top = {got[i][0] for i in range(20)}
+    bot = {got[i][0] for i in range(20, 40)}
+    assert top.isdisjoint(bot)
+
+
+def test_kmeans_layout_invariant(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8).astype(np.float32)])
+        for i in range(30)
+    ]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df8 = df1.repartition(8)
+    a = sorted((r.vec_id, r.cluster, r.dist) for r in kmeans(df1, k=4, n_iter=3).collect())
+    b = sorted((r.vec_id, r.cluster, r.dist) for r in kmeans(df8, k=4, n_iter=3).collect())
+    assert a == b
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans(df, k=8, n_iter=2).collect()
+    # every row seeds its own cluster → dist 0 everywhere
+    assert sorted(r.dist for r in out) == [0, 0, 0]
+    assert len({r.cluster for r in out}) == 3
+
+
+def test_kmeans_empty_table_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kmeans(df, k=2, n_iter=1)
