@@ -1410,6 +1410,23 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 8 subspaces × 16
+    codes trained with 3 exact-integer Lloyd rounds, vectors encoded
+    to 8 codes, and the vec-0 query answered by ADC — the m × k
+    lookup table folded into codegen as literal arrays. The oracle
+    replays the ENTIRE pipeline (all subspace trainings iteration by
+    iteration, the encoding, and the ADC search) from raw parquet —
+    no materialized intermediate, bit-exact."""
+    from serd_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, n_iter=3)
+    enc = pq_encode(emb, books)
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    return pq_topk(enc, books, q, top_k=10)
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table exact k-means (k=8, 5 Lloyd rounds) over the
     embeddings table — operators/clustering.py. Power-of-two
@@ -1723,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_label_prop": q_label_prop,
         "q_kmeans": q_kmeans,
+        "q_pq_search": q_pq_search,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
@@ -1861,6 +1879,78 @@ def _kmeans_oracle_sql(n_iter: int, k: int, dim: int = 64) -> str:
           FROM vm JOIN c{n_iter} c ON c.d = vm.d
           GROUP BY vm.vec_id, c.cid
         ) WHERE rn = 1"""
+    return head + "".join(its) + tail
+
+
+def _pq_oracle_sql(
+    n_iter: int, k: int, m: int = 8, dim: int = 64, top_k: int = 10
+) -> str:
+    """Replays the WHOLE product-quantization pipeline from raw
+    parquet: all m codebook trainings share one CTE chain (the
+    assignment window partitions by (vec, sub) and the update groups
+    by (sub, cid, d) — each dimension belongs to exactly one
+    subspace, so one join drives all subspaces at once), then the
+    encoding pass and the ADC search. DuckDB's // truncation matches
+    the operator's sign*(abs//n) update exactly."""
+    dsub = dim // m
+    head = f"""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        vm AS (
+          SELECT vec_id, i - 1 AS d,
+                 CAST(floor(embedding[i]::DOUBLE * 1048576) AS BIGINT) AS v
+          FROM (SELECT vec_id, embedding,
+                       unnest(generate_series(1, {dim})) AS i FROM base)
+        ), seedc AS (
+          SELECT vec_id, row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+          FROM (SELECT vec_id FROM base
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+        ), c0 AS (
+          SELECT s.cid, vm.d // {dsub} AS sub, vm.d, vm.v AS cv
+          FROM seedc s JOIN vm USING (vec_id)
+        )"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""", a{i} AS (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vm.vec_id, c.sub, c.cid,
+                   row_number() OVER (PARTITION BY vm.vec_id, c.sub
+                     ORDER BY SUM((vm.v - c.cv) * (vm.v - c.cv)) ASC,
+                              c.cid ASC) AS rn
+            FROM vm JOIN c{i - 1} c ON c.d = vm.d
+            GROUP BY vm.vec_id, c.sub, c.cid
+          ) WHERE rn = 1
+        ), c{i} AS (
+          SELECT p.sub, p.cid, p.d, COALESCE(m.mv, p.cv) AS cv
+          FROM c{i - 1} p LEFT JOIN (
+            SELECT a.sub, a.cid, vm.d,
+                   CAST(SUM(vm.v) // COUNT(*) AS BIGINT) AS mv
+            FROM a{i} a JOIN vm ON vm.vec_id = a.vec_id
+                               AND vm.d // {dsub} = a.sub
+            GROUP BY a.sub, a.cid, vm.d
+          ) m ON m.sub = p.sub AND m.cid = p.cid AND m.d = p.d
+        )""")
+    tail = f""", codes AS (
+          SELECT vec_id, sub, cid FROM (
+            SELECT vm.vec_id, c.sub, c.cid,
+                   row_number() OVER (PARTITION BY vm.vec_id, c.sub
+                     ORDER BY SUM((vm.v - c.cv) * (vm.v - c.cv)) ASC,
+                              c.cid ASC) AS rn
+            FROM vm JOIN c{n_iter} c ON c.d = vm.d
+            GROUP BY vm.vec_id, c.sub, c.cid
+          ) WHERE rn = 1
+        ), qsub AS (
+          SELECT d, v FROM vm WHERE vec_id = 0
+        ), adct AS (
+          SELECT c.sub, c.cid,
+                 CAST(SUM((c.cv - q.v) * (c.cv - q.v)) AS BIGINT) AS dist
+          FROM c{n_iter} c JOIN qsub q ON q.d = c.d
+          GROUP BY c.sub, c.cid
+        )
+        SELECT e.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc
+        FROM codes e JOIN adct t ON t.sub = e.sub AND t.cid = e.cid
+        GROUP BY e.vec_id
+        ORDER BY adc ASC, vec_id ASC LIMIT {top_k}"""
     return head + "".join(its) + tail
 
 
@@ -3055,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
         "q_kmeans": _kmeans_oracle_sql(n_iter=5, k=8),
+        "q_pq_search": _pq_oracle_sql(n_iter=3, k=16),
         # Brute-force canonical a<b<c three-way self-join — the exact
         # count the degree-oriented wedge join must reproduce.
         "q_triangles": """

@@ -90,3 +90,51 @@ def test_kmeans_empty_table_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         kmeans(df, k=2, n_iter=1)
+
+
+def test_pq_roundtrip_recovers_nearest(spark):
+    from serd_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    vecs[7] = vecs[0] + 0.01 * rng.normal(size=16).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(df, m=4, k=8, n_iter=3)
+    assert books.shape == (4, 8, 4) and books.dtype == np.int64
+    enc = pq_encode(df, books)
+    got = {r.vec_id: list(r.codes) for r in enc.collect()}
+    assert len(got) == 60 and all(len(c) == 4 for c in got.values())
+    # vec 7 is a near-copy of vec 0: same codes, and both lead the
+    # ADC ranking for vec 0's query
+    assert got[7] == got[0]
+    top = [r.vec_id for r in
+           pq_topk(enc, books, [float(x) for x in vecs[0]], top_k=3).collect()]
+    assert set(top[:2]) == {0, 7}
+
+
+def test_pq_encode_layout_invariant(spark):
+    from serd_spark.operators.pq import pq_encode, pq_train
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8).astype(np.float32)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b1 = pq_train(df, m=2, k=4, n_iter=2)
+    b2 = pq_train(df.repartition(8), m=2, k=4, n_iter=2)
+    assert (b1 == b2).all()
+    e1 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(df, b1).collect())
+    e2 = sorted((r.vec_id, tuple(r.codes))
+                for r in pq_encode(df.repartition(8), b1).collect())
+    assert e1 == e2
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    rows = [(0, [0.0, 1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from serd_spark.operators.pq import pq_train
+
+    with pytest.raises(ValueError):
+        pq_train(df, m=2, k=2, n_iter=1)
