@@ -90,6 +90,11 @@ def main() -> None:
         "mm_frame_decode": entrymod.mm_frame_decode,
         "q_triangles": entrymod.q_triangles,
         "q_bpe_tokenize": entrymod.q_bpe_tokenize,
+        "q_bm25": entrymod.q_bm25,
+        "q_kcore": entrymod.q_kcore,
+        "q_label_prop": entrymod.q_label_prop,
+        "q_kmeans": entrymod.q_kmeans,
+        "q_pq_search": entrymod.q_pq_search,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
