@@ -239,9 +239,11 @@ def label_propagation(
 
     Scale shape: per iteration, one join (labels × edges on src —
     labels is nodes-sized, AQE broadcasts when it fits), one
-    partial-combining (node, label) count aggregate, and one
-    per-node argmax window over (count DESC, label ASC) whose
-    partition key is the node — no global sort. Lineage cut every
+    partial-combining (node, label) count aggregate, and the per-node
+    argmax as a ``max_by(label, (cnt, -label))`` HASH aggregate —
+    max of (cnt, -label) is exactly "count DESC, label ASC", and a
+    hash agg with map-side partials beats a per-node sort-shuffle
+    window (the repo's latest_crawl lesson). Lineage cut every
     ``checkpoint_every`` iterations.
 
     Returns (node, label).
@@ -256,13 +258,8 @@ def label_propagation(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
 
-    from pyspark.sql import Window
-
     labels = e.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    )
-    win = Window.partitionBy("node").orderBy(
-        F.desc("cnt"), F.asc("label")
     )
     for it in range(n_iter):
         msgs = e.join(
@@ -271,10 +268,10 @@ def label_propagation(
         counts = msgs.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        labels = (
-            counts.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        labels = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
