@@ -1410,6 +1410,49 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _inc_split(spark: SparkSession, sf_dir: str):
+    """old = two thirds of the corpus; new = the other third PLUS
+    re-keyed copies (id + 100000) of every old doc with id % 17 == 1,
+    so exact cross-snapshot duplicates provably exist (the corpus has
+    no natural byte-dups — same trick as q_decontaminate's planted
+    benchmark)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        old.filter(F.col("doc_id") % 17 == 1).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return new, old
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (operators/dedup.py::
+    incremental_dedup): the new-crawl increment deduped against the
+    existing corpus — exact fingerprint stage first, then NEW × OLD
+    LSH band join only (never new×new), best old match per new doc.
+    Signatures/bands for both sides are materialized so DuckDB
+    replays the band join, the agreement verify, the (jaccard DESC,
+    old id ASC) argmax, and the three-way status CASE."""
+    from serd_spark.operators.dedup import incremental_dedup
+    from serd_spark.operators.linking import lsh_bands, signatures
+
+    new, old = _inc_split(spark, sf_dir)
+    for tag, side in (("new", new), ("old", old)):
+        named = side.select(
+            F.col("doc_id").cast("string").alias("entity"),
+            F.col("text").alias("name"),
+        )
+        _materialize(sf_dir, f"inc/sigs_{tag}", lambda n=named: signatures(n))
+        _materialize(
+            sf_dir, f"inc/bands_{tag}",
+            lambda t=tag: lsh_bands(
+                spark.read.parquet(_oracle_path(sf_dir, f"inc/sigs_{t}"))
+            ),
+        )
+    return incremental_dedup(new, old, threshold=0.5)
+
+
 def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): 8 subspaces × 16
     codes trained with 3 exact-integer Lloyd rounds, vectors encoded
@@ -1741,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_prop": q_label_prop,
         "q_kmeans": q_kmeans,
         "q_pq_search": q_pq_search,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
@@ -2524,6 +2568,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Cross-snapshot incremental dedup: the exact stage is replayed
+        # from raw text (md5 fingerprints); the near stage from the
+        # materialized signatures/bands — hot-bucket prune (counted
+        # AFTER removing exact-dup new docs, as the operator never
+        # signs them), NEW x OLD band join, agreement verify, and the
+        # (jaccard DESC, old id ASC) best-match window. agree/64 is a
+        # power-of-two fraction: exact in double on both engines.
+        "q_dedup_incremental": f"""
+            WITH newd AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 3 <> 0 AND doc_id % 17 = 1
+            ), oldd AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+            ), fp_new AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fp
+              FROM newd
+            ), fp_old AS (
+              SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fp,
+                     MIN(doc_id) AS exact_id
+              FROM oldd GROUP BY 1
+            ), exact AS (
+              SELECT n.doc_id, o.exact_id FROM fp_new n JOIN fp_old o USING (fp)
+            ), bn0 AS (
+              SELECT b.entity, b.band, b.band_hash
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/inc/bands_new/*.parquet') b
+              WHERE CAST(b.entity AS BIGINT) NOT IN (SELECT doc_id FROM exact)
+            ), bo0 AS (
+              SELECT entity, band, band_hash
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/inc/bands_old/*.parquet')
+            ), bn AS (
+              SELECT b.* FROM bn0 b JOIN (
+                SELECT band, band_hash FROM bn0 GROUP BY 1, 2
+                HAVING COUNT(*) <= 1024
+              ) k USING (band, band_hash)
+            ), bo AS (
+              SELECT b.* FROM bo0 b JOIN (
+                SELECT band, band_hash FROM bo0 GROUP BY 1, 2
+                HAVING COUNT(*) <= 1024
+              ) k USING (band, band_hash)
+            ), cand AS (
+              SELECT DISTINCT n.entity, o.entity AS entity_old
+              FROM bn n JOIN bo o USING (band, band_hash)
+            ), near0 AS (
+              SELECT CAST(c.entity AS BIGINT) AS doc_id,
+                     CAST(c.entity_old AS BIGINT) AS oid,
+                     len(list_filter(list_zip(a.sig, b.sig),
+                                     x -> x[1] = x[2])) / 64.0 AS j
+              FROM cand c
+              JOIN read_parquet('{ORACLE_DIR}/sf0.01/inc/sigs_new/*.parquet') a
+                ON a.entity = c.entity
+              JOIN read_parquet('{ORACLE_DIR}/sf0.01/inc/sigs_old/*.parquet') b
+                ON b.entity = c.entity_old
+            ), near AS (
+              SELECT doc_id, oid, j FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY j DESC, oid ASC) AS rn
+                FROM near0 WHERE j >= 0.5
+              ) WHERE rn = 1
+            )
+            SELECT n.doc_id,
+                   CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                        WHEN nr.oid IS NOT NULL THEN 'near'
+                        ELSE 'kept' END AS status,
+                   COALESCE(e.exact_id, nr.oid) AS match_id,
+                   CASE WHEN e.exact_id IS NULL THEN nr.j END AS jaccard_est
+            FROM newd n
+            LEFT JOIN exact e ON e.doc_id = n.doc_id
+            LEFT JOIN near nr ON nr.doc_id = n.doc_id
         """,
         # Replay the hyperplane-LSH bucket join + exact cosine over the
         # materialized bucket assignment (planes are seed-deterministic,

@@ -397,3 +397,138 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# -------------------------------------------- cross-snapshot increment
+
+def _prune_hot_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` (boilerplate text
+    lands thousands of docs in one bucket; an m_new × m_old bucket
+    join must never go quadratic). Same anti-join shape as
+    ``linking.candidate_pairs``; pruned members still match through
+    their other bands."""
+    hot = bands.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_m")
+    ).filter(F.col("_m") > max_bucket)
+    return bands.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Dedup a NEW crawl increment against an EXISTING corpus — the
+    recurring-ingest shape of a training-data pipeline (each monthly
+    crawl is deduped against everything already kept, never against
+    itself here; in-increment dup handling is ``minhash_near_dups``).
+
+    Two stages, cheap one first:
+    1. exact: fingerprint anti-join — crawl re-fetches are the bulk
+       of increment duplicates and never reach the near stage.
+    2. near: minhash LSH band equi-join NEW × OLD only (no old×old,
+       no new×new pairs), hot buckets capped on BOTH sides, exact
+       signature-agreement verify, best old match per new doc by
+       (jaccard DESC, old id ASC) as a max_by hash aggregate.
+
+    At 100 TB the old corpus' signatures/bands are write-once state
+    (persist them beside the corpus; each increment only computes its
+    OWN signatures and joins against the stored band table — this
+    function recomputes them inline only because its inputs are bare
+    document tables).
+
+    Returns one row per new doc: (id_col, status exact|near|kept,
+    match_id — the matched old doc or NULL, jaccard_est — NULL unless
+    near). Jaccard is agree/64: a power-of-two fraction, exact in
+    double on any engine.
+    """
+    from serd_spark.operators.linking import N_PERM, lsh_bands, signatures
+
+    fp_new = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    fp_old = (
+        old_docs.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col).alias("_oid"),
+        )
+        .groupBy("fp")
+        .agg(F.min("_oid").alias("exact_id"))
+    )
+    exact = fp_new.join(fp_old, "fp").select(id_col, "exact_id")
+
+    to_near = new_docs.join(exact.select(id_col), id_col, "left_anti")
+    sig_new = signatures(
+        to_near.select(
+            F.col(id_col).cast("string").alias("entity"),
+            F.col(text_col).alias("name"),
+        )
+    ).localCheckpoint(eager=False)
+    sig_old = signatures(
+        old_docs.select(
+            F.col(id_col).cast("string").alias("entity"),
+            F.col(text_col).alias("name"),
+        )
+    ).localCheckpoint(eager=False)
+    bn = _prune_hot_buckets(lsh_bands(sig_new), max_bucket)
+    bo = _prune_hot_buckets(lsh_bands(sig_old), max_bucket)
+    cand = bn.join(
+        bo.withColumnRenamed("entity", "entity_old"), ["band", "band_hash"]
+    ).select("entity", "entity_old")
+
+    agree = F.aggregate(
+        F.zip_with("sig", "sig_old", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    near = (
+        cand.join(sig_new, "entity")
+        .join(
+            sig_old.select(
+                F.col("entity").alias("entity_old"),
+                F.col("sig").alias("sig_old"),
+            ),
+            "entity_old",
+        )
+        .withColumn("jaccard_est", (agree / F.lit(N_PERM)).cast("double"))
+        .filter(F.col("jaccard_est") >= threshold)
+        # band multiplicity: the same pair matches in several bands
+        .groupBy("entity", "entity_old")
+        .agg(F.max("jaccard_est").alias("jaccard_est"))
+        .select(
+            F.col("entity").cast("long").alias(id_col),
+            F.col("entity_old").cast("long").alias("_nid"),
+            "jaccard_est",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("_nid").alias("near_id"),
+                    F.col("jaccard_est").alias("j"),
+                ),
+                F.struct(F.col("jaccard_est"), (-F.col("_nid")).alias("t")),
+            ).alias("best")
+        )
+        .select(id_col, F.col("best.near_id"), F.col("best.j").alias("j"))
+    )
+
+    return (
+        new_docs.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+            F.when(
+                F.col("exact_id").isNull(), F.col("j")
+            ).alias("jaccard_est"),
+        )
+    )

@@ -154,3 +154,53 @@ def test_verified_links_one_row_per_pair(spark):
     pairs = [(r.entity_a, r.entity_b) for r in links]
     assert len(pairs) == len(set(pairs)), pairs
     assert ("http://e/a", "http://e/b") in pairs
+
+
+def test_incremental_dedup_three_statuses(spark):
+    from serd_spark.operators.dedup import incremental_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and then runs far away into the deep dark forest tonight")
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                      # exact dup of old 1
+            (11, "  THE quick  brown fox jumps over the lazy dog "
+                 "and then runs far away into the deep dark forest tonight"),
+            # ^ exact after normalization (case/whitespace fold)
+            (12, base.replace("tonight", "tonite")),
+            # ^ near dup of old 1 (high jaccard: 8x8 banding recalls
+            # reliably only well above the 0.5 verify threshold)
+            (13, "totally novel content nothing like anything before"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(new, old).collect()}
+    assert out[10].status == "exact" and out[10].match_id == 1
+    assert out[11].status == "exact" and out[11].match_id == 1
+    assert out[11].jaccard_est is None
+    assert out[12].status == "near" and out[12].match_id == 1
+    assert out[12].jaccard_est >= 0.5
+    assert out[13].status == "kept" and out[13].match_id is None
+    # one row per new doc, always
+    assert set(out) == {10, 11, 12, 13}
+
+
+def test_incremental_dedup_never_pairs_within_increment(spark):
+    from serd_spark.operators.dedup import incremental_dedup
+
+    t = "a long shared passage that would trivially near-match itself " * 3
+    old = spark.createDataFrame(
+        [(1, "unrelated old corpus text entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, t), (11, t + " tail")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in incremental_dedup(new, old).collect()}
+    # 10 and 11 duplicate EACH OTHER but nothing in the old corpus:
+    # both must be kept — the increment never matches itself
+    assert out[10].status == "kept" and out[11].status == "kept"
