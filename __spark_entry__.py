@@ -1254,6 +1254,24 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(pages)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-host line-level boilerplate removal over the
+    synthesized pages corpus (corpus.py::line_dedup_stats): a line is
+    dropped when it appears in more than 2 distinct documents of its
+    host. The corpus plants exactly this structure — one line shared
+    by every page, one mid-frequency, one unique. kept_md5 pins the
+    exact content AND order of every cleaned document; the oracle
+    re-splits the materialized (url, text) parquet, counts (host,
+    raw-line) frequencies, and rebuilds the kept text in SQL."""
+    from serd_spark.operators.corpus import line_dedup_stats
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_text", lambda: _pages(spark, sf_dir).select("url", "text")
+    )
+    return line_dedup_stats(pages, max_docs=2)
+
+
 _SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
 _SAMPLE_DEFAULT = 0.05
 
@@ -1785,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_pq_search": q_pq_search,
         "q_dedup_incremental": q_dedup_incremental,
+        "q_line_dedup": q_line_dedup,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
@@ -2568,6 +2587,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Line-level boilerplate removal replay: re-split the
+        # materialized (url, text) by chr(10), count (host, RAW line)
+        # document frequencies (Spark keys on xxhash64 — identical
+        # absent collisions, absent at oracle scale), rebuild each
+        # cleaned document with an ordered string_agg. COALESCE('')
+        # matches Spark's md5 of the empty join when nothing survives.
+        "q_line_dedup": f"""
+            WITH pt AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                     string_split(text, chr(10)) AS ls
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_text/*.parquet')
+            ), lines AS (
+              SELECT url, host, i - 1 AS pos, ls[i] AS line
+              FROM (SELECT url, host, ls,
+                           unnest(generate_series(1, len(ls))) AS i
+                    FROM pt)
+            ), hot AS (
+              SELECT host, line FROM lines
+              GROUP BY host, line HAVING COUNT(DISTINCT url) > 2
+            ), flagged AS (
+              SELECT l.url, l.pos, l.line,
+                     (h.line IS NOT NULL) AS is_hot
+              FROM lines l LEFT JOIN hot h
+                ON h.host = l.host AND h.line = l.line
+            )
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN is_hot THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_kept,
+                   md5(COALESCE(string_agg(
+                     CASE WHEN is_hot THEN NULL ELSE line END,
+                     chr(10) ORDER BY pos), '')) AS kept_md5
+            FROM flagged GROUP BY url
         """,
         # Cross-snapshot incremental dedup: the exact stage is replayed
         # from raw text (md5 fingerprints); the near stage from the

@@ -540,3 +540,72 @@ def bm25_search(
         .orderBy(F.desc("score_micros"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def line_dedup_stats(
+    pages: DataFrame,
+    max_docs: int = 2,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    is DROPPED from every document of a host when it occurs in more
+    than ``max_docs`` distinct documents of that host (nav bars,
+    cookie banners, footers — the per-host repeated furniture that
+    survives document-level dedup). Order-free semantics — a line is
+    judged by its (host, content) frequency, not by which document
+    was seen "first" — so the result is layout/retry-invariant and
+    independently replayable.
+
+    Scale shape (100 TB): lines explode once and the exploded table
+    is localCheckpointed (reused by the frequency branch and the
+    rebuild branch — one text scan, the repo's one-scan convention).
+    The frequency aggregate keys on (host, xxhash64(line)) — heavy
+    map-side combine since boilerplate is exactly the high-repeat
+    mass — and only the HOT set (tiny: each host's furniture
+    vocabulary) flows to the flag join, AQE broadcasting it when it
+    fits. The corpus-side shuffle is the final per-url aggregate.
+
+    Returns (url, n_lines, n_kept, kept_md5) where kept_md5 is the
+    md5 of the surviving lines re-joined in original order — pinning
+    exact content and order of the cleaned document, not just counts.
+    """
+    host = url_host(F.col(url_col)).alias("host")
+    lines = (
+        _min_parallelism(pages)
+        .select(
+            F.col(url_col).alias("url"),
+            host,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        lines.groupBy("host", F.xxhash64("line").alias("lh"))
+        .agg(F.countDistinct("url").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("host", "lh", F.lit(True).alias("is_hot"))
+    )
+    flagged = lines.withColumn("lh", F.xxhash64("line")).join(
+        hot, ["host", "lh"], "left"
+    )
+    keep = F.col("is_hot").isNull()
+    return flagged.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            )
+        ).alias("kept_md5"),
+    )

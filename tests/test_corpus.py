@@ -226,3 +226,45 @@ def test_bm25_empty_corpus(spark):
     d = _docs(spark, [(1, "   ")])
     # blank corpus: no postings → zero rows, no ANSI division-by-zero
     assert bm25_search(d, ["spark"]).count() == 0
+
+
+def test_line_dedup_drops_per_host_boilerplate(spark):
+    import hashlib
+
+    from serd_spark.operators.corpus import line_dedup_stats
+
+    boiler = "cookie banner accept all"
+    rows = [
+        (f"https://a.example/p{i}", f"unique content {i}\n{boiler}\nmid {i % 2}")
+        for i in range(6)
+    ] + [
+        # same boilerplate text on ANOTHER host with only 2 docs:
+        # under max_docs=2 it survives there (per-host scoping)
+        (f"https://b.example/p{i}", f"other {i}\n{boiler}")
+        for i in range(2)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in line_dedup_stats(pages, max_docs=2).collect()}
+    a0 = out["https://a.example/p0"]
+    # host a: boiler in 6 docs (dropped), "mid 0" in 3 docs (dropped),
+    # unique line kept
+    assert (a0.n_lines, a0.n_kept) == (3, 1)
+    assert a0.kept_md5 == hashlib.md5(b"unique content 0").hexdigest()
+    a1 = out["https://a.example/p1"]  # "mid 1" also in 3 docs -> dropped
+    assert (a1.n_lines, a1.n_kept) == (3, 1)
+    b0 = out["https://b.example/p0"]  # host b keeps everything
+    assert (b0.n_lines, b0.n_kept) == (2, 2)
+    assert b0.kept_md5 == hashlib.md5(f"other 0\n{boiler}".encode()).hexdigest()
+
+
+def test_line_dedup_all_dropped_doc(spark):
+    import hashlib
+
+    from serd_spark.operators.corpus import line_dedup_stats
+
+    rows = [(f"https://c.example/p{i}", "same line") for i in range(4)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = line_dedup_stats(pages, max_docs=2).collect()
+    assert all((r.n_lines, r.n_kept) == (1, 0) for r in out)
+    # empty survivor set hashes the empty string, matching the oracle
+    assert all(r.kept_md5 == hashlib.md5(b"").hexdigest() for r in out)
