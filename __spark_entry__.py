@@ -1254,6 +1254,22 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(pages)
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep the best 10 docs per source by
+    (n_chars DESC, doc_id ASC) — the two-level top-N of
+    corpus.py::cap_per_domain (local top-cap per input partition, so
+    a mega-host never sorts in one task). The oracle replays the
+    plain rank window, which the decomposition must equal."""
+    from serd_spark.operators.corpus import cap_per_domain
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return cap_per_domain(d, cap=10).select(
+        "doc_id", "source", "n_chars", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-host line-level boilerplate removal over the
     synthesized pages corpus (corpus.py::line_dedup_stats): a line is
@@ -1804,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_search": q_pq_search,
         "q_dedup_incremental": q_dedup_incremental,
         "q_line_dedup": q_line_dedup,
+        "q_domain_cap": q_domain_cap,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
@@ -2587,6 +2604,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        "q_domain_cap": """
+            SELECT doc_id, source, n_chars, CAST(rank AS INTEGER) AS rank
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+              FROM documents
+            ) WHERE rank <= 10
         """,
         # Line-level boilerplate removal replay: re-split the
         # materialized (url, text) by chr(10), count (host, RAW line)

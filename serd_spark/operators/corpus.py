@@ -609,3 +609,47 @@ def line_dedup_stats(
             )
         ).alias("kept_md5"),
     )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int = 10,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota (RefinedWeb-style source capping): keep at
+    most ``cap`` documents per ``group_col``, best-first by
+    (``order_col`` DESC, ``id_col`` ASC) — a total order, so the kept
+    set is exact and engine-independent.
+
+    Scale shape (100 TB): a naive rank window shuffles EVERY row of a
+    mega-host into one task. Instead a two-level top-N: level 1 ranks
+    within (group, input partition) — no shuffle, the window's
+    partition keys include ``spark_partition_id()`` so each task
+    sorts only its own slice — and keeps its local top-``cap``, which
+    provably contains every global top-``cap`` member; level 2 ranks
+    the survivors (≤ cap × n_partitions rows per group, not the full
+    host) with the real per-group window. The partition id never
+    reaches the result, so the output is layout/retry-invariant
+    (tested) while the wide shuffle carries only candidates.
+
+    Returns the kept rows of ``docs`` with a ``rank`` column
+    (1-based, best first).
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(order_col), F.asc(id_col)]
+    local = Window.partitionBy(
+        F.col(group_col), F.spark_partition_id()
+    ).orderBy(*order)
+    cand = (
+        docs.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= cap)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= cap)
+    )

@@ -268,3 +268,37 @@ def test_line_dedup_all_dropped_doc(spark):
     assert all((r.n_lines, r.n_kept) == (1, 0) for r in out)
     # empty survivor set hashes the empty string, matching the oracle
     assert all(r.kept_md5 == hashlib.md5(b"").hexdigest() for r in out)
+
+
+def test_cap_per_domain_keeps_best_and_is_layout_invariant(spark):
+    from serd_spark.operators.corpus import cap_per_domain
+
+    rows = [(i, f"t{i}", f"s{i % 3}", (i * 7) % 50) for i in range(60)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = cap_per_domain(d, cap=4, group_col="source").collect()
+    # exactly 4 per source, ranked 1..4 best-first
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert all(len(v) == 4 for v in by_src.values())
+    for v in by_src.values():
+        v.sort(key=lambda r: r.rank)
+        assert [r.rank for r in v] == [1, 2, 3, 4]
+        # best-first: n_chars non-increasing, doc_id ascending on ties
+        for x, y in zip(v, v[1:]):
+            assert (x.n_chars, -x.doc_id) >= (y.n_chars, -y.doc_id)
+    # independent reference
+    ref = {}
+    for i, _, s, n in rows:
+        ref.setdefault(s, []).append((-n, i))
+    for s, v in ref.items():
+        want = {i for _, i in sorted(v)[:4]}
+        assert {r.doc_id for r in by_src[s]} == want
+    # layout invariance: 1 partition vs 16
+    a = sorted((r.doc_id, r.rank) for r in
+               cap_per_domain(d.coalesce(1), cap=4).collect())
+    b = sorted((r.doc_id, r.rank) for r in
+               cap_per_domain(d.repartition(16), cap=4).collect())
+    assert a == b
