@@ -1518,6 +1518,26 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, n_iter=5)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (clustering.py::semdedup): exact
+    k-means partitions the embedding space, then a vector is dropped
+    iff a SMALLER-id vector in its cluster has cosine >= 0.4 (6 dp,
+    the repo's cross-engine float rule) — so exactly the smallest id
+    of each in-cluster duplicate group survives. The k-means pipeline
+    itself is certified by q_kmeans; here the deterministic
+    assignment is materialized and DuckDB independently replays the
+    within-cluster cosine join + id-argmin verdict. dup_of = -1
+    sentinel when kept (never NULL)."""
+    from serd_spark.operators.clustering import kmeans, semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _materialize(
+        sf_dir, "semdedup_assign",
+        lambda: kmeans(emb, k=8, n_iter=2).select("vec_id", "cluster"),
+    )
+    return semdedup(emb, k=8, n_iter=2, threshold=0.4).orderBy("vec_id")
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=35, 4 synchronous peel rounds — the
     sf0.01 graph reaches its fixpoint in 2) over the same hash-folded
@@ -1817,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_label_prop": q_label_prop,
         "q_kmeans": q_kmeans,
+        "q_semdedup": q_semdedup,
         "q_pq_search": q_pq_search,
         "q_dedup_incremental": q_dedup_incremental,
         "q_line_dedup": q_line_dedup,
@@ -3344,6 +3365,32 @@ def oracle_sql() -> dict[str, str]:
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
         "q_kmeans": _kmeans_oracle_sql(n_iter=5, k=8),
+        # SemDeDup: the k-means assignment (certified end-to-end by
+        # q_kmeans's iteration replay) is materialized; DuckDB then
+        # independently replays the within-cluster cosine join and
+        # the smallest-smaller-id verdict over the raw embeddings.
+        "q_semdedup": f"""
+            WITH asg AS (
+              SELECT vec_id, cluster
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/semdedup_assign/*.parquet')
+            ), e AS (
+              SELECT a.vec_id, a.cluster, em.embedding::DOUBLE[] AS v
+              FROM asg a JOIN embeddings em USING (vec_id)
+            ), dups AS (
+              SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+              FROM e a JOIN e b ON a.cluster = b.cluster
+                               AND b.vec_id < a.vec_id
+              WHERE round(
+                      list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+              GROUP BY a.vec_id
+            )
+            SELECT asg.vec_id, asg.cluster,
+                   dups.dup_of IS NULL AS kept,
+                   CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
+            FROM asg LEFT JOIN dups USING (vec_id)
+        """,
         "q_pq_search": _pq_oracle_sql(n_iter=3, k=16),
         # Brute-force canonical a<b<c three-way self-join — the exact
         # count the degree-oriented wedge join must reproduce.

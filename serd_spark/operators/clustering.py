@@ -167,3 +167,69 @@ def kmeans(
         _assign_final(cents, id_col, vec_col),
         schema=f"{id_col} long, cluster int, dist long",
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the embedding space, then
+    within each cluster drop every vector that has a semantic
+    duplicate — cosine >= ``threshold`` (rounded to 6 dp, the repo's
+    cross-engine float rule, cf. ``dedup.embedding_near_dups``) —
+    with a SMALLER id, so exactly the smallest id of each in-cluster
+    duplicate group survives.  Deterministic: the winner rule is an
+    id argmin, never a float argmax, so cosine ties cannot flip it.
+
+    Scale shape (100 TB): pairwise similarity only ever forms WITHIN
+    a cluster (equi self-join on the cluster id).  k is chosen so
+    clusters average ~10³ rows (the paper runs 50k clusters over
+    LAION), turning the global n² into Σ|c|² ≈ n²/k; a fat cluster is
+    an AQE skew split, and the verdict per row is a min-aggregation
+    of its smaller-id matches, which partial-combines map-side before
+    the shuffle.  Differs from ``embedding_near_dups`` (hyperplane
+    LSH) in recall geometry: k-means cells follow the data density,
+    so SemDeDup finds duplicates that straddle hyperplane sign
+    boundaries — the two are complementary scale paths over the same
+    exact-cosine verify.
+
+    Returns (id_col, cluster, kept, dup_of); ``dup_of`` is the
+    smallest smaller-id in-cluster duplicate, or -1 when kept (a
+    sentinel, not NULL, so downstream sorts/compares never meet a
+    NULL).  Pass ``assignments`` (id_col, cluster) to reuse an
+    existing clustering instead of re-running Lloyd."""
+    asg = assignments if assignments is not None else kmeans(
+        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster")
+    withvec = asg.join(emb.select(id_col, vec_col), id_col)
+
+    from serd_spark.operators.dedup import cosine
+
+    a = withvec.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = withvec.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("id_a").alias(id_col))
+        .agg(F.min("id_b").alias("dup_of"))
+    )
+    return (
+        asg.join(dups, id_col, "left")
+        .withColumn("kept", F.col("dup_of").isNull())
+        .withColumn(
+            "dup_of", F.coalesce(F.col("dup_of"), F.lit(-1).cast("long"))
+        )
+        .select(id_col, "cluster", "kept", "dup_of")
+    )

@@ -138,3 +138,51 @@ def test_pq_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError):
         pq_train(df, m=2, k=2, n_iter=1)
+
+
+def test_semdedup_matches_python_reference(spark):
+    from serd_spark.operators.clustering import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(12, 6)).astype(np.float64)
+    vecs, parent = [], []
+    for i in range(12):
+        vecs.append(base[i]); parent.append(i)
+    # planted near-duplicates: small perturbations of existing rows
+    for j, src in enumerate([0, 0, 3, 7, 7, 7]):
+        vecs.append(base[src] + rng.normal(scale=0.01, size=6))
+        parent.append(src)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(df, k=3, n_iter=3,
+                                         threshold=0.9).collect()}
+    assert set(out) == set(range(len(rows)))
+
+    # independent reference: same assignment contract as _py_kmeans,
+    # cosine on float32-widened doubles rounded to 6 dp
+    asg = _py_kmeans([np.asarray(v, dtype=np.float32) for _, v in rows],
+                     [i for i, _ in rows], 3, 3)
+    def cos(a, b):
+        a = np.asarray(a, dtype=np.float32).astype(np.float64)
+        b = np.asarray(b, dtype=np.float32).astype(np.float64)
+        return round(float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 6)
+    for i, vi in rows:
+        matches = [j for j, vj in rows
+                   if j < i and asg[j][0] == asg[i][0]
+                   and cos(vi, vj) >= 0.9]
+        want = min(matches) if matches else -1
+        assert out[i].dup_of == want, (i, want, out[i])
+        assert out[i].kept == (want == -1)
+        assert out[i].cluster == asg[i][0]
+    # ids perturbed by a duplicate must actually be dropped when the
+    # source shares the cluster (sanity that the test isn't vacuous)
+    assert sum(not r.kept for r in out.values()) >= 3
+
+    # layout invariance: 1 partition vs 13
+    a = sorted((r.vec_id, r.cluster, r.kept, r.dup_of)
+               for r in semdedup(df.coalesce(1), k=3, n_iter=3,
+                                 threshold=0.9).collect())
+    b = sorted((r.vec_id, r.cluster, r.kept, r.dup_of)
+               for r in semdedup(df.repartition(13), k=3, n_iter=3,
+                                 threshold=0.9).collect())
+    assert a == b
