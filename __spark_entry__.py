@@ -1270,6 +1270,23 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web link graph (corpus.py::host_graph): anchor
+    hrefs extracted with one codegen'd regexp_extract_all over the
+    page bytes, exploded, host-mapped, and rolled up to weighted
+    (src_host, dst_host) edges — the web-graph construction step
+    ahead of host centrality. The oracle re-extracts every href from
+    the materialized (url, html) parquet with the same RE2∩Java
+    pattern and re-aggregates."""
+    from serd_spark.operators.corpus import host_graph
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta", lambda: _pages(spark, sf_dir).select("url", "html")
+    )
+    return host_graph(pages).orderBy("src_host", "dst_host")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-host line-level boilerplate removal over the
     synthesized pages corpus (corpus.py::line_dedup_stats): a line is
@@ -1841,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_search": q_pq_search,
         "q_dedup_incremental": q_dedup_incremental,
         "q_line_dedup": q_line_dedup,
+        "q_host_graph": q_host_graph,
         "q_domain_cap": q_domain_cap,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
@@ -3158,6 +3176,31 @@ def oracle_sql() -> dict[str, str]:
         # Host/tld re-derived from the materialized (url, html) parquet
         # with the same RE2-safe pattern; byte lengths recomputed from
         # the BLOB by DuckDB itself.
+        # Host link graph: every href re-extracted from the raw page
+        # bytes with the identical RE2∩Java-regex pattern, hosts
+        # re-derived with the shared absolute-URL pattern, weights
+        # re-aggregated.
+        "q_host_graph": f"""
+            WITH a AS (
+              SELECT lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                       AS src_host,
+                     unnest(regexp_extract_all(decode(html),
+                       'href="([^"]*)"', 1)) AS href
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ), e AS (
+              SELECT src_host,
+                     lower(regexp_extract(href,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                       AS dst_host
+              FROM a
+            )
+            SELECT src_host, dst_host,
+                   CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM e
+            WHERE src_host <> '' AND dst_host <> ''
+            GROUP BY src_host, dst_host
+        """,
         "q_domain_stats": f"""
             WITH p AS (
               SELECT lower(regexp_extract(url,

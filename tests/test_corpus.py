@@ -302,3 +302,30 @@ def test_cap_per_domain_keeps_best_and_is_layout_invariant(spark):
     b = sorted((r.doc_id, r.rank) for r in
                cap_per_domain(d.repartition(16), cap=4).collect())
     assert a == b
+
+
+def test_host_graph_edges(spark):
+    from serd_spark.operators.corpus import host_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/1",
+             b'<a href="https://b.example/x">x</a>'
+             b'<a href="https://b.example/y">y</a>'
+             b'<a href="/relative">r</a>'),
+            ("https://a.example/2",
+             b'<a href="https://a.example/self">s</a>'),
+            ("https://b.example/1",
+             b'no links here'),
+            ("notaurl",
+             b'<a href="https://b.example/z">z</a>'),
+        ],
+        "url string, html binary",
+    )
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in host_graph(pages).collect()}
+    # relative href and invalid src url are dropped; self-loop kept
+    assert got == {
+        ("a.example", "b.example"): 2,
+        ("a.example", "a.example"): 1,
+    }
