@@ -1309,6 +1309,37 @@ _SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
 _SAMPLE_DEFAULT = 0.05
 
 
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int = 16) -> str:
+    """The DuckDB mirror of materialize.zorder_key: identical clamp +
+    shift/mask interleave, generated term-by-term so the two engines
+    share the formula by construction."""
+    xc = f"LEAST(GREATEST(CAST({xcol} AS BIGINT), 0), {(1 << bits) - 1})"
+    yc = f"LEAST(GREATEST(CAST({ycol} AS BIGINT), 0), {(1 << bits) - 1})"
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xc} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({yc} >> {b}) & 1) << {2 * b})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton / Z-order key (materialize.py::zorder_key) over
+    lineitem (l_partkey, l_suppkey) — the multi-column clustering key
+    behind write_zordered's file-skipping layout. Pure shift/mask
+    codegen, no UDF; the oracle regenerates the identical
+    clamp+interleave expression term-by-term (_zorder_sql_expr). The
+    layout/pruning property itself is pinned by test_plans-style
+    per-file bounding-box tests in test_materialize."""
+    from serd_spark.operators.materialize import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join via catalog-registered bucketed tables: orders
     and customer are bucketed+sorted on custkey with the same bucket
@@ -1843,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_lm": q_unigram_lm,
         "q_domain_stats": q_domain_stats,
         "q_bucketed_join": q_bucketed_join,
+        "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
         "q_tfidf": q_tfidf,
         "q_keyword_search": q_keyword_search,
@@ -3215,6 +3247,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(b) AS BIGINT) AS sum_bytes,
                    CAST(floor(SUM(b) / COUNT(*)) AS BIGINT) AS mean_bytes
             FROM p GROUP BY host
+        """,
+        # Z-order key: the clamp + bit-interleave expression is
+        # regenerated term-by-term for DuckDB by _zorder_sql_expr —
+        # the engines share the formula by construction, so any
+        # disagreement is an arithmetic-semantics divergence.
+        "q_zorder": f"""
+            SELECT l_orderkey,
+                   CAST(l_linenumber AS INTEGER) AS l_linenumber,
+                   CAST({_zorder_sql_expr('l_partkey', 'l_suppkey')}
+                        AS BIGINT) AS zkey
+            FROM lineitem
         """,
         # The bucketed join's RESULT must equal a plain relational
         # join — bucketing is a physical-layout property only.

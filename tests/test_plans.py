@@ -131,3 +131,57 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def _py_zorder(x, y, bits=16):
+    lim = (1 << bits) - 1
+    x = min(max(int(x), 0), lim)
+    y = min(max(int(y), 0), lim)
+    k = 0
+    for b in range(bits):
+        k |= ((x >> b) & 1) << (2 * b + 1)
+        k |= ((y >> b) & 1) << (2 * b)
+    return k
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from serd_spark.operators.materialize import zorder_key
+    from pyspark.sql import functions as F
+
+    vals = [(-5, 3), (0, 0), (1, 2), (65535, 65535), (70000, -1),
+            (12345, 54321), (7, 65536), (2**40, 2**40)]
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = [r.z for r in df.select(
+        zorder_key(F.col("x"), F.col("y")).alias("z"), "x", "y"
+    ).orderBy("x", "y").collect()]
+    want = [_py_zorder(x, y) for x, y in sorted(vals)]
+    assert got == want
+
+
+def test_write_zordered_files_bound_both_dims(spark, tmp_path):
+    from serd_spark.operators.materialize import write_zordered
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    # 64x64 grid; 8 z-range files => each file is a contiguous slice
+    # of the z-curve, i.e. a small bounding box in BOTH dims (at most
+    # a couple of straddlers at quadrant boundaries)
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = os.path.join(str(tmp_path), "z")
+    write_zordered(df, out, "x", "y", n_files=8, bits=6)
+    spans = []
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        if xs:
+            spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    assert len(spans) >= 4
+    # a single-column sort would give span 63 on the other dim in
+    # EVERY file; z-order bounds both dims on most files
+    tight = [s for s in spans if s[0] <= 32 and s[1] <= 32]
+    assert len(tight) >= len(spans) // 2, spans
+    # and the layout never loses rows
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
