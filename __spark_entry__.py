@@ -1287,6 +1287,26 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(pages).orderBy("src_host", "dst_host")
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host centrality: integer-micros PageRank (graph.py::pagerank,
+    directed — sink hosts hold rank but leak their mass, the standard
+    simplification) over the anchor-href host graph of q_host_graph.
+    Composition certificate: the oracle re-derives the edge set from
+    the raw page bytes AND replays all 3 rank iterations as chained
+    CTEs, so a divergence in either stage surfaces."""
+    from serd_spark.operators.corpus import host_graph
+    from serd_spark.operators.graph import pagerank
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta", lambda: _pages(spark, sf_dir).select("url", "html")
+    )
+    edges = host_graph(pages).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(edges, n_iter=3, undirected=False).orderBy("node")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-host line-level boilerplate removal over the
     synthesized pages corpus (corpus.py::line_dedup_stats): a line is
@@ -1891,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_line_dedup": q_line_dedup,
         "q_host_graph": q_host_graph,
+        "q_host_rank": q_host_rank,
         "q_domain_cap": q_domain_cap,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
@@ -1920,14 +1941,25 @@ def _lang_case_sql() -> str:
     """
 
 
-def _pagerank_oracle_sql(n_iter: int = 5, damping_pct: int = 85) -> str:
+_TRADE_DIR_EDGES_SQL = """
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+
+
+def _pagerank_oracle_sql(
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    dir_edges_sql: str = _TRADE_DIR_EDGES_SQL,
+    undirected: bool = True,
+) -> str:
     """Replays operators/graph.py's integer-micros PageRank as chained
     CTEs — one per iteration, identical floor-division arithmetic, so
-    the match is bit-exact (integer sums are order-independent)."""
-    head = f"""
-        WITH dir_edges AS (
-          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    the match is bit-exact (integer sums are order-independent).
+    ``dir_edges_sql`` supplies the (src, dst) edge derivation;
+    ``undirected`` mirrors the operator's flag (mirrored edges vs
+    directed-with-sink-nodes)."""
+    if undirected:
+        edges_nodes = """
         ), edges AS (
           SELECT src, dst FROM dir_edges
           UNION
@@ -1935,7 +1967,19 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping_pct: int = 85) -> str:
         ), deg AS (
           SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
         ), nodes AS (
-          SELECT DISTINCT src AS node FROM edges
+          SELECT DISTINCT src AS node FROM edges"""
+    else:
+        edges_nodes = """
+        ), edges AS (
+          SELECT DISTINCT src, dst FROM dir_edges
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT src AS node FROM edges
+          UNION
+          SELECT dst AS node FROM edges"""
+    head = f"""
+        WITH dir_edges AS ({dir_edges_sql}{edges_nodes}
         ), params AS (
           SELECT CAST(COUNT(*) AS BIGINT) AS n,
                  CAST((1000000 * {100 - damping_pct}) // (100 * COUNT(*))
@@ -3448,6 +3492,27 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE rn = 1
         """,
         "q_pagerank": _pagerank_oracle_sql(n_iter=5),
+        # Host centrality: edges re-derived from raw page bytes, all
+        # rank iterations replayed — both pipeline stages certified.
+        "q_host_rank": _pagerank_oracle_sql(
+            n_iter=3,
+            undirected=False,
+            dir_edges_sql=f"""
+          SELECT src_host AS src, dst_host AS dst FROM (
+            SELECT a.src_host,
+                   lower(regexp_extract(a.href,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                     AS dst_host
+            FROM (
+              SELECT lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                       AS src_host,
+                     unnest(regexp_extract_all(decode(html),
+                       'href="([^"]*)"', 1)) AS href
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ) a
+          ) WHERE src_host <> '' AND dst_host <> ''""",
+        ),
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
         "q_kmeans": _kmeans_oracle_sql(n_iter=5, k=8),
