@@ -95,6 +95,13 @@ def main() -> None:
         "q_label_prop": entrymod.q_label_prop,
         "q_kmeans": entrymod.q_kmeans,
         "q_pq_search": entrymod.q_pq_search,
+        "q_line_dedup": entrymod.q_line_dedup,
+        "q_dedup_incremental": entrymod.q_dedup_incremental,
+        "q_domain_cap": entrymod.q_domain_cap,
+        "q_semdedup": entrymod.q_semdedup,
+        "q_host_graph": entrymod.q_host_graph,
+        "q_host_rank": entrymod.q_host_rank,
+        "q_zorder": entrymod.q_zorder,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
