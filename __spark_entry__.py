@@ -1256,10 +1256,11 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota: keep the best 10 docs per source by
-    (n_chars DESC, doc_id ASC) — the two-level top-N of
-    corpus.py::cap_per_domain (local top-cap per input partition, so
-    a mega-host never sorts in one task). The oracle replays the
-    plain rank window, which the decomposition must equal."""
+    (n_chars DESC, doc_id ASC) — corpus.py::cap_per_domain. The plan
+    relies on Catalyst's rank-limit pushdown (map-side Partial
+    WindowGroupLimit before the exchange), so a mega-host never sends
+    more than cap rows per map task; plan-audited, see the operator
+    docstring. The oracle replays the same rank window in SQL."""
     from serd_spark.operators.corpus import cap_per_domain
 
     d = _t(spark, sf_dir, "documents").select(

@@ -623,34 +623,31 @@ def cap_per_domain(
     (``order_col`` DESC, ``id_col`` ASC) — a total order, so the kept
     set is exact and engine-independent.
 
-    Scale shape (100 TB): a naive rank window shuffles EVERY row of a
-    mega-host into one task. Instead a two-level top-N: level 1 ranks
-    within (group, input partition) — no shuffle, the window's
-    partition keys include ``spark_partition_id()`` so each task
-    sorts only its own slice — and keeps its local top-``cap``, which
-    provably contains every global top-``cap`` member; level 2 ranks
-    the survivors (≤ cap × n_partitions rows per group, not the full
-    host) with the real per-group window. The partition id never
-    reaches the result, so the output is layout/retry-invariant
-    (tested) while the wide shuffle carries only candidates.
+    Scale shape (100 TB): the mega-host worry — "a rank window
+    shuffles EVERY row of the host into one task" — is already solved
+    by Catalyst's rank-limit pushdown (InferWindowGroupLimit,
+    SPARK-37099): the plan for this exact ``row_number() <= cap``
+    pattern is Sort → WindowGroupLimit(Partial) → Exchange →
+    WindowGroupLimit(Final) → Window, i.e. each MAP task keeps only
+    its local top-``cap`` per group before the shuffle, so the
+    exchange carries ≤ cap rows per (group, map task) and the reduce
+    side sorts ≤ cap × n_map_tasks rows per group, never the host's
+    full row count. A hand-rolled two-level decomposition (level-1
+    window keyed by (group, spark_partition_id())) was built and
+    plan-audited first: it produces the SAME partial pruning but TWO
+    exchanges — strictly worse. Declare the plain window; the
+    optimizer already does the two-level trick.
 
     Returns the kept rows of ``docs`` with a ``rank`` column
     (1-based, best first).
     """
     from pyspark.sql import Window
 
-    order = [F.desc(order_col), F.asc(id_col)]
-    local = Window.partitionBy(
-        F.col(group_col), F.spark_partition_id()
-    ).orderBy(*order)
-    cand = (
-        docs.withColumn("_lrn", F.row_number().over(local))
-        .filter(F.col("_lrn") <= cap)
-        .drop("_lrn")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
     )
-    final = Window.partitionBy(group_col).orderBy(*order)
     return (
-        cand.withColumn("rank", F.row_number().over(final))
+        docs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cap)
     )
 
