@@ -1241,6 +1241,20 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d, vocab_size=32)
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived BIGRAM LM score per document
+    (corpus.py::bigram_logprob — conditional ln(c(prev,w)/c(prev)) in
+    integer micros, the KenLM-shaped transition-fluency signal).
+    vocab_size=32 is deliberately below the corpus pair vocabulary so
+    the OOV pricing path is exercised; the oracle rebuilds the whole
+    model from raw text with a structurally DIFFERENT pair derivation
+    (positional lateral unnest vs Spark's shifted-array transform)."""
+    from serd_spark.operators.corpus import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(d, vocab_size=32)
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain roll-up over the synthesized pages corpus. The
     oracle re-derives host/tld from the materialized (url, html)
@@ -1893,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_join": q_knn_join,
         "q_span_dedup": q_span_dedup,
         "q_unigram_lm": q_unigram_lm,
+        "q_bigram_lm": q_bigram_lm,
         "q_domain_stats": q_domain_stats,
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
@@ -3249,6 +3264,51 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN vocab v USING (w)
             CROSS JOIN oov o
             GROUP BY d.doc_id
+        """,
+        # Bigram LM: the whole model rebuilt from raw text with a
+        # structurally different pair derivation (positional lateral
+        # unnest), then the identical conditional + OOV pricing.
+        "q_bigram_lm": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS arr
+              FROM norm
+            ), pairs AS (
+              SELECT doc_id, arr[i.x] AS prev, arr[i.x + 1] AS w
+              FROM tok, LATERAL (
+                SELECT unnest(range(1, len(arr))) AS x
+              ) i
+            ), pc AS (
+              SELECT prev, w, COUNT(*) AS cnt FROM pairs GROUP BY prev, w
+            ), ctx AS (
+              SELECT prev, SUM(cnt) AS ctx_cnt FROM pc GROUP BY prev
+            ), tot AS (
+              SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM pc
+            ), vocab AS (
+              SELECT pc.prev, pc.w,
+                     CAST(round(ln(pc.cnt / ctx.ctx_cnt) * 1000000)
+                          AS BIGINT) AS lp_micros
+              FROM pc JOIN ctx USING (prev)
+              ORDER BY pc.cnt DESC, pc.prev ASC, pc.w ASC LIMIT 32
+            ), oov AS (
+              SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT)
+                       AS oov_micros
+              FROM tot
+            )
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(COALESCE(v.lp_micros, o.oov_micros))
+                        AS BIGINT) AS lp_sum_micros,
+                   CAST(floor(SUM(COALESCE(v.lp_micros, o.oov_micros))
+                              / COUNT(*)) AS BIGINT) AS lp_mean_micros
+            FROM pairs p
+            LEFT JOIN vocab v ON p.prev = v.prev AND p.w = v.w
+            CROSS JOIN oov o
+            GROUP BY p.doc_id
         """,
         # Host/tld re-derived from the materialized (url, html) parquet
         # with the same RE2-safe pattern; byte lengths recomputed from

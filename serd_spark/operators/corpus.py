@@ -259,6 +259,96 @@ def unigram_logprob(
     return scored
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-derived BIGRAM LM quality score — the KenLM-shaped
+    upgrade of ``unigram_logprob`` (CCNet-style pipelines filter on
+    n-gram LM perplexity; a bigram CONDITIONAL catches fluent-word
+    salad that unigram frequency cannot, because every word is common
+    but the transitions are not).
+
+    Model: lp(prev, w) = ln(c(prev, w) / c(prev)) for the top
+    ``vocab_size`` bigrams (tie-break count DESC, then pair ASC — a
+    TakeOrderedAndProject); c(prev) is the context total over ALL
+    observed bigrams, so kept entries are true conditionals. Any
+    other adjacent pair prices at ln(0.5 / total_bigrams), the same
+    OOV rule as the unigram op. Per-pair log-probs are fixed to
+    integer MICROS (round(ln(p) * 1e6)) before summation —
+    order-insensitive, float-associativity-proof, replayable by any
+    engine.
+
+    Scale shape (100 TB): adjacent pairs are formed JVM-side per
+    document from the token array (a transform over the 1-shifted
+    array — never a positional self-join over an exploded token
+    table); the model is two hash aggs with map-side combine; scoring
+    broadcasts the pair vocabulary at this ``vocab_size`` — when the
+    pair model outgrows a broadcast at web scale, the identical plan
+    becomes a shuffle join keyed by (prev, w) by dropping the
+    broadcast hint, not a different algorithm.
+
+    Returns (id_col, n_bigrams, lp_sum_micros, lp_mean_micros), one
+    row per document with at least one bigram (single-token and empty
+    documents have none)."""
+    docs = _min_parallelism(docs)
+    toks = F.filter(
+        F.split(_norm(F.col(text_col)), " "), lambda x: x != ""
+    )
+    d = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS prev, toks[i + 1] AS w))"
+            )
+        ).alias("pr"),
+    ).select(id_col, F.col("pr.prev").alias("prev"), F.col("pr.w").alias("w"))
+
+    pc = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = pc.groupBy("prev").agg(F.sum("cnt").alias("ctx_cnt"))
+    total_df = pc.agg(F.sum("cnt").cast("double").alias("total"))
+    vocab = (
+        pc.orderBy(F.desc("cnt"), F.asc("prev"), F.asc("w"))
+        .limit(vocab_size)
+        .join(ctx, "prev")
+        .select(
+            "prev",
+            "w",
+            F.round(F.log(F.col("cnt") / F.col("ctx_cnt")) * 1e6)
+            .cast("long")
+            .alias("lp_micros"),
+        )
+    )
+    oov = total_df.select(
+        F.round(F.log(F.lit(0.5) / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("oov_micros")
+    )
+    return (
+        pairs.join(F.broadcast(vocab), ["prev", "w"], "left")
+        .join(F.broadcast(oov))
+        .select(
+            id_col,
+            F.coalesce(F.col("lp_micros"), F.col("oov_micros")).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lp").cast("long").alias("lp_sum_micros"),
+        )
+        .withColumn(
+            "lp_mean_micros",
+            F.floor(F.col("lp_sum_micros") / F.col("n_bigrams")).cast("long"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

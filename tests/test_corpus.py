@@ -329,3 +329,49 @@ def test_host_graph_edges(spark):
         ("a.example", "b.example"): 2,
         ("a.example", "a.example"): 1,
     }
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+    from serd_spark.operators.corpus import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a   dog  SAT on the mat"),   # odd whitespace + case fold
+        (4, "solo"),                       # no bigram: absent from output
+        (5, ""),                           # empty: absent
+        (6, "the cat sat on the mat"),     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(df, vocab_size=4).collect()}
+    assert set(out) == {1, 2, 3, 6}
+
+    # independent reference
+    def toks(t):
+        return [w for w in " ".join(t.lower().split()).split(" ") if w]
+    pairs = {}
+    doc_pairs = {}
+    for i, t in rows:
+        tk = toks(t)
+        ps = list(zip(tk, tk[1:]))
+        doc_pairs[i] = ps
+        for p in ps:
+            pairs[p] = pairs.get(p, 0) + 1
+    ctx = {}
+    for (prev, _), c in pairs.items():
+        ctx[prev] = ctx.get(prev, 0) + c
+    total = sum(pairs.values())
+    vocab = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    lp = {p: round(math.log(c / ctx[p[0]]) * 1e6) for p, c in vocab}
+    oov = round(math.log(0.5 / total) * 1e6)
+    for i in (1, 2, 3, 6):
+        ps = doc_pairs[i]
+        s = sum(lp.get(p, oov) for p in ps)
+        assert out[i].n_bigrams == len(ps)
+        assert out[i].lp_sum_micros == s, (i, s, out[i])
+        assert out[i].lp_mean_micros == math.floor(s / len(ps))
+    # dup docs score identically
+    assert out[1].lp_sum_micros == out[6].lp_sum_micros
+    # in-vocab transitions score above OOV pricing
+    assert out[1].lp_mean_micros > oov
