@@ -1241,6 +1241,51 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d, vocab_size=32)
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (corpus.py::canonical_url — JVM regex
+    only) over messy URLs synthesized deterministically from doc_id
+    on BOTH engines (the PII-op precedent): six junk classes (upper
+    case, default ports, fragments, utm_*/fbclid/gclid params).
+    n_variants counts how many raw variants collapse onto each
+    canonical key — the crawl-dedup use. The oracle re-synthesizes
+    the URLs and re-canonicalizes with its own regex chain."""
+    from pyspark.sql import Window
+    from serd_spark.operators.corpus import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = F.col("doc_id")
+    site = F.concat(F.lit("site"), (c % 20).cast("string"))
+    pid = (c % 100).cast("string")
+    qid = (c % 50).cast("string")
+    u = (
+        F.when(c % 6 == 0, F.concat(
+            F.lit("HTTPS://"), F.upper(site),
+            F.lit(".Example.COM:443/p/"), pid,
+            F.lit("?utm_source=x&id="), qid))
+        .when(c % 6 == 1, F.concat(
+            F.lit("https://"), site, F.lit(".example.com/p/"), pid,
+            F.lit("?id="), qid))
+        .when(c % 6 == 2, F.concat(
+            F.lit("http://"), site, F.lit(".example.com:80/p/"), pid,
+            F.lit("#sec")))
+        .when(c % 6 == 3, F.concat(
+            F.lit("https://"), site, F.lit(".example.com/p/"), pid,
+            F.lit("?fbclid=ABC"), qid))
+        .when(c % 6 == 4, F.concat(
+            F.lit("https://"), site, F.lit(".example.com/p/"), pid,
+            F.lit("?gclid=1&id="), qid, F.lit("&utm_medium=m")))
+        .otherwise(F.concat(
+            F.lit("http://"), site, F.lit(".example.com/p/"), pid))
+    )
+    out = d.select("doc_id", u.alias("url")).withColumn(
+        "canon", canonical_url(F.col("url"))
+    )
+    return out.withColumn(
+        "n_variants",
+        F.count(F.lit(1)).over(Window.partitionBy("canon")).cast("long"),
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-derived BIGRAM LM score per document
     (corpus.py::bigram_logprob — conditional ln(c(prev,w)/c(prev)) in
@@ -1908,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_unigram_lm": q_unigram_lm,
         "q_bigram_lm": q_bigram_lm,
+        "q_url_canon": q_url_canon,
         "q_domain_stats": q_domain_stats,
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
@@ -3264,6 +3310,65 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN vocab v USING (w)
             CROSS JOIN oov o
             GROUP BY d.doc_id
+        """,
+        # URL canonicalization: the messy URLs are re-synthesized from
+        # doc_id and re-canonicalized with DuckDB's own regex chain
+        # (RE2, \\1 replacements, explicit 'g') — semantics shared,
+        # code not.
+        "q_url_canon": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 6 AS INTEGER)
+                  WHEN 0 THEN 'HTTPS://' || upper('site' || (doc_id % 20))
+                       || '.Example.COM:443/p/' || (doc_id % 100)
+                       || '?utm_source=x&id=' || (doc_id % 50)
+                  WHEN 1 THEN 'https://site' || (doc_id % 20)
+                       || '.example.com/p/' || (doc_id % 100)
+                       || '?id=' || (doc_id % 50)
+                  WHEN 2 THEN 'http://site' || (doc_id % 20)
+                       || '.example.com:80/p/' || (doc_id % 100) || '#sec'
+                  WHEN 3 THEN 'https://site' || (doc_id % 20)
+                       || '.example.com/p/' || (doc_id % 100)
+                       || '?fbclid=ABC' || (doc_id % 50)
+                  WHEN 4 THEN 'https://site' || (doc_id % 20)
+                       || '.example.com/p/' || (doc_id % 100)
+                       || '?gclid=1&id=' || (doc_id % 50) || '&utm_medium=m'
+                  ELSE 'http://site' || (doc_id % 20)
+                       || '.example.com/p/' || (doc_id % 100)
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+              FROM raw
+            ), cleaned AS (
+              SELECT doc_id, url, scheme,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(hp, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(hp, ':443$', '')
+                     ELSE hp END AS hp,
+                regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(rest,
+                    '([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+                  '&{2,}', '&', 'g'), '\?&', '?', 'g'),
+                  '[?&]$', '', 'g') AS rest
+              FROM parts
+            ), canon AS (
+              SELECT doc_id, url,
+                CASE WHEN scheme = '' THEN trim(url)
+                     ELSE scheme || '://' || hp || rest END AS canon
+              FROM cleaned
+            )
+            SELECT doc_id, url, canon,
+                   CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT)
+                     AS n_variants
+            FROM canon
         """,
         # Bigram LM: the whole model rebuilt from raw text with a
         # structurally different pair derivation (positional lateral

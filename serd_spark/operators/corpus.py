@@ -742,6 +742,57 @@ def cap_per_domain(
     )
 
 
+def canonical_url(col: Column) -> Column:
+    """Crawl-side URL canonicalization — the dedup key for re-crawled
+    variants of one resource (tracking params, casing, default ports,
+    fragments). Entirely JVM regex (no UDF), every pattern in the
+    Java-regex∩RE2 subset so the DuckDB oracle can replay the exact
+    semantics (each engine writes its own replacement syntax: $1 vs
+    \\1 — CLAUDE.md):
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1 case
+      normalization); path/query case is significant and kept;
+    - fragment dropped (never sent to the server);
+    - default ports stripped (http:80, https:443);
+    - tracking query params removed (utm_*, fbclid, gclid), with
+      separator cleanup so the query never keeps a dangling ?/&;
+    - non-absolute inputs pass through trimmed and unchanged.
+
+    Dot-segment resolution is deliberately NOT here — that is the RFC
+    3986 parser's job (rdf/uri.py does it in full); this operator is
+    the cheap bulk normalizer that runs over every crawled URL.
+    Composes with ``url_host``/``domain_stats`` and the per-url
+    ingest dedup (latest_crawl)."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    hostport = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    # path+query, fragment already excluded by the [^#]* capture
+    rest = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    # single global pass keeping the captured separator: tracking
+    # matches are disjoint, so no rescan is needed; then separator
+    # cleanup (doubled &, ?& from a removed first param, trailing)
+    rest = F.regexp_replace(
+        rest, r"([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*", "$1"
+    )
+    rest = F.regexp_replace(rest, r"&{2,}", "&")   # a=1&&b=2 -> &
+    rest = F.regexp_replace(rest, r"\?&", "?")     # ?&b=2    -> ?b=2
+    rest = F.regexp_replace(rest, r"[?&]$", "")    # trailing ? or &
+    return F.when(
+        scheme == "", u
+    ).otherwise(F.concat(scheme, F.lit("://"), hostport, rest))
+
+
 def host_graph(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

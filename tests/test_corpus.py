@@ -375,3 +375,37 @@ def test_bigram_logprob_matches_python_reference(spark):
     assert out[1].lp_sum_micros == out[6].lp_sum_micros
     # in-vocab transitions score above OOV pricing
     assert out[1].lp_mean_micros > oov
+
+
+def test_canonical_url_cases(spark):
+    from serd_spark.operators.corpus import canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/Path/X?a=1#frag",
+         "https://example.com/Path/X?a=1"),
+        ("http://Example.com:80/",
+         "http://example.com/"),
+        ("http://example.com:8080/x",            # non-default port kept
+         "http://example.com:8080/x"),
+        ("https://ex.com/p?utm_source=tw&q=2&utm_medium=x",
+         "https://ex.com/p?q=2"),
+        ("https://ex.com/p?utm_source=tw",       # query empties out
+         "https://ex.com/p"),
+        ("https://ex.com/p?a=1&fbclid=XYZ&b=2",
+         "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?gclid=1&a=2",
+         "https://ex.com/p?a=2"),
+        ("https://ex.com/p?utm_a=1&utm_b=2&utm_c=3",
+         "https://ex.com/p"),
+        ("  https://ex.com/x  ",                 # trim
+         "https://ex.com/x"),
+        ("not a url", "not a url"),              # pass-through
+        ("ftp://Files.EX.com/A#f", "ftp://files.ex.com/A"),
+        ("https://ex.com/CaseKept/Path", "https://ex.com/CaseKept/Path"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, u string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonical_url(df.u).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
