@@ -1241,6 +1241,28 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d, vocab_size=32)
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (corpus.py::winnow_stats,
+    k=10 w=4): per-doc span count, fingerprint count (~2/(w+1)
+    compression), and the XOR of the distinct fingerprint set — an
+    order-independent value pin. The positioned span hashes are
+    materialized; DuckDB replays the winnow itself (per-position
+    w-window MIN → distinct → count/xor) independently. The hash
+    layer below is certified separately by q_span_dedup's raw-gram
+    oracle."""
+    from serd_spark.operators.corpus import span_hashes, winnow_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _materialize(
+        sf_dir, "winnow_spans",
+        lambda: d.select(
+            "doc_id",
+            F.posexplode(span_hashes(F.col("text"), 10)).alias("pos", "h"),
+        ),
+    )
+    return winnow_stats(d, k=10, w=4)
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (corpus.py::canonical_url — JVM regex
     only) over messy URLs synthesized deterministically from doc_id
@@ -1954,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_lm": q_unigram_lm,
         "q_bigram_lm": q_bigram_lm,
         "q_url_canon": q_url_canon,
+        "q_winnow": q_winnow,
         "q_domain_stats": q_domain_stats,
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
@@ -3310,6 +3333,34 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN vocab v USING (w)
             CROSS JOIN oov o
             GROUP BY d.doc_id
+        """,
+        # Winnowing: DuckDB replays the min-of-w-window fingerprint
+        # selection + distinct + xor pin from the materialized
+        # positioned span hashes (pos is 0-based from posexplode).
+        "q_winnow": f"""
+            WITH s AS (
+              SELECT doc_id, pos, h,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS wmin,
+                     MIN(h) OVER (PARTITION BY doc_id) AS gmin
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/winnow_spans/*.parquet')
+            ), fp AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN n <= 4 THEN gmin ELSE wmin END AS f
+              FROM s WHERE n <= 4 OR pos <= n - 4
+            ), agg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+                     CAST(bit_xor(f) AS BIGINT) AS fp_xor
+              FROM fp GROUP BY doc_id
+            ), nn AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/winnow_spans/*.parquet')
+              GROUP BY doc_id
+            )
+            SELECT nn.doc_id, nn.n_spans, agg.n_fp, agg.fp_xor
+            FROM nn JOIN agg USING (doc_id)
         """,
         # URL canonicalization: the messy URLs are re-synthesized from
         # doc_id and re-canonicalized with DuckDB's own regex chain

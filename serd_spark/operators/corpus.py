@@ -146,6 +146,63 @@ def span_dedup_stats(
     return per_doc
 
 
+def winnow_fingerprints(col: Column, k: int = 10, w: int = 4) -> Column:
+    """MOSS-style winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+    over the k-token span hashes: the distinct set of per-w-window
+    MINIMUM hashes. Guarantee: any exact match of length >= k + w - 1
+    tokens shares at least one fingerprint between the two documents,
+    while only ~2/(w+1) of the spans are stored — the standard way to
+    shrink an exact-substring index by an order of magnitude with a
+    bounded detection gap (vs dropping random spans, which has no
+    guarantee at all).
+
+    Ties inside a window need no positional rule here because the
+    fingerprint is the VALUE: equal minima contribute one distinct
+    value either way. Entirely row-local JVM expression (transform
+    over a sequence + array_min over slices) — embarrassingly
+    parallel, nothing shuffles until the caller explodes the
+    fingerprints. Documents with <= w spans yield their single global
+    minimum."""
+    spans = span_hashes(col, k)
+    n = F.size(spans)
+    return F.when(n <= w, F.array(F.array_min(spans))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (w - 1)),
+                lambda i: F.array_min(F.slice(spans, i, w)),
+            )
+        )
+    )
+
+
+def winnow_stats(
+    docs: DataFrame,
+    k: int = 10,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document winnowing summary: span count, fingerprint count
+    (the ~2/(w+1) compression is directly visible), and the XOR of
+    the distinct fingerprints — an order-independent value pin, so an
+    oracle replaying the winnow over the same span hashes must
+    reproduce the exact fingerprint SET, not just its size.
+
+    Returns (id_col, n_spans, n_fp, fp_xor)."""
+    docs = _min_parallelism(docs)
+    fps = winnow_fingerprints(F.col(text_col), k, w)
+    return docs.select(
+        F.col(id_col),
+        F.size(span_hashes(F.col(text_col), k)).cast("long").alias("n_spans"),
+        F.size(fps).cast("long").alias("n_fp"),
+        F.aggregate(
+            fps,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc.bitwiseXOR(v),
+        ).alias("fp_xor"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

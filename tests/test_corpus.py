@@ -409,3 +409,45 @@ def test_canonical_url_cases(spark):
         "i", canonical_url(df.u).alias("c")).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_winnow_matches_python_reference(spark):
+    from serd_spark.operators.corpus import winnow_stats
+
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p"),   # 16 toks, 7 spans @k=10
+        (2, "a b c d e f g h i j"),                # exactly k: 1 span
+        (3, "short text"),                         # < k toks: 1 span
+        (4, "w " * 40),                            # repeated token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in winnow_stats(df, k=10, w=4).collect()}
+
+    import pyspark.sql.functions as F
+    from serd_spark.operators.corpus import span_hashes
+    hdf = df.select("doc_id",
+                    F.posexplode(span_hashes(F.col("text"), 10))
+                     .alias("pos", "h")).collect()
+    spans = {}
+    for r in hdf:
+        spans.setdefault(r.doc_id, []).append((r.pos, r.h))
+    for i, _ in rows:
+        hs = [h for _, h in sorted(spans[i])]
+        n = len(hs)
+        if n <= 4:
+            fps = {min(hs)}
+        else:
+            fps = {min(hs[p:p + 4]) for p in range(n - 3)}
+        x = 0
+        for f in fps:
+            x ^= f
+        # xor fold in int64 two's complement
+        x = x & 0xFFFFFFFFFFFFFFFF
+        got_xor = out[i].fp_xor & 0xFFFFFFFFFFFFFFFF
+        assert out[i].n_spans == n
+        assert out[i].n_fp == len(fps), (i, out[i], fps)
+        assert got_xor == x
+    # compression: doc 1 has 7 spans -> at most 4 window minima
+    assert out[1].n_fp <= 4
+    # repeated-token doc: all spans equal -> exactly one fingerprint
+    assert out[4].n_fp == 1
