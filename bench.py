@@ -97,6 +97,8 @@ def main() -> None:
         "q_pq_search": entrymod.q_pq_search,
         "q_line_dedup": entrymod.q_line_dedup,
         "q_bigram_lm": entrymod.q_bigram_lm,
+        "q_url_canon": entrymod.q_url_canon,
+        "q_winnow": entrymod.q_winnow,
         "q_dedup_incremental": entrymod.q_dedup_incremental,
         "q_domain_cap": entrymod.q_domain_cap,
         "q_semdedup": entrymod.q_semdedup,
