@@ -1263,6 +1263,56 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_stats(d, k=10, w=4)
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from SHARED winnowing fingerprints —
+    the MOSS end use of q_winnow's fingerprint sets: docs that share
+    a min-window fingerprint are exact-overlap candidates, with
+    n_shared as the match-strength signal. k=3 spans (short, so the
+    synthetic 40-word-vocabulary corpus genuinely collides — real
+    text uses k=8-10, where winnowed collisions mean real overlap;
+    at sf0.1 this deliberate miscalibration yields 337k candidate
+    pairs from 5k docs, which is the corpus's property, not the
+    plan's), w=4 windows; fingerprint
+    buckets larger than 32 docs are pruned before the self-join
+    (boilerplate guard — the linking.candidate_pairs shape; a no-op
+    at this scale, load-bearing at 100 TB). The oracle replays prune
+    + join + count from the materialized (doc_id, f) table; the
+    winnow derivation itself is pinned by q_winnow's XOR oracle and
+    the unit reference."""
+    from serd_spark.operators.corpus import (
+        _min_parallelism,
+        span_hashes,
+        winnow_from_spans,
+    )
+
+    d = _min_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    fps = (
+        d.select("doc_id", span_hashes(F.col("text"), 3).alias("_spans"))
+        .select(
+            "doc_id",
+            F.explode(winnow_from_spans(F.col("_spans"), 4)).alias("f"),
+        )
+        .distinct()
+    )
+    _materialize(sf_dir, "winnow_pair_fps", lambda: fps)
+    hot = (
+        fps.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > 32)
+    )
+    kept = fps.join(F.broadcast(hot), "f", "left_anti")
+    a = kept.select(F.col("f"), F.col("doc_id").alias("id_a"))
+    b = kept.select(F.col("f"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (corpus.py::canonical_url — JVM regex
     only) over messy URLs synthesized deterministically from doc_id
@@ -1977,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm": q_bigram_lm,
         "q_url_canon": q_url_canon,
         "q_winnow": q_winnow,
+        "q_winnow_pairs": q_winnow_pairs,
         "q_domain_stats": q_domain_stats,
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
@@ -3361,6 +3412,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT nn.doc_id, nn.n_spans, agg.n_fp, agg.fp_xor
             FROM nn JOIN agg USING (doc_id)
+        """,
+        # Winnow pairs: hot-bucket prune + fingerprint self-join +
+        # shared-count replayed from the materialized (doc_id, f).
+        "q_winnow_pairs": f"""
+            WITH fps AS (
+              SELECT doc_id, f
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/winnow_pair_fps/*.parquet')
+            ), hot AS (
+              SELECT f FROM fps GROUP BY f HAVING COUNT(*) > 32
+            ), kept AS (
+              SELECT doc_id, f FROM fps
+              WHERE f NOT IN (SELECT f FROM hot)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
         """,
         # URL canonicalization: the messy URLs are re-synthesized from
         # doc_id and re-canonicalized with DuckDB's own regex chain

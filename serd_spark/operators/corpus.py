@@ -162,8 +162,24 @@ def winnow_fingerprints(col: Column, k: int = 10, w: int = 4) -> Column:
     over a sequence + array_min over slices) — embarrassingly
     parallel, nothing shuffles until the caller explodes the
     fingerprints. Documents with <= w spans yield their single global
-    minimum."""
-    spans = span_hashes(col, k)
+    minimum.
+
+    IMPORTANT for callers: ``col`` here must be a BOUND column (a
+    projected spans array via ``span_hashes(...).alias(...)`` in a
+    prior select, then ``winnow_from_spans``) when used over real
+    data — passing the raw text through this convenience wrapper
+    duplicates the span-hash expression TREE at every reference
+    inside the interpreted HOF (Column objects splice trees, and
+    CollapseProject cannot de-duplicate what the API already
+    multiplied): MEASURED 34 s vs 6.7 s for 500 docs single-core at
+    k=3. ``winnow_stats``/q_winnow_pairs project first."""
+    return winnow_from_spans(span_hashes(col, k), w)
+
+
+def winnow_from_spans(spans: Column, w: int = 4) -> Column:
+    """Winnowing over an already-computed span-hash array column —
+    the form every real caller should use (see winnow_fingerprints'
+    note on expression-tree duplication)."""
     n = F.size(spans)
     return F.when(n <= w, F.array(F.array_min(spans))).otherwise(
         F.array_distinct(
@@ -190,13 +206,21 @@ def winnow_stats(
 
     Returns (id_col, n_spans, n_fp, fp_xor)."""
     docs = _min_parallelism(docs)
-    fps = winnow_fingerprints(F.col(text_col), k, w)
-    return docs.select(
+    # project spans THEN fingerprints as bound columns — each HOF
+    # stage evaluates its input once (see winnow_fingerprints' note)
+    staged = docs.select(
+        F.col(id_col), span_hashes(F.col(text_col), k).alias("_spans")
+    ).select(
         F.col(id_col),
-        F.size(span_hashes(F.col(text_col), k)).cast("long").alias("n_spans"),
-        F.size(fps).cast("long").alias("n_fp"),
+        F.size("_spans").cast("long").alias("n_spans"),
+        winnow_from_spans(F.col("_spans"), w).alias("_fps"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("n_spans"),
+        F.size("_fps").cast("long").alias("n_fp"),
         F.aggregate(
-            fps,
+            F.col("_fps"),
             F.lit(0).cast("long"),
             lambda acc, v: acc.bitwiseXOR(v),
         ).alias("fp_xor"),
