@@ -1372,6 +1372,55 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, vocab_size=32)
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (corpus.py::dsir_weights — hashed
+    word-bigram features, add-1-smoothed target/raw bucket
+    distributions, per-term integer-micros ln ratios). Target
+    distribution = English documents; selected ⇔ more target-like
+    than raw-like. The oracle rebuilds BOTH distributions and every
+    document weight from raw text with its own bigram derivation
+    (positional lateral unnest vs Spark's shifted-array transform)
+    and DuckDB's own hex→int bucket cast."""
+    from serd_spark.operators.corpus import dsir_weights
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_weights(d, F.col("lang") == "en", n_buckets=512)
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
+    hdr_quantiles — the DDSketch/HDR family): per-priority order-value
+    quantile ESTIMATES with ≤ 2^-4 relative error from a bucket table
+    that map-side-combines to ~1k rows per group regardless of input
+    scale — the 100 TB path where q_quantiles' distinct-value table
+    stops being small. The bucket exponent is float-log2-derived but
+    self-corrected with exact integer shifts, so the DuckDB oracle
+    replays bucket ids AND estimates bit-for-bit."""
+    from serd_spark.operators.stats import hdr_quantiles, hdr_sketch
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    sk = hdr_sketch(o, "cents", by=["o_orderpriority"], sub_bits=4)
+    return hdr_quantiles(
+        sk, [500, 900, 990], by=["o_orderpriority"], sub_bits=4
+    )
+
+
+def q_wminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MinHash signatures (dedup.py::wminhash_signatures_md5
+    — integer-weight replica expansion, tf capped at 8): the
+    tf-weighted upgrade of q_minhash_md5 for near-dup detection where
+    documents differ in term EMPHASIS, not term set. min over
+    fixed-width md5 hex strings, so DuckDB replays the entire
+    signature (unnest → tf → generate_series replicas → min md5)
+    with no integer conversion involved."""
+    from serd_spark.operators.dedup import wminhash_signatures_md5
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return wminhash_signatures_md5(d, n_seeds=4, weight_cap=8)
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain roll-up over the synthesized pages corpus. The
     oracle re-derives host/tld from the materialized (url, html)
@@ -2057,6 +2106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_session_window": q_session_window,
         "stream_sessions": stream_sessions,
+        "q_dsir": q_dsir,
+        "q_sketch_quantiles": q_sketch_quantiles,
+        "q_wminhash": q_wminhash,
     }
 
 
@@ -3909,6 +3961,137 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL
               AND substring(md5(text), 1, 1) = '0'
             GROUP BY lang
+        """,
+        # Replays the ENTIRE log-linear sketch independently: same
+        # clamped-and-self-corrected exponent (integer-shift compares
+        # make the bucket float-proof), same pure-shift sub-bucket,
+        # same rank rule and lower-bound estimate — bit-exact by
+        # construction, not by luck.
+        "q_sketch_quantiles": """
+            WITH v AS (
+              SELECT o_orderpriority AS grp,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+              WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1
+            ), e0 AS (
+              SELECT grp, v,
+                     LEAST(GREATEST(
+                       CAST(floor(log2(v)) AS INTEGER), 0), 62) AS e0
+              FROM v
+            ), ec AS (
+              SELECT grp, v,
+                     CASE
+                       WHEN e0 < 62
+                            AND (CAST(1 AS BIGINT) << (e0 + 1)) <= v
+                         THEN e0 + 1
+                       WHEN (CAST(1 AS BIGINT) << e0) > v THEN e0 - 1
+                       ELSE e0
+                     END AS e
+              FROM e0
+            ), bk AS (
+              SELECT grp,
+                     CAST(e AS BIGINT) * 16 +
+                     CASE WHEN e >= 4
+                          THEN (v - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+                          ELSE (v - (CAST(1 AS BIGINT) << e)) << (4 - e)
+                     END AS bucket
+              FROM ec
+            ), sk AS (
+              SELECT grp, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2
+            ), cum AS (
+              SELECT grp, bucket,
+                     SUM(cnt) OVER (PARTITION BY grp
+                                    ORDER BY bucket) AS cu,
+                     SUM(cnt) OVER (PARTITION BY grp) AS n
+              FROM sk
+            ), qs AS (
+              SELECT unnest([500, 900, 990]) AS q_permille
+            ), picked AS (
+              SELECT grp, q_permille, MIN(bucket) AS b,
+                     CAST(MAX(n) AS BIGINT) AS n
+              FROM cum, qs
+              WHERE cu >= (q_permille * n + 999) // 1000
+              GROUP BY 1, 2
+            )
+            SELECT grp AS o_orderpriority,
+                   CAST(q_permille AS INTEGER) AS q_permille,
+                   CAST((CAST(1 AS BIGINT) << CAST(b // 16 AS INTEGER)) +
+                        CASE WHEN b // 16 >= 4
+                             THEN (b % 16) << CAST(b // 16 - 4 AS INTEGER)
+                             ELSE (b % 16) >> CAST(4 - b // 16 AS INTEGER)
+                        END AS BIGINT) AS est,
+                   n
+            FROM picked
+        """,
+        # Rebuilds both DSIR distributions and every document weight
+        # from raw text: positional lateral unnest for the bigrams
+        # (vs Spark's shifted-array transform), DuckDB's own hex→int
+        # cast for the feature bucket, per-ln-term micro rounding so
+        # the cross-bucket sum is integer on both engines.
+        "q_dsir": """
+            WITH d AS (
+              SELECT doc_id, lang = 'en' AS is_t,
+                     list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS ws
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, is_t,
+                     CAST('0x' ||
+                          substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 8)
+                          AS BIGINT) % 512 AS b
+              FROM d, LATERAL (
+                SELECT unnest(generate_series(1, len(ws) - 1)) AS i) s
+              WHERE len(ws) >= 2
+            ), bc AS (
+              SELECT b, COUNT(*) AS cr,
+                     SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+              FROM feats GROUP BY b
+            ), tot AS (
+              SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
+                     CAST(SUM(ct) AS DOUBLE) AS tt
+              FROM bc
+            ), ratios AS (
+              SELECT b,
+                     CAST(round(ln((ct + 1.0) / (tt + 512)) * 1e6)
+                          AS BIGINT)
+                     - CAST(round(ln((cr + 1.0) / (tr + 512)) * 1e6)
+                            AS BIGINT) AS lr
+              FROM bc, tot
+            )
+            SELECT f.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_feats,
+                   CAST(SUM(r.lr) AS BIGINT) AS logw_micros,
+                   CAST(SUM(r.lr) AS BIGINT) > 0 AS selected
+            FROM feats f JOIN ratios r USING (b)
+            GROUP BY f.doc_id
+        """,
+        # Weighted-minhash signature replayed wholesale: tokenize →
+        # per-(doc, word) tf capped at 8 → generate_series replicas →
+        # min over md5 hex strings (fixed-width hex compare = numeric
+        # compare, the q_minhash_md5 discipline).
+        "q_wminhash": """
+            WITH d AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                       AS t
+              FROM documents
+            ), w AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM d
+            ), wf AS (
+              SELECT doc_id, w, LEAST(COUNT(*), 8) AS tf
+              FROM w WHERE w <> '' GROUP BY 1, 2
+            ), r AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, CAST(tf AS BIGINT))) AS r
+              FROM wf
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_replicas,
+                   MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#0')) AS h0,
+                   MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#1')) AS h1,
+                   MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#2')) AS h2,
+                   MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#3')) AS h3
+            FROM r GROUP BY doc_id
         """,
         "q_bpe_train": _bpe_oracle_sql(BPE_MERGES),
         # bpe_words recomputed from raw text with the identical

@@ -105,6 +105,10 @@ def main() -> None:
         "q_host_graph": entrymod.q_host_graph,
         "q_host_rank": entrymod.q_host_rank,
         "q_zorder": entrymod.q_zorder,
+        # round-4 session-3 additions
+        "q_dsir": entrymod.q_dsir,
+        "q_sketch_quantiles": entrymod.q_sketch_quantiles,
+        "q_wminhash": entrymod.q_wminhash,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -907,3 +907,103 @@ def host_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection via Importance Resampling", NeurIPS 2023 — the
+    hashed-n-gram importance estimator used to pick pretraining data
+    that looks like a target domain).
+
+    Features are word BIGRAMS hashed into ``n_buckets`` buckets (the
+    paper's hashed bag-of-ngrams); the target distribution p and raw
+    distribution q are add-1-smoothed bucket frequencies over the
+    documents matching / not-restricted-to ``target_pred``; a
+    document's importance weight is
+
+        log w(d) = sum over bigram occurrences of ln p[b] - ln q[b].
+
+    Determinism + cross-engine replay: the bucket hash is
+    ``conv(substr(md5(prev ‖ ' ' ‖ w), 1, 8), 16, 10) % n_buckets``
+    (DuckDB mirrors it as ``CAST('0x' || substr(md5(..), 1, 8) AS
+    BIGINT)``), and each bucket's ln-ratio is fixed to integer MICROS
+    **per ln() term** (round(ln(p)*1e6) - round(ln(q)*1e6)) so the
+    cross-bucket sum is integer arithmetic — order-insensitive and
+    float-associativity-proof, the repo's standard oracle discipline.
+
+    Scale shape (100 TB): bigrams are formed JVM-side per document
+    from the token array (shifted-array transform, cf.
+    ``bigram_logprob``); both distributions are ONE hash aggregate
+    over the bucket id (map-side combine collapses to ≤ n_buckets
+    rows; the target side is a conditional count in the same agg, not
+    a second corpus pass); scoring broadcasts the n_buckets-row ratio
+    table, so the scoring pass is shuffle-free up to the final
+    per-document aggregate. Nothing but fixed-width ids crosses a
+    shuffle.
+
+    The deterministic stand-in for the paper's Gumbel-top-k resample
+    is the ``selected`` flag: logw > 0 ⇔ the document is more
+    target-like than raw-like (threshold selection; a top-k over
+    logw_micros is a TakeOrderedAndProject away).
+
+    Returns (id_col, n_feats, logw_micros, selected), one row per
+    document with at least one bigram.
+    """
+    docs = _min_parallelism(docs)
+    toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda x: x != "")
+    d = docs.select(
+        F.col(id_col), target_pred.alias("_is_t"), toks.alias("toks")
+    ).filter(F.size("toks") >= 2)
+    feats = d.select(
+        F.col(id_col),
+        "_is_t",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("_g"),
+    ).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
+            .cast("long") % n_buckets
+        ).alias("b"),
+    )
+    # one aggregate builds BOTH distributions: raw count + conditional
+    # target count per bucket
+    bc = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = bc.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
+    ratios = bc.join(F.broadcast(totals)).select(
+        "b",
+        (
+            F.round(
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + n_buckets)) * 1e6
+            ).cast("long")
+            - F.round(
+                F.log((F.col("cr") + 1.0) / (F.col("tr") + n_buckets)) * 1e6
+            ).cast("long")
+        ).alias("lr_micros"),
+    )
+    return (
+        feats.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_micros").cast("long").alias("logw_micros"),
+        )
+        .withColumn("selected", F.col("logw_micros") > 0)
+    )

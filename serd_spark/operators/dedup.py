@@ -532,3 +532,77 @@ def incremental_dedup(
             ).alias("jaccard_est"),
         )
     )
+
+
+def wminhash_signatures_md5(
+    docs: DataFrame,
+    n_seeds: int = 4,
+    weight_cap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WEIGHTED MinHash signatures over word term-frequencies —
+    integer-weight replica expansion (the classic reduction of
+    weighted Jaccard to plain MinHash: a token with tf=k contributes
+    replicas (w,1)..(w,k), and min-hashing the replica space estimates
+    J_w(A,B) = Σ min(tf_A, tf_B) / Σ max(tf_A, tf_B)).  Plain MinHash
+    treats a word said once and a word said 50 times identically;
+    weighted Jaccard is what near-dup detection wants when documents
+    differ mainly in term emphasis (boilerplate-heavy pages, spun
+    text, template farms).
+
+    Replicas are capped at ``weight_cap`` — the standard truncation
+    that bounds per-token work (and the blowup factor) by a constant
+    while keeping the estimator exact for all tf ≤ cap.
+
+    Hash family: md5(word ‖ '#' ‖ replica ‖ '#' ‖ seed), min taken
+    over the 32-hex-char digest STRING — fixed-width hex compare
+    equals numeric compare, so the DuckDB oracle replays the whole
+    signature with unnest + generate_series + min(md5(..)), no
+    integer conversion to disagree on (the ``q_minhash_md5``
+    discipline; the numpy LSH path in ``minhash_near_dups`` is the
+    throughput variant, certified separately).
+
+    Scale shape (100 TB): tokenize → ONE hash aggregate keyed by
+    (doc, word) whose map-side combine absorbs within-document
+    repeats BEFORE any shuffle; the replica explode multiplies the
+    already-combined (doc, word, tf) table by ≤ weight_cap, never the
+    raw token stream; the signature is a second hash aggregate keyed
+    by doc. Only (id, word-hash-width strings) cross shuffles.
+
+    Returns (id_col, n_replicas, h0..h{n_seeds-1}), one row per
+    document with at least one token.
+    """
+    if not (1 <= n_seeds <= 16):
+        raise ValueError("n_seeds must be in [1, 16]")
+    if weight_cap < 1:
+        raise ValueError("weight_cap must be >= 1")
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(norm, " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy(id_col, "w").agg(
+        F.least(F.count(F.lit(1)), F.lit(weight_cap)).alias("tf")
+    )
+    reps = tf.select(
+        id_col,
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("tf"))).alias("r"),
+    )
+    return reps.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        *[
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("w"),
+                        F.lit("#"),
+                        F.col("r").cast("string"),
+                        F.lit("#"),
+                        F.lit(str(s)),
+                    )
+                )
+            ).alias(f"h{s}")
+            for s in range(n_seeds)
+        ],
+    )

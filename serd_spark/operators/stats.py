@@ -25,8 +25,18 @@ first — the (value, count) table is only small when the domain is.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _shl(col: Column, n: Column) -> Column:
+    # F.shiftleft/F.shiftright only accept a LITERAL int shift amount;
+    # the SQL builtins take a column — call_function routes to those
+    return F.call_function("shiftleft", col, n)
+
+
+def _shr(col: Column, n: Column) -> Column:
+    return F.call_function("shiftright", col, n)
 
 
 def sketch_distinct(
@@ -75,6 +85,142 @@ def sketch_distinct(
         *by,
         "n_kept",
         (F.col("n_kept") * F.lit(scale)).cast("long").alias("distinct_est"),
+    )
+
+
+def hdr_bucket(col: Column, sub_bits: int = 4) -> Column:
+    """Log-linear histogram bucket id for a POSITIVE integer value —
+    the DDSketch/HDR-histogram family: base-2 exponent buckets, each
+    split into ``2**sub_bits`` equal linear sub-buckets, giving a
+    guaranteed relative error ≤ 2**-sub_bits at any scale with a
+    bucket count that grows with log(max), not with n.
+
+    The exponent is derived from ``log2`` but SELF-CORRECTED with
+    exact integer comparisons (shiftleft), so a ±1-ulp disagreement
+    between Java's and C's log2 at a power-of-two boundary can never
+    flip the bucket — the expression is bit-portable across engines
+    by construction, which is what lets the DuckDB oracle replay it
+    verbatim.
+
+    bucket = e * 2**sub_bits + ((v - 2**e) * 2**sub_bits div 2**e),
+    with e = floor(log2(v)); the sub-bucket term is computed as pure
+    shifts, exact for every int64 input.
+    """
+    if not (0 <= sub_bits <= 8):
+        raise ValueError("sub_bits must be in [0, 8]")
+    v = col.cast("long")
+    one = F.lit(1).cast("long")
+    # clamp into [0, 62] BEFORE correcting: float log2 of values near
+    # 2**63 rounds UP to 63.0, and an uncorrected 1<<63 / 1<<64 either
+    # goes negative or wraps (Java masks shift amounts mod 64) — the
+    # true exponent of any positive int64 is at most 62, so the clamp
+    # loses nothing and keeps every shift in range
+    e0 = F.least(
+        F.greatest(F.floor(F.log2(v)).cast("int"), F.lit(0)), F.lit(62)
+    )
+    e = (
+        F.when((e0 < 62) & (_shl(one, e0 + 1) <= v), e0 + 1)
+        .when(_shl(one, e0) > v, e0 - 1)
+        .otherwise(e0)
+    )
+    lo = _shl(one, e)
+    # (v - lo) * 2**sub_bits div 2**e as pure shifts — exact long
+    # arithmetic for EVERY int64 input (a double division would lose
+    # exactness past 2**53)
+    sub = (
+        F.when(e >= sub_bits, _shr(v - lo, e - F.lit(sub_bits)))
+        .otherwise(_shl(v - lo, F.lit(sub_bits) - e))
+        .cast("long")
+    )
+    return (e.cast("long") * F.lit(1 << sub_bits) + sub).alias("bucket")
+
+
+def hdr_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Build the mergeable quantile sketch: one hash aggregate keyed by
+    (group, bucket) — map-side combine collapses 100 TB of rows to at
+    most ~``63 * 2**sub_bits`` buckets per group BEFORE the shuffle,
+    and two sketches (per partition, per day, per cluster) merge by
+    adding counts, which is exactly what makes this the scale path
+    where ``exact_quantiles`` (distinct-VALUE table) stops being small.
+
+    Values must be ≥ 1 (integers — use cents for money); NULLs and
+    non-positives are dropped, mirroring percentile_disc's NULL rule.
+
+    Returns ``(*by, bucket, cnt)``.
+    """
+    by = list(by or [])
+    v = F.col(value_col).cast("long")
+    return (
+        df.filter(v >= 1)
+        .select(*by, hdr_bucket(v, sub_bits).alias("bucket"))
+        .groupBy(*by, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    qs_permille: list[int],
+    by: list[str] | None = None,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Answer quantile queries from an ``hdr_sketch``: per-group window
+    cumsum over the (tiny) bucket table, same integer rank rule as
+    ``exact_quantiles`` (smallest bucket whose cumulative count ≥
+    ceil(q * n / 1000)), estimate = the bucket's LOWER BOUND
+    ``((2**sub_bits + sub) << e) div 2**sub_bits`` — pure long
+    arithmetic, so the estimate (not just the bucket) replays
+    bit-for-bit in any engine.
+
+    The window ordering is over the bucket table (≤ ~1k rows/group),
+    never over the data — the ordered pass costs nothing regardless of
+    input scale. Returns ``(*by, q_permille, est, n)``.
+    """
+    if not qs_permille:
+        raise ValueError("qs_permille must be non-empty")
+    if any(q < 1 or q > 1000 for q in qs_permille):
+        raise ValueError("quantiles are integer permille in [1, 1000]")
+    by = list(by or [])
+    w = Window.partitionBy(*by).orderBy(F.col("bucket"))
+    cum = sketch.select(
+        *by,
+        "bucket",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy(*by)).alias("_n"),
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(int(q)) for q in sorted(set(qs_permille))])
+    ).alias("q_permille")
+    rank = F.expr("(q_permille * _n + 999) div 1000")
+    width = 1 << sub_bits
+    picked = (
+        cum.select(*by, "bucket", "_cum", "_n", qlit)
+        .filter(F.col("_cum") >= rank)
+        .groupBy(*by, "q_permille")
+        .agg(
+            F.min("bucket").alias("_b"),
+            F.max("_n").cast("long").alias("n"),
+        )
+    )
+    # lower bound = 2**e + sub * 2**(e - sub_bits), as pure shifts —
+    # never exceeds the largest input value, so no overflow by
+    # construction (unlike ((width + sub) << e), which overflows
+    # at high exponents)
+    e = F.expr(f"cast(_b div {width} as int)")
+    sub = (F.col("_b") % width).cast("long")
+    est = _shl(F.lit(1).cast("long"), e) + F.when(
+        e >= sub_bits, _shl(sub, e - F.lit(sub_bits))
+    ).otherwise(_shr(sub, F.lit(sub_bits) - e))
+    return picked.select(
+        *by,
+        "q_permille",
+        est.cast("long").alias("est"),
+        "n",
     )
 
 

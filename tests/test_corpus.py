@@ -451,3 +451,85 @@ def test_winnow_matches_python_reference(spark):
     assert out[1].n_fp <= 4
     # repeated-token doc: all spans equal -> exactly one fingerprint
     assert out[4].n_fp == 1
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.corpus import dsir_weights
+
+    # target docs share a distinctive bigram vocabulary; raw-only docs
+    # use a disjoint one — target-like docs must score positive, the
+    # others negative
+    t_text = "alpha beta alpha beta gamma alpha beta"
+    r_text = "delta epsilon delta epsilon zeta delta epsilon"
+    rows = [(i, t_text, "en") for i in range(10)] + [
+        (i + 10, r_text, "de") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: (r["logw_micros"], r["selected"], r["n_feats"])
+        for r in dsir_weights(
+            docs, F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert len(out) == 20
+    for i in range(10):
+        lw_t, sel_t, nf = out[i]
+        lw_r, sel_r, _ = out[i + 10]
+        assert nf == 6  # 7 tokens -> 6 bigram occurrences
+        assert lw_t > 0 and sel_t
+        assert lw_r < 0 and not sel_r
+
+
+def test_dsir_weights_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.corpus import dsir_weights
+
+    rows = [
+        (0, "a b a c", "en"),
+        (1, "c b c d d", "en"),
+        (2, "d d e e a", "de"),
+        (3, "x", "de"),          # single token: no bigrams, no row
+        (4, None, "en"),          # null text: no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 16
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    feats = []  # (doc_id, is_t, bucket)
+    for doc_id, text, lang in rows:
+        if not text:
+            continue
+        ws = text.split()
+        for a, b in zip(ws, ws[1:]):
+            feats.append((doc_id, lang == "en", bucket(a + " " + b)))
+    cr, ct = {}, {}
+    for _, is_t, b in feats:
+        cr[b] = cr.get(b, 0) + 1
+        if is_t:
+            ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: round(math.log((ct.get(b, 0) + 1.0) / (tt + B)) * 1e6)
+        - round(math.log((cr[b] + 1.0) / (tr + B)) * 1e6)
+        for b in cr
+    }
+    want = {}
+    for doc_id, is_t, b in feats:
+        nf, lw = want.get(doc_id, (0, 0))
+        want[doc_id] = (nf + 1, lw + lr[b])
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw_micros"])
+        for r in dsir_weights(
+            docs, F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    assert got == want

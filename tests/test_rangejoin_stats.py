@@ -180,3 +180,102 @@ def test_sketch_distinct_grouped_and_validates(spark):
     assert rows["a"].n_kept > 0
     with _pytest.raises(ValueError):
         sketch_distinct(df, "v", prefix_zeros=0)
+
+
+# ---------------------------------------------------------------- hdr sketch
+
+
+def _hdr_ref_bucket(v, sb=4):
+    e = v.bit_length() - 1
+    lo = 1 << e
+    sub = ((v - lo) << sb) >> e if e >= sb else (v - lo) << (sb - e)
+    return e * (1 << sb) + sub
+
+
+def test_hdr_bucket_matches_bit_twiddling_reference(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.stats import hdr_bucket
+
+    # powers of two ±1 (the float-log2 danger zone), sub-bucket edges,
+    # and the extremes of the int64 domain
+    vals = sorted(
+        {1, 2, 3, (1 << 63) - 1, (1 << 62), (1 << 62) + 5}
+        | {(1 << e) + d for e in (1, 2, 3, 4, 5, 20, 40, 52, 61)
+           for d in (-1, 0, 1)}
+        | {v for v in range(1, 200)}
+        | {10**k for k in range(1, 18)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", hdr_bucket(F.col("v"), 4).alias("b")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == _hdr_ref_bucket(v), v
+
+
+def test_hdr_quantiles_error_bound_and_merge(spark):
+    import math
+
+    from serd_spark.operators.stats import hdr_quantiles, hdr_sketch
+
+    data = [("g%d" % (i % 2), (i * 37 % 997) + 1) for i in range(2000)]
+    df = spark.createDataFrame(data, "grp string, v long")
+    sk = hdr_sketch(df, "v", by=["grp"], sub_bits=4)
+    out = {
+        (r["grp"], r["q_permille"]): (r["est"], r["n"])
+        for r in hdr_quantiles(
+            sk, [500, 900, 990], by=["grp"], sub_bits=4
+        ).collect()
+    }
+    for grp in ("g0", "g1"):
+        vs = sorted(v for g, v in data if g == grp)
+        n = len(vs)
+        for q in (500, 900, 990):
+            est, got_n = out[(grp, q)]
+            exact = vs[math.ceil(q * n / 1000) - 1]
+            assert got_n == n
+            # lower-bound estimate within the 2^-sub_bits relative bound
+            assert est <= exact
+            assert (exact - est) / exact <= 1 / 16 + 1e-12
+
+    # MERGEABILITY — the property that makes it the 100 TB path:
+    # sketching two halves separately and adding counts equals
+    # sketching the whole
+    half1 = spark.createDataFrame(data[:1000], "grp string, v long")
+    half2 = spark.createDataFrame(data[1000:], "grp string, v long")
+    merged = (
+        hdr_sketch(half1, "v", by=["grp"])
+        .unionAll(hdr_sketch(half2, "v", by=["grp"]))
+        .groupBy("grp", "bucket")
+        .sum("cnt")
+    )
+    whole = {
+        (r["grp"], r["bucket"]): r["cnt"]
+        for r in hdr_sketch(df, "v", by=["grp"]).collect()
+    }
+    got = {
+        (r["grp"], r["bucket"]): r["sum(cnt)"] for r in merged.collect()
+    }
+    assert got == whole
+
+
+def test_hdr_sketch_drops_nonpositive_and_validates(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.stats import hdr_bucket, hdr_quantiles, hdr_sketch
+
+    df = spark.createDataFrame(
+        [(0,), (-5,), (1,), (2,)], "v long"
+    )
+    rows = hdr_sketch(df, "v").collect()
+    assert sum(r["cnt"] for r in rows) == 2
+    with _pytest.raises(ValueError):
+        hdr_bucket(None, sub_bits=9)
+    with _pytest.raises(ValueError):
+        hdr_quantiles(hdr_sketch(df, "v"), [])
+    with _pytest.raises(ValueError):
+        hdr_quantiles(hdr_sketch(df, "v"), [0])

@@ -963,3 +963,53 @@ def test_sample_frames_empty_sample_table_skips_in_both_modes(spark):
     assert multimodal.sample_frames(media).count() == 0
     assert multimodal.sample_frames(media, strict=True).count() == 0
     assert multimodal.decode_frames(media, strict=True).count() == 0
+
+
+def test_wminhash_signatures(spark):
+    # doc 0 and doc 1: identical token MULTISETS under normalization
+    # (case/whitespace) -> identical signatures; doc 2 has the same
+    # token SET but different tf -> replica expansion must tell them
+    # apart (the whole point vs unweighted minhash); doc 3 empty.
+    rows = [
+        (0, "spark spark spark row row key"),
+        (1, "  SPARK   spark SPARK row ROW key "),
+        (2, "spark row key key key"),
+        (3, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_replicas, (r.h0, r.h1, r.h2, r.h3))
+        for r in dedup.wminhash_signatures_md5(docs).collect()
+    }
+    assert 3 not in out  # no tokens, no row
+    assert out[0][0] == 6 and out[2][0] == 5
+    assert out[0][1] == out[1][1]
+    assert out[0][1] != out[2][1]
+
+    # python reference for one doc: min over md5(w#r#seed)
+    import hashlib
+
+    def h(w, r, s):
+        return hashlib.md5(f"{w}#{r}#{s}".encode()).hexdigest()
+
+    reps = [("spark", r) for r in (1, 2, 3)] + [
+        ("row", r) for r in (1, 2)
+    ] + [("key", 1)]
+    want = tuple(
+        min(h(w, r, s) for w, r in reps) for s in range(4)
+    )
+    assert out[0][1] == want
+
+
+def test_wminhash_weight_cap_and_validation(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["tok"] * 50) + " other")], "doc_id long, text string"
+    )
+    out = dedup.wminhash_signatures_md5(docs, weight_cap=8).collect()
+    assert out[0].n_replicas == 9  # 8 capped replicas + 1
+    with _pytest.raises(ValueError):
+        dedup.wminhash_signatures_md5(docs, n_seeds=0)
+    with _pytest.raises(ValueError):
+        dedup.wminhash_signatures_md5(docs, weight_cap=0)
