@@ -2022,6 +2022,74 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-day quantile sketches driven end-to-end: event
+    values flow through an availableNow stream into a tumbling-window
+    HDR sketch (streaming/incremental.streaming_hdr_sketch) under a
+    2 h watermark — the sketch IS the windowed state, a bounded
+    bucket histogram per (day, event_type) — then the emitted bucket
+    table is finished by the BATCH quantile extractor
+    (stats.hdr_quantiles). Append mode emits each day exactly once
+    when the watermark passes its end; the trailing open day stays in
+    state (same eviction cut as stream_sessions:
+    window_end <= max(ts) - 2 h over the FILTERED rows — the cents>=1
+    filter runs before the watermark on both engines). One data batch
+    by design, as in stream_sessions. The DuckDB oracle rebuilds the
+    whole thing from raw events: filter, day windows, the
+    clamped/self-corrected bucket math, the eviction cut, and the
+    rank rule + lower-bound estimate."""
+    import shutil
+
+    from serd_spark.operators.stats import hdr_quantiles
+    from serd_spark.streaming.incremental import streaming_hdr_sketch
+
+    base = os.path.join(
+        "/tmp/serd_spark_stream_quant",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    in_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        _cents(F.col("value")).alias("value_long"),
+    ).repartition(6).write.parquet(in_dir)
+
+    ev = spark.readStream.schema(
+        "event_type string, ts timestamp, value_long long"
+    ).parquet(in_dir)
+    sk = streaming_hdr_sketch(
+        ev, "value_long", by=["event_type"], window="1 day",
+        watermark="2 hours", sub_bits=4,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        sk.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_dir).select(
+        F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "bucket",
+        "cnt",
+    )
+    return hdr_quantiles(
+        emitted, [500, 950], by=["day", "event_type"], sub_bits=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -2109,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir": q_dsir,
         "q_sketch_quantiles": q_sketch_quantiles,
         "q_wminhash": q_wminhash,
+        "stream_quantiles": stream_quantiles,
     }
 
 
@@ -4092,6 +4161,77 @@ def oracle_sql() -> dict[str, str]:
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#2')) AS h2,
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#3')) AS h3
             FROM r GROUP BY doc_id
+        """,
+        # Streaming-vs-batch equivalence for the windowed HDR sketch:
+        # DuckDB rebuilds the day windows, the watermark eviction cut
+        # (window_end <= max(ts) - 2h over the FILTERED rows — the
+        # filter precedes the watermark in the stream too), the
+        # clamped/self-corrected bucket math, and the quantile
+        # extraction — all from raw events.
+        "stream_quantiles": """
+            WITH ev AS (
+              SELECT event_type, ts,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE CAST(round(value * 100) AS BIGINT) >= 1
+            ), mx AS (
+              SELECT max(ts) AS mts FROM ev
+            ), kept AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     event_type, v
+              FROM ev, mx
+              WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+                    <= mts - INTERVAL 2 HOUR
+            ), e0 AS (
+              SELECT day, event_type, v,
+                     LEAST(GREATEST(
+                       CAST(floor(log2(v)) AS INTEGER), 0), 62) AS e0
+              FROM kept
+            ), ec AS (
+              SELECT day, event_type, v,
+                     CASE
+                       WHEN e0 < 62
+                            AND (CAST(1 AS BIGINT) << (e0 + 1)) <= v
+                         THEN e0 + 1
+                       WHEN (CAST(1 AS BIGINT) << e0) > v THEN e0 - 1
+                       ELSE e0
+                     END AS e
+              FROM e0
+            ), bk AS (
+              SELECT day, event_type,
+                     CAST(e AS BIGINT) * 16 +
+                     CASE WHEN e >= 4
+                          THEN (v - (CAST(1 AS BIGINT) << e)) >> (e - 4)
+                          ELSE (v - (CAST(1 AS BIGINT) << e)) << (4 - e)
+                     END AS bucket
+              FROM ec
+            ), sk AS (
+              SELECT day, event_type, bucket, COUNT(*) AS cnt
+              FROM bk GROUP BY 1, 2, 3
+            ), cum AS (
+              SELECT day, event_type, bucket,
+                     SUM(cnt) OVER (PARTITION BY day, event_type
+                                    ORDER BY bucket) AS cu,
+                     SUM(cnt) OVER (PARTITION BY day, event_type) AS n
+              FROM sk
+            ), qs AS (
+              SELECT unnest([500, 950]) AS q_permille
+            ), picked AS (
+              SELECT day, event_type, q_permille, MIN(bucket) AS b,
+                     CAST(MAX(n) AS BIGINT) AS n
+              FROM cum, qs
+              WHERE cu >= (q_permille * n + 999) // 1000
+              GROUP BY 1, 2, 3
+            )
+            SELECT day, event_type,
+                   CAST(q_permille AS INTEGER) AS q_permille,
+                   CAST((CAST(1 AS BIGINT) << CAST(b // 16 AS INTEGER)) +
+                        CASE WHEN b // 16 >= 4
+                             THEN (b % 16) << CAST(b // 16 - 4 AS INTEGER)
+                             ELSE (b % 16) >> CAST(4 - b // 16 AS INTEGER)
+                        END AS BIGINT) AS est,
+                   n
+            FROM picked
         """,
         "q_bpe_train": _bpe_oracle_sql(BPE_MERGES),
         # bpe_words recomputed from raw text with the identical

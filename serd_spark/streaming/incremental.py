@@ -361,3 +361,54 @@ def streaming_sessions(
         .groupBy(F.col(key), F.session_window(F.col("_ts"), gap))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+def streaming_hdr_sketch(
+    events_stream: DataFrame,
+    value_col: str = "value_long",
+    ts: str = "ts",
+    by: list[str] | None = None,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Tumbling-window mergeable quantile sketch over an event stream —
+    the streaming face of ``operators/stats.hdr_sketch``: per
+    (event-time window, *by, bucket) counts under a watermark, emitted
+    in append mode exactly once when the watermark passes the window
+    end (same eviction semantics as ``streaming_sessions``:
+    ``window_end <= max(event_ts) - delay`` after an availableNow
+    run; the still-open trailing window stays in state).
+
+    Why this composition matters at 100 TB: the sketch IS the
+    windowed aggregation state — a bounded ~``63 * 2**sub_bits``-row
+    histogram per (window, group), not a value list — so streaming
+    quantiles cost the same state as a counter, and late data within
+    the watermark merges by bucket-count addition (the sketch's merge
+    property doing the late-data work). Quantile extraction stays a
+    BATCH pass over the emitted bucket table
+    (``stats.hdr_quantiles``), deliberately outside the stream.
+
+    Values must be ≥ 1 (pre-cast to long by the caller); the filter
+    runs BEFORE the watermark so dropped rows do not advance event
+    time — keeping the emission cut replayable by an engine that
+    never sees Spark's watermark state.
+
+    Returns (window struct, *by, bucket, cnt).
+    """
+    from serd_spark.operators.stats import hdr_bucket
+
+    by = list(by or [])
+    v = F.col(value_col).cast("long")
+    c = F.col(ts).cast("timestamp")
+    return (
+        events_stream.filter(v >= 1)
+        .withColumn("_ts", c)
+        .withWatermark("_ts", watermark)
+        .groupBy(
+            F.window(F.col("_ts"), window),
+            *[F.col(b) for b in by],
+            hdr_bucket(v, sub_bits).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

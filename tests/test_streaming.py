@@ -333,3 +333,74 @@ def test_stream_near_dup_docs(spark, tmp_path):
     ).collect()
     got = {r.doc_id: (r.m.hamming, r.m.dup_of) for r in rows}
     assert got == {5: (0, 4), 10: (0, 0)}, got
+
+
+def test_streaming_hdr_sketch_merges_late_data_and_evicts(spark, tmp_path):
+    """The windowed sketch must (a) merge a late-but-within-watermark
+    event into its day's bucket counts ACROSS micro-batches, (b) emit
+    a window exactly once when the watermark passes its end, and (c)
+    hold back the trailing open window — the semantics the
+    stream_quantiles oracle replays."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from serd_spark.streaming.incremental import streaming_hdr_sketch
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    batches = [
+        # day 1: two values in bucket ranges 16 (v=2..3) and 64 (v=16..31)
+        [("a", _ts("2024-01-01 10:00:00"), 2),
+         ("a", _ts("2024-01-01 11:00:00"), 17)],
+        # LATE day-1 event (watermark still inside day 1) + day-2 row
+        [("a", _ts("2024-01-01 09:00:00"), 3),
+         ("a", _ts("2024-01-02 01:00:00"), 16)],
+        # flusher: watermark -> day-3 01:00, evicting day 1 AND day 2
+        [("a", _ts("2024-01-03 03:00:00"), 1)],
+    ]
+    for k, rows in enumerate(batches):
+        p = str(in_dir / f"b{k}.parquet")
+        spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value_long long"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        t = 1_700_000_000 + 1000 * k
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    _time.sleep(0.01)
+
+    ev = spark.readStream.schema(
+        "event_type string, ts timestamp, value_long long"
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir) + "/*")
+    sk = streaming_hdr_sketch(
+        ev, "value_long", by=["event_type"], window="1 day",
+        watermark="2 hours", sub_bits=4,
+    )
+    q = (
+        sk.writeStream.format("memory")
+        .queryName("hdr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT date_format(window.start, 'yyyy-MM-dd') AS day,"
+        " bucket, cnt FROM hdr_stream"
+    ).collect()
+    got = {(r["day"], r["bucket"]): r["cnt"] for r in rows}
+    # day 1: v=2 -> bucket 16, v=3 -> bucket 24, late v=3? no: late
+    # event value 3 -> e=1, sub=(3-2)<<3=8 -> bucket 24; v=2 -> 16;
+    # v=17 -> e=4, sub=(17-16)>>0=1 -> bucket 65
+    assert got[("2024-01-01", 16)] == 1
+    assert got[("2024-01-01", 24)] == 1  # the LATE event, merged in
+    assert got[("2024-01-01", 65)] == 1
+    # day 2: v=16 -> bucket 64, emitted by the flusher
+    assert got[("2024-01-02", 64)] == 1
+    # trailing day 3 stays in state — never emitted
+    assert not any(d == "2024-01-03" for d, _ in got)
+    assert len(got) == 4
