@@ -1407,6 +1407,53 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a fixed-size Bloom filter
+    (corpus.py::bloom_decontaminate) — the broadcast object stays m
+    bits no matter how many benchmarks are unioned in, vs
+    q_decontaminate's exact span set that grows with the benchmark.
+    Same deterministic benchmark-slice trick (doc_id % 23 == 0), so
+    true contamination provably exists; the md5 bit positions make
+    the FALSE POSITIVES deterministic too, and the oracle replays
+    them bit-exactly (set-bit derivation + 4-way membership test
+    rebuilt from raw text)."""
+    from serd_spark.operators.corpus import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 23 == 0)
+    return bloom_decontaminate(d, bench, k=13, m_bits=65536, n_hashes=4)
+
+
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (stats.py::countmin_sketch /
+    countmin_estimate) certified against exact counts: sketch the
+    full token stream into 4×64 cells, then estimate the top-20
+    tokens (exact count DESC, token ASC tie-break — a
+    TakeOrderedAndProject) and emit exact vs estimate side by side.
+    width=64 is deliberately below the corpus vocabulary so real
+    collisions exercise the over-estimate path (est >= exact always;
+    the oracle replays cells, probes, and the min rule)."""
+    from serd_spark.operators.stats import countmin_estimate, countmin_sketch
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    words = d.select(
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    sketch = countmin_sketch(words, "w", depth=4, width=64)
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(20)
+    )
+    return countmin_estimate(sketch, top, "w", depth=4, width=64)
+
+
 def q_wminhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted MinHash signatures (dedup.py::wminhash_signatures_md5
     — integer-weight replica expansion, tf capped at 8): the
@@ -2177,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir": q_dsir,
         "q_sketch_quantiles": q_sketch_quantiles,
         "q_wminhash": q_wminhash,
+        "q_bloom_decon": q_bloom_decon,
+        "q_countmin": q_countmin,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -4161,6 +4210,97 @@ def oracle_sql() -> dict[str, str]:
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#2')) AS h2,
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#3')) AS h3
             FROM r GROUP BY doc_id
+        """,
+        # Bloom decontamination replayed bit-exactly — INCLUDING the
+        # deterministic false positives: set bits and the 4-way
+        # membership test rebuilt from raw text with DuckDB's own
+        # hex→int cast; span derivation mirrors q_span_dedup's.
+        "q_bloom_decon": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, t, string_split(t, ' ') AS w FROM norm
+            ), expanded AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 12)) AS i
+              FROM toks WHERE len(w) >= 13
+            ), spans AS (
+              SELECT doc_id, array_to_string(w[i : i + 12], ' ') AS g
+              FROM expanded
+              UNION ALL
+              SELECT doc_id, t AS g FROM toks WHERE len(w) < 13
+            ), bits AS (
+              SELECT DISTINCT
+                     CAST('0x' || substr(md5(s.g || '#' ||
+                          CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 65536 AS pos
+              FROM spans s, (SELECT unnest([0, 1, 2, 3]) AS j) j
+              WHERE s.doc_id % 23 = 0
+            ), probed AS (
+              SELECT doc_id,
+                CAST('0x' || substr(md5(g || '#0'), 1, 8) AS BIGINT)
+                  % 65536 AS p0,
+                CAST('0x' || substr(md5(g || '#1'), 1, 8) AS BIGINT)
+                  % 65536 AS p1,
+                CAST('0x' || substr(md5(g || '#2'), 1, 8) AS BIGINT)
+                  % 65536 AS p2,
+                CAST('0x' || substr(md5(g || '#3'), 1, 8) AS BIGINT)
+                  % 65536 AS p3
+              FROM spans
+            ), flagged AS (
+              SELECT doc_id,
+                     CASE WHEN p0 IN (SELECT pos FROM bits)
+                           AND p1 IN (SELECT pos FROM bits)
+                           AND p2 IN (SELECT pos FROM bits)
+                           AND p3 IN (SELECT pos FROM bits)
+                          THEN 1 ELSE 0 END AS hit
+              FROM probed
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(hit) AS BIGINT) AS n_hits,
+                   round(SUM(hit) / COUNT(*)::DOUBLE, 6) AS hit_frac
+            FROM flagged
+            GROUP BY doc_id
+        """,
+        # Count-min cells, probes, and the min rule all replayed; the
+        # LEFT JOIN + COALESCE(0) mirrors the absent-cell-reads-zero
+        # convention.
+        "q_countmin": """
+            WITH d AS (
+              SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                       AS t
+              FROM documents
+            ), w AS (
+              SELECT unnest(string_split(t, ' ')) AS w FROM d
+            ), wf AS (
+              SELECT w, COUNT(*) AS exact_cnt FROM w
+              WHERE w <> '' GROUP BY w
+            ), top AS (
+              SELECT w, CAST(exact_cnt AS BIGINT) AS exact_cnt
+              FROM wf ORDER BY exact_cnt DESC, w ASC LIMIT 20
+            ), cells AS (
+              SELECT j.j AS row,
+                     CAST('0x' || substr(md5(w.w || '#' ||
+                          CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 64 AS col,
+                     COUNT(*) AS cnt
+              FROM w, (SELECT unnest([0, 1, 2, 3]) AS j) j
+              WHERE w.w <> ''
+              GROUP BY 1, 2
+            ), probe AS (
+              SELECT t.w, t.exact_cnt, j.j AS row,
+                     CAST('0x' || substr(md5(t.w || '#' ||
+                          CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 64 AS col
+              FROM top t, (SELECT unnest([0, 1, 2, 3]) AS j) j
+            )
+            SELECT p.w, p.exact_cnt,
+                   CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+            FROM probe p LEFT JOIN cells c USING (row, col)
+            GROUP BY p.w, p.exact_cnt
         """,
         # Streaming-vs-batch equivalence for the windowed HDR sketch:
         # DuckDB rebuilds the day windows, the watermark eviction cut

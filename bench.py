@@ -109,6 +109,8 @@ def main() -> None:
         "q_dsir": entrymod.q_dsir,
         "q_sketch_quantiles": entrymod.q_sketch_quantiles,
         "q_wminhash": entrymod.q_wminhash,
+        "q_bloom_decon": entrymod.q_bloom_decon,
+        "q_countmin": entrymod.q_countmin,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -1007,3 +1007,111 @@ def dsir_weights(
         )
         .withColumn("selected", F.col("logw_micros") > 0)
     )
+
+
+def span_grams(col: Column, k: int = 13) -> Column:
+    """Raw k-token gram STRINGS of the normalized text (the text-keyed
+    sibling of ``span_hashes`` — same windowing, same short-document
+    whole-text fallback, but emitting the gram itself for operators
+    whose hash family must be replayable by any engine with md5).
+    Prefer ``span_hashes`` when the key only needs to be compared
+    Spark-side: 8-byte bigints beat 32-char strings across a shuffle.
+    """
+    norm = _norm(col)
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    return F.when(n < k, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def _bloom_pos(gram: Column, j: int, m_bits: int) -> Column:
+    # md5-derived bit position: hex→int on 8 hex chars, mod the bit-
+    # space — DuckDB mirrors with CAST('0x'||substr(md5(..),1,8))
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(gram, F.lit(f"#{j}"))), 1, 8), 16, 10
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    m_bits: int = 65536,
+    n_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER (Bloom 1970)
+    instead of the exact span set: the benchmark's k-gram spans set
+    ``n_hashes`` md5-derived bit positions in an ``m_bits``-bit
+    filter; a corpus span counts as a (possible) hit iff ALL its
+    positions are set. One-sided error by construction — every true
+    overlap is flagged (no false negatives), plus a deterministic
+    false-positive rate ≈ (1 - e^(-kn/m))^k.
+
+    Why this exists beside ``decontaminate``: the exact path
+    broadcasts the benchmark's DISTINCT SPAN SET, which grows with
+    the benchmark; the Bloom filter is FIXED SIZE (m bits) no matter
+    how many benchmarks are unioned in — the right broadcast object
+    when the contamination blocklist outgrows a hash-set broadcast
+    but the corpus side still must never shuffle. Here the filter is
+    carried as a distinct set-bit table (≤ m rows of longs) feeding
+    ``n_hashes`` broadcast left joins — all map-side, codegen'd; the
+    only wide exchange is the final per-doc aggregate, exactly as in
+    the exact path. At real scale the same bit table compiles into
+    Spark's own BloomFilterAggregate / a bitset broadcast variable;
+    the relational form is chosen because every engine can replay it
+    — false positives INCLUDED (md5 is the hash on both sides), so
+    the oracle match is bit-exact, not approximate.
+
+    Returns (id_col, n_spans, n_hits, hit_frac) with multiset
+    semantics (a repeated span counts each occurrence), hit_frac
+    rounded to 6 dp.
+    """
+    if n_hashes < 1 or m_bits < 2:
+        raise ValueError("need n_hashes >= 1 and m_bits >= 2")
+    docs = _min_parallelism(docs)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    bits = (
+        benchmark.select(F.explode(span_grams(t, k)).alias("g"))
+        .select(
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("g"), j, m_bits) for j in range(n_hashes)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probed = docs.select(F.col(id_col), F.explode(span_grams(t, k)).alias("g")).select(
+        id_col,
+        *[_bloom_pos(F.col("g"), j, m_bits).alias(f"_p{j}") for j in range(n_hashes)],
+    )
+    for j in range(n_hashes):
+        probed = probed.join(
+            F.broadcast(
+                bits.select(
+                    F.col("pos").alias(f"_p{j}"), F.lit(1).alias(f"_s{j}")
+                )
+            ),
+            f"_p{j}",
+            "left",
+        )
+    hit = F.lit(True)
+    for j in range(n_hashes):
+        hit = hit & F.col(f"_s{j}").isNotNull()
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn("hit_frac", F.round(F.col("n_hits") / F.col("n_spans"), 6))
+    )

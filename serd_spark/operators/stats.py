@@ -274,3 +274,97 @@ def exact_quantiles(
         .groupBy(*by, "q_permille")
         .agg(F.min(value_col).alias("value"))
     )
+
+
+def _cm_col(v: Column, row: int, width: int) -> Column:
+    # md5-derived bucket for count-min row ``row`` — hex→int on 8 hex
+    # chars, replayable as CAST('0x'||substr(md5(..),1,8)) anywhere
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(v, F.lit(f"#{row}"))), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min frequency sketch (Cormode–Muthukrishnan 2005): each
+    value increments one md5-derived bucket per row; estimates are the
+    MIN over rows, never under the true count, over by at most
+    ~N/width with probability 1 - 2^-depth.
+
+    Why this shape at 100 TB: the sketch is ONE hash aggregate over
+    (row, bucket) — at most ``depth * width`` cells regardless of how
+    many distinct values exist — with full map-side combine, and two
+    sketches merge by adding cells (same argument as ``hdr_sketch``).
+    It answers point frequency queries over a domain too large to
+    count exactly (every token / URL / span in a web corpus) with
+    bounded memory. Deterministic md5 bucketing — no RNG, retry-
+    invariant, replayable by any engine.
+
+    Returns (row, col, cnt) — the sketch cells (absent cell = 0).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    v = F.col(value_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_col(v, i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return (
+        cells.select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates from a ``countmin_sketch``: recompute
+    each probe value's bucket per row, read the ``depth`` cells via
+    broadcast left joins (the sketch is tiny by construction; a
+    missing cell reads 0), and take the MIN. The probe table is
+    expected to be small relative to the corpus the sketch summarized
+    — the whole lookup is map-side.
+
+    Returns ``probes``' columns plus ``cms_est``.
+    """
+    v = F.col(value_col)
+    p = probes
+    for i in range(depth):
+        p = p.withColumn(f"_c{i}", _cm_col(v, i, width))
+    for i in range(depth):
+        p = p.join(
+            F.broadcast(
+                sketch.filter(F.col("row") == i).select(
+                    F.col("col").alias(f"_c{i}"), F.col("cnt").alias(f"_n{i}")
+                )
+            ),
+            f"_c{i}",
+            "left",
+        )
+    est = F.least(
+        *[F.coalesce(F.col(f"_n{i}"), F.lit(0).cast("long")) for i in range(depth)]
+    ).cast("long")
+    return p.select(
+        *[c for c in probes.columns], est.alias("cms_est")
+    )

@@ -533,3 +533,47 @@ def test_dsir_weights_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bloom_decontaminate_one_sided_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.corpus import bloom_decontaminate, decontaminate
+
+    gram = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    rows = [
+        (0, gram + " tail0 tail1"),            # shares the benchmark gram
+        (1, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),  # clean
+        (2, "short doc"),                       # whole-text span, clean
+        (3, gram),                               # the benchmark doc itself
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 3)
+    bl = {
+        r["doc_id"]: (r["n_spans"], r["n_hits"], r["hit_frac"])
+        for r in bloom_decontaminate(docs, bench, k=13).collect()
+    }
+    ex = {
+        r["doc_id"]: r["n_hit"]
+        for r in decontaminate(docs, bench, k=13).collect()
+    }
+    # benchmark doc self-hits fully; the sharing doc hits its first span
+    assert bl[3] == (1, 1, 1.0)
+    assert bl[0][0] == 3 and bl[0][1] >= 1
+    # ONE-SIDED error: bloom hits >= exact hits on every doc
+    for d in bl:
+        assert bl[d][1] >= ex[d], d
+    # at m_bits=65536 with a 1-gram benchmark, no false positives here
+    assert bl[1] == (2, 0, 0.0) and bl[2] == (1, 0, 0.0)
+
+
+def test_bloom_decontaminate_validates(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.corpus import bloom_decontaminate
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bloom_decontaminate(docs, docs, n_hashes=0)
+    with _pytest.raises(ValueError):
+        bloom_decontaminate(docs, docs, m_bits=1)

@@ -279,3 +279,62 @@ def test_hdr_sketch_drops_nonpositive_and_validates(spark):
         hdr_quantiles(hdr_sketch(df, "v"), [])
     with _pytest.raises(ValueError):
         hdr_quantiles(hdr_sketch(df, "v"), [0])
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.stats import countmin_estimate, countmin_sketch
+
+    # zipf-ish multiset over a vocab larger than width=8 so real
+    # collisions happen
+    vals = []
+    for i in range(30):
+        vals += [f"tok{i}"] * (30 - i)
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    sk = countmin_sketch(df, "w", depth=4, width=8)
+    probes = df.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    out = {
+        r["w"]: (r["exact_cnt"], r["cms_est"])
+        for r in countmin_estimate(sk, probes, "w", depth=4, width=8).collect()
+    }
+    assert len(out) == 30
+    assert all(est >= exact for exact, est in out.values())
+    # with width >= vocab and distinct buckets the estimate is exact
+    sk_wide = countmin_sketch(df, "w", depth=4, width=4096)
+    wide = countmin_estimate(sk_wide, probes, "w", depth=4, width=4096)
+    assert all(r["cms_est"] == r["exact_cnt"] for r in wide.collect())
+
+    # MERGE: cells of two halves add up to the whole corpus's cells
+    h1 = spark.createDataFrame([(v,) for v in vals[:500]], "w string")
+    h2 = spark.createDataFrame([(v,) for v in vals[500:]], "w string")
+    merged = (
+        countmin_sketch(h1, "w", depth=4, width=8)
+        .unionAll(countmin_sketch(h2, "w", depth=4, width=8))
+        .groupBy("row", "col")
+        .sum("cnt")
+    )
+    whole = {
+        (r["row"], r["col"]): r["cnt"] for r in sk.collect()
+    }
+    got = {
+        (r["row"], r["col"]): r["sum(cnt)"] for r in merged.collect()
+    }
+    assert got == whole
+
+
+def test_countmin_validates(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.stats import countmin_sketch
+
+    df = spark.createDataFrame([("a",)], "w string")
+    with _pytest.raises(ValueError):
+        countmin_sketch(df, "w", depth=0)
+    with _pytest.raises(ValueError):
+        countmin_sketch(df, "w", width=1)
