@@ -1433,9 +1433,10 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     width=64 is deliberately below the corpus vocabulary so real
     collisions exercise the over-estimate path (est >= exact always;
     the oracle replays cells, probes, and the min rule)."""
+    from serd_spark.operators.corpus import _min_parallelism
     from serd_spark.operators.stats import countmin_estimate, countmin_sketch
 
-    d = _t(spark, sf_dir, "documents").select("text")
+    d = _min_parallelism(_t(spark, sf_dir, "documents").select("text"))
     words = d.select(
         F.explode(
             F.split(

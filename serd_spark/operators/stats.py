@@ -339,32 +339,39 @@ def countmin_estimate(
     depth: int = 4,
     width: int = 1024,
 ) -> DataFrame:
-    """Point-frequency estimates from a ``countmin_sketch``: recompute
-    each probe value's bucket per row, read the ``depth`` cells via
-    broadcast left joins (the sketch is tiny by construction; a
-    missing cell reads 0), and take the MIN. The probe table is
-    expected to be small relative to the corpus the sketch summarized
-    — the whole lookup is map-side.
+    """Point-frequency estimates from a ``countmin_sketch``: explode
+    each probe value into its ``depth`` (row, col) cell keys, read the
+    cells through ONE broadcast left join against the whole sketch (a
+    missing cell reads 0), and take the MIN per probe row. The single
+    join keeps the lookup map-side however large the probe table grows
+    — the sketch is the broadcast side by construction (≤ depth*width
+    cells), so this works unchanged when "probes" is the full corpus
+    being re-scored.
 
-    Returns ``probes``' columns plus ``cms_est``.
+    Probe rows must be distinct (the per-probe grouping keys on all of
+    ``probes``' columns). Returns ``probes``' columns plus ``cms_est``.
     """
     v = F.col(value_col)
-    p = probes
-    for i in range(depth):
-        p = p.withColumn(f"_c{i}", _cm_col(v, i, width))
-    for i in range(depth):
-        p = p.join(
-            F.broadcast(
-                sketch.filter(F.col("row") == i).select(
-                    F.col("col").alias(f"_c{i}"), F.col("cnt").alias(f"_n{i}")
-                )
-            ),
-            f"_c{i}",
-            "left",
+    pairs = probes.select(
+        *probes.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_col(v, i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_rc"),
+    ).select(*probes.columns, F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+    return (
+        pairs.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(*probes.columns)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("cms_est")
         )
-    est = F.least(
-        *[F.coalesce(F.col(f"_n{i}"), F.lit(0).cast("long")) for i in range(depth)]
-    ).cast("long")
-    return p.select(
-        *[c for c in probes.columns], est.alias("cms_est")
     )
