@@ -1407,6 +1407,35 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (['spark','query','data']) fused
+    with embedding-cosine top-20 (query = vec 0) by reciprocal-rank
+    fusion (corpus.py::rrf_fuse, k=60, integer truncating div).
+    Ranks are derived from the two certified rankers with the same
+    total orders their own oracles pin (score DESC / cos DESC, id
+    ASC); the rank windows run over 20-row lists, never the corpus.
+    The oracle replays BOTH rankers end-to-end AND the fusion
+    arithmetic."""
+    from serd_spark.operators.corpus import bm25_search, rrf_fuse
+    from serd_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = bm25_search(d, ["spark", "query", "data"], top_k=20)
+    w_bm = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    bm_r = bm.select("doc_id", F.row_number().over(w_bm).alias("rank"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first().embedding
+    cos = brute_force_topk(emb, list(qv), k=20)
+    w_cos = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    cos_r = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).alias("rank"),
+    )
+    return rrf_fuse([bm_r, cos_r], "doc_id", k_const=60)
+
+
 def q_bloom_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination through a fixed-size Bloom filter
     (corpus.py::bloom_decontaminate) — the broadcast object stays m
@@ -2227,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wminhash": q_wminhash,
         "q_bloom_decon": q_bloom_decon,
         "q_countmin": q_countmin,
+        "q_rrf_fusion": q_rrf_fusion,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -4211,6 +4241,85 @@ def oracle_sql() -> dict[str, str]:
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#2')) AS h2,
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#3')) AS h3
             FROM r GROUP BY doc_id
+        """,
+        # Both rankers replayed end-to-end (the BM25 CTE chain is the
+        # q_bm25 oracle verbatim; the cosine list the q_cosine_topk
+        # one), then the RRF integer arithmetic on top.
+        "q_rrf_fusion": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm
+            ), w2 AS (
+              SELECT doc_id, w FROM words WHERE w <> ''
+            ), dl AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM w2 GROUP BY doc_id
+            ), stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     greatest((CAST(SUM(dl) AS BIGINT) * 1000000)
+                              // greatest(COUNT(*), 1), 1) AS avgdl_micros
+              FROM dl
+            ), tf AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM w2 WHERE w IN ('data', 'query', 'spark')
+              GROUP BY doc_id, w
+            ), idf AS (
+              SELECT w,
+                     CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                                * 1000000) AS BIGINT) AS idf_micros
+              FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+              ), stats
+            ), scored AS (
+              SELECT tf.doc_id,
+                     idf_micros * (
+                       tf * 220 * 10000000000 // (
+                         tf * 1000000 + 120 * (
+                           250000
+                           + 75 * (dl.dl * 1000000000000 // avgdl_micros)
+                             // 100
+                         ) // 100
+                       )
+                     ) // 1000000 AS s_micros
+              FROM tf JOIN idf USING (w) JOIN dl USING (doc_id), stats
+            ), bmtop AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score_micros DESC,
+                                        doc_id ASC) AS rank
+              FROM (
+                SELECT doc_id, SUM(s_micros) AS score_micros
+                FROM scored GROUP BY doc_id
+                ORDER BY score_micros DESC, doc_id ASC LIMIT 20
+              )
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0
+            ), costop AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY cos DESC,
+                                        doc_id ASC) AS rank
+              FROM (
+                SELECT e.vec_id AS doc_id,
+                       round(
+                         list_dot_product(e.embedding::DOUBLE[], q.qv)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                         AS cos
+                FROM embeddings e, q
+                ORDER BY cos DESC, e.vec_id LIMIT 20
+              )
+            ), u AS (
+              SELECT doc_id, 1000000 // (60 + rank) AS c FROM bmtop
+              UNION ALL
+              SELECT doc_id, 1000000 // (60 + rank) AS c FROM costop
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+                   CAST(SUM(c) AS BIGINT) AS rrf_micros
+            FROM u GROUP BY doc_id
         """,
         # Bloom decontamination replayed bit-exactly — INCLUDING the
         # deterministic false positives: set bits and the 4-way

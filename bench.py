@@ -111,6 +111,7 @@ def main() -> None:
         "q_wminhash": entrymod.q_wminhash,
         "q_bloom_decon": entrymod.q_bloom_decon,
         "q_countmin": entrymod.q_countmin,
+        "q_rrf_fusion": entrymod.q_rrf_fusion,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

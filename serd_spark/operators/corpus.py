@@ -1115,3 +1115,46 @@ def bloom_decontaminate(
         )
         .withColumn("hit_frac", F.round(F.col("n_hits") / F.col("n_spans"), 6))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09)
+    of N retrieval rankings — the standard hybrid-search combiner
+    (BM25 ⊕ embedding cosine ⊕ ...) for training-data curation
+    queries, where each ranker sees a different signal and the fused
+    list is more robust than any one of them.
+
+    Each input DataFrame carries (id_col, rank) with 1-based ranks;
+    a document's fused score is the sum over the lists containing it
+    of 1e6 div (k_const + rank) — INTEGER arithmetic throughout
+    (truncating div), so the fused scores replay bit-for-bit in any
+    engine; k=60 is the paper's constant.
+
+    Scale shape: a union of the (already small, top-k) ranked lists
+    followed by one hash aggregate keyed by id. The expensive parts
+    are the upstream rankers; fusion itself never touches the corpus.
+
+    Returns (id_col, n_lists, rrf_micros).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(id_col),
+            F.expr(f"1000000 div ({int(k_const)} + rank)")
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionAll, contribs)
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("_c").cast("long").alias("rrf_micros"),
+    )

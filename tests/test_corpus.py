@@ -577,3 +577,29 @@ def test_bloom_decontaminate_validates(spark):
         bloom_decontaminate(docs, docs, n_hashes=0)
     with _pytest.raises(ValueError):
         bloom_decontaminate(docs, docs, m_bits=1)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: (r["n_lists"], r["rrf_micros"])
+        for r in rrf_fuse([a, b], "doc_id", k_const=60).collect()
+    }
+    c = lambda rank: 1_000_000 // (60 + rank)
+    assert out == {
+        10: (1, c(1)),
+        11: (2, c(2) + c(1)),  # in BOTH lists — contributions add
+        12: (1, c(3)),
+        13: (1, c(2)),
+    }
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
