@@ -1407,6 +1407,18 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-and-shard (corpus.py::shard_corpus): the
+    reproducible global permutation + N-way sharding every
+    pretraining run applies before writing shard files — md5-derived
+    shard and within-shard order, no RNG, layout/retry-invariant.
+    The oracle replays the hash, the modulus, and the rank rule."""
+    from serd_spark.operators.corpus import shard_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_corpus(d, n_shards=8)
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-20 (['spark','query','data']) fused
     with embedding-cosine top-20 (query = vec 0) by reciprocal-rank
@@ -2257,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_decon": q_bloom_decon,
         "q_countmin": q_countmin,
         "q_rrf_fusion": q_rrf_fusion,
+        "q_shard": q_shard,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -4241,6 +4254,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#2')) AS h2,
                    MIN(md5(w || '#' || CAST(r AS VARCHAR) || '#3')) AS h3
             FROM r GROUP BY doc_id
+        """,
+        "q_shard": """
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 8 AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY CAST('0x' ||
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 8
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS pos
+            FROM documents
         """,
         # Both rankers replayed end-to-end (the BM25 CTE chain is the
         # q_bm25 oracle verbatim; the cosine list the q_cosine_topk

@@ -1158,3 +1158,44 @@ def rrf_fuse(
         F.count(F.lit(1)).cast("long").alias("n_lists"),
         F.sum("_c").cast("long").alias("rrf_micros"),
     )
+
+
+def shard_corpus(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shuffle-and-shard for training-data preparation:
+    every document gets a pseudo-random but REPRODUCIBLE (shard, pos)
+    — shard from an md5-derived hash of the id, position from the
+    md5-hex order within the shard (tie-break id). This is the
+    "globally shuffle the corpus, then write N shard files" step
+    every pretraining run needs, without RNG: re-running on the same
+    ids yields the identical permutation regardless of partition
+    layout, task retries, or cluster size (same argument as
+    ``stratified_sample``), and any engine can replay it.
+
+    Scale shape (100 TB): the shard assignment is a map-side
+    expression; materializing shards is
+    ``repartition(n_shards, 'shard') + sortWithinPartitions('key')``
+    — one shuffle, per-shard local sorts, no global order. The
+    explicit ``pos`` column (a rank window per shard) is the
+    CONTRACT'S value pin for the permutation; a production writer
+    drops it and lets the file order carry it.
+
+    Returns (id_col, shard, pos) with pos 1-based within shard.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return (
+        docs.select(F.col(id_col), shard, key.alias("_key"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

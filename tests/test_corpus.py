@@ -603,3 +603,39 @@ def test_rrf_fuse_hand_computed(spark):
     }
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_shard_corpus_deterministic_and_layout_invariant(spark):
+    import hashlib
+
+    import pytest as _pytest
+
+    from serd_spark.operators.corpus import shard_corpus
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_corpus(docs, n_shards=4).collect()
+    }
+    # python reference: md5-derived shard, md5-hex order within shard
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    want = {}
+    by_shard = {}
+    for i in range(200):
+        s = int(h(i)[:8], 16) % 4
+        by_shard.setdefault(s, []).append(i)
+    for s, ids in by_shard.items():
+        for pos, i in enumerate(sorted(ids, key=lambda x: (h(x), x)), 1):
+            want[i] = (s, pos)
+    assert out == want
+    # layout invariance: a different partitioning yields the identical
+    # permutation
+    out2 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_corpus(docs.repartition(7), n_shards=4).collect()
+    }
+    assert out2 == out
+    with _pytest.raises(ValueError):
+        shard_corpus(docs, n_shards=0)
