@@ -185,3 +185,45 @@ def test_write_zordered_files_bound_both_dims(spark, tmp_path):
     # and the layout never loses rows
     back = spark.read.parquet(out)
     assert back.count() == len(rows)
+
+
+def test_sketch_ops_plan_shapes(spark, sf):
+    """The round-4 sketch family's load-bearing plan properties:
+    partial (map-side) aggregation on every sketch build, a single
+    broadcast join in the count-min lookup, no Python stage
+    anywhere, and no sort over anything but the tiny bucket table."""
+    import __spark_entry__ as em
+
+    # hdr sketch: map-side partial agg; window sort only downstream
+    # of the bucket agg
+    p = plan_of(em.q_sketch_quantiles(spark, sf))
+    assert "partial_count" in p
+    assert "Python" not in p and "Arrow" not in p
+
+    # join counts use the simple tree ("formatted" prints every
+    # operator twice: once in the tree, once in the details section)
+    # count-min estimate: exactly ONE broadcast join for the lookup
+    p = plan_of(em.q_countmin(spark, sf), "simple")
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+    p = plan_of(em.q_countmin(spark, sf))
+    assert "partial_count" in p
+    assert "Python" not in p and "Arrow" not in p
+
+    # dsir: ratio + totals joins are broadcasts (the corpus-side
+    # scoring pass must stay shuffle-free up to the per-doc agg)
+    p = plan_of(em.q_dsir(spark, sf), "simple")
+    # ratio lookup is a keyed broadcast; the single-row totals join
+    # is a broadcast nested-loop (cross) join — nothing sort-merge
+    assert p.count("BroadcastHashJoin") >= 1
+    assert p.count("BroadcastNestedLoopJoin") >= 1
+    assert "SortMergeJoin" not in p
+    p = plan_of(em.q_dsir(spark, sf))
+    assert "Python" not in p and "Arrow" not in p
+
+    # bloom: all four membership joins are broadcast, none sort-merge
+    p = plan_of(em.q_bloom_decon(spark, sf), "simple")
+    assert p.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in p
+    p = plan_of(em.q_bloom_decon(spark, sf))
+    assert "Python" not in p and "Arrow" not in p
