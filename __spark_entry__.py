@@ -1960,6 +1960,35 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_distinct(docs, "text", by=["lang"], prefix_zeros=1)
 
 
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count (stats.py::hll_sketch/hll_estimate)
+    over the corpus token stream, certified against the exact
+    countDistinct. The register table is ONE hash aggregate bounded at
+    m=256 rows whatever the cardinality (the mergeable complement to
+    q_distinct_sketch's KMV sampling); the harmonic denominator is an
+    exact bigint (order-independent), so the DuckDB oracle replays
+    hash → bucket → rho → registers → estimate bit-for-bit. The final
+    join is 1 row × 1 row (two single-row aggregates), not a data
+    cross product."""
+    from serd_spark.operators.corpus import _min_parallelism
+    from serd_spark.operators.stats import hll_estimate, hll_sketch
+
+    d = _min_parallelism(_t(spark, sf_dir, "documents").select("text"))
+    words = d.select(
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    est = hll_estimate(hll_sketch(words, "w", p=8), p=8)
+    exact = words.agg(
+        F.countDistinct("w").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact))
+
+
 BPE_MERGES = 6
 
 
@@ -2258,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
+        "q_hll": q_hll,
         "q_bpe_train": q_bpe_train,
         "q_bpe_tokenize": q_bpe_tokenize,
         "q_pack_sequences": q_pack_sequences,
@@ -4123,6 +4153,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL
               AND substring(md5(text), 1, 1) = '0'
             GROUP BY lang
+        """,
+        # Replays the ENTIRE HyperLogLog independently: same 60-bit
+        # md5 hash, top-8-bit bucket, bin()-length rho (never
+        # floor(log2)), exact-integer harmonic denominator, and the
+        # identical left-associated double arithmetic for the
+        # bias-corrected / linear-counting estimate.
+        "q_hll": """
+            WITH d AS (
+              SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                       AS t
+              FROM documents
+            ), w AS (
+              SELECT unnest(string_split(t, ' ')) AS w FROM d
+            ), tok AS (
+              SELECT w FROM w WHERE w <> ''
+            ), h AS (
+              SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+              FROM tok
+            ), r AS (
+              SELECT h >> 52 AS bucket,
+                     MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0
+                              THEN 53
+                              ELSE 53 - length(bin(h & ((1::BIGINT << 52) - 1)))
+                         END) AS rho
+              FROM h GROUP BY bucket
+            ), a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_regs,
+                     CAST(SUM(1::BIGINT << CAST(53 - rho AS INTEGER))
+                          AS BIGINT) AS denom_used
+              FROM r
+            ), s AS (
+              SELECT CAST(256 AS BIGINT) AS m, n_regs,
+                     CAST(256 - n_regs AS BIGINT) AS zero_regs,
+                     CAST(denom_used + (256 - n_regs) * (1::BIGINT << 53)
+                          AS BIGINT) AS denom
+              FROM a
+            ), e AS (
+              SELECT m, n_regs, zero_regs, denom,
+                     ((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0)
+                       * 9007199254740992.0 / denom AS raw
+              FROM s
+            )
+            SELECT e.m, e.n_regs, e.zero_regs, e.denom,
+                   CAST(round(CASE WHEN raw <= 640.0 AND zero_regs > 0
+                                   THEN 256.0 * ln(256.0 / zero_regs)
+                                   ELSE raw END, 0) AS BIGINT) AS hll_est,
+                   (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM tok)
+                     AS exact_distinct
+            FROM e
         """,
         # Replays the ENTIRE log-linear sketch independently: same
         # clamped-and-self-corrected exponent (integer-shift compares

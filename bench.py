@@ -112,6 +112,8 @@ def main() -> None:
         "q_bloom_decon": entrymod.q_bloom_decon,
         "q_countmin": entrymod.q_countmin,
         "q_rrf_fusion": entrymod.q_rrf_fusion,
+        # round-4 session-4 additions
+        "q_hll": entrymod.q_hll,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

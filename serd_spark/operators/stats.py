@@ -375,3 +375,110 @@ def countmin_estimate(
             .alias("cms_est")
         )
     )
+
+
+def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): hash each
+    value to 60 bits (15 md5 hex chars — comfortably inside a signed
+    int64 for both engines), route the top ``p`` bits to one of
+    m = 2^p registers, and keep per register the MAX of
+    rho = (leading zeros of the remaining 60-p bits) + 1.
+
+    Why this shape at 100 TB: the register table is ONE hash aggregate
+    bounded at m rows regardless of cardinality, the MAX combines
+    map-side, and two sketches merge by register-wise MAX — the
+    textbook mergeable distinct sketch (vs `sketch_distinct`'s
+    KMV-style sampling, which keeps a data-dependent survivor set).
+    Deterministic md5 bucketing: no RNG, retry-invariant, and exactly
+    replayable by any engine with md5 + integer shifts; rho comes from
+    the BINARY-STRING length (``bin()``, identical in Spark and
+    DuckDB) rather than floor(log2(.)), so no float boundary can
+    disagree at exact powers of two.
+
+    Returns ``(bucket, rho)`` — absent bucket = empty register.
+    """
+    if not (4 <= p <= 14):
+        raise ValueError("p must be in [4, 14]")
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col(value_col), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from an ``hll_sketch`` register table.
+
+    The harmonic-mean denominator is accumulated as an EXACT integer:
+    each register contributes ``1 << (SCALE - rho)`` with
+    SCALE = (60-p)+1 (so the largest possible rho shifts by zero and
+    an empty register contributes ``1 << SCALE``) — integer addition
+    is order-independent, unlike summing 2^-rho doubles, so Spark's
+    arbitrary aggregation order and DuckDB's produce the same bigint.
+    The only float ops are one division by that bigint and (in the
+    small-range branch) one ln() — both on identical operands in both
+    engines, with the result rounded to an integer estimate.
+
+    Small-range correction (E <= 2.5m with empty registers) uses
+    linear counting m*ln(m/V); the 60-bit hash needs no large-range
+    branch at any cardinality this engine will see.
+
+    Returns one row: (m, n_regs, zero_regs, denom, hll_est).
+    """
+    m = 1 << p
+    scale = (60 - p) + 1
+    num = hll_alpha(m) * m * m * float(1 << scale)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(_shl(F.lit(1).cast("long"), F.lit(scale) - F.col("rho")))
+        .cast("long")
+        .alias("denom_used"),
+    )
+    staged = agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("n_regs"),
+        (F.lit(m) - F.col("n_regs")).cast("long").alias("zero_regs"),
+        (
+            F.col("denom_used")
+            + (F.lit(m) - F.col("n_regs")) * F.lit(1 << scale)
+        )
+        .cast("long")
+        .alias("denom"),
+    )
+    raw = F.lit(num) / F.col("denom")
+    small = (raw <= F.lit(2.5 * m)) & (F.col("zero_regs") > 0)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_regs"))
+    return staged.select(
+        "m",
+        "n_regs",
+        "zero_regs",
+        "denom",
+        F.round(F.when(small, linear).otherwise(raw), 0)
+        .cast("long")
+        .alias("hll_est"),
+    )

@@ -338,3 +338,87 @@ def test_countmin_validates(spark):
         countmin_sketch(df, "w", depth=0)
     with _pytest.raises(ValueError):
         countmin_sketch(df, "w", width=1)
+
+
+# ---------------------------------------------------------------- hyperloglog
+
+
+def _hll_ref_register(value: str, p: int = 8):
+    # independent pure-Python reference: 60-bit md5 prefix, top-p
+    # bucket, leading-zero rank of the remaining bits
+    import hashlib
+
+    h = int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
+    wbits = 60 - p
+    bucket = h >> wbits
+    w = h & ((1 << wbits) - 1)
+    rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+    return bucket, rho
+
+
+def test_hll_registers_match_python_reference(spark):
+    from serd_spark.operators.stats import hll_sketch
+
+    vals = [f"tok-{i}" for i in range(500)] + ["", "a", "élève"]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r.bucket: r.rho for r in hll_sketch(df, "v").collect()}
+    want: dict = {}
+    for v in vals:
+        b, r = _hll_ref_register(v)
+        want[b] = max(want.get(b, 0), r)
+    assert got == want
+
+
+def test_hll_estimate_tracks_distinct_not_rows(spark):
+    from serd_spark.operators.stats import hll_estimate, hll_sketch
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .selectExpr("concat('value-', id) AS v")
+        .union(spark.range(n).selectExpr("concat('value-', id) AS v"))
+    )
+    row = hll_estimate(hll_sketch(df, "v", p=8), p=8).collect()[0]
+    # standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(row.hll_est - n) / n < 0.20
+    assert row.m == 256 and row.n_regs + row.zero_regs == 256
+    again = hll_estimate(hll_sketch(df, "v", p=8), p=8).collect()[0]
+    assert row.asDict() == again.asDict()
+
+
+def test_hll_small_range_linear_counting(spark):
+    from serd_spark.operators.stats import hll_estimate, hll_sketch
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(5)], ["v"])
+    row = hll_estimate(hll_sketch(df, "v"), p=8).collect()[0]
+    assert row.zero_regs > 0
+    assert 3 <= row.hll_est <= 8  # m*ln(m/V) near the true 5
+
+
+def test_hll_sketches_merge_by_register_max(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.stats import hll_estimate, hll_sketch
+
+    a = spark.createDataFrame([(f"t{i}",) for i in range(0, 600)], ["v"])
+    b = spark.createDataFrame([(f"t{i}",) for i in range(300, 900)], ["v"])
+    merged = (
+        hll_sketch(a, "v")
+        .union(hll_sketch(b, "v"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_sketch(a.union(b), "v")
+    est_m = hll_estimate(merged).collect()[0]
+    est_w = hll_estimate(whole).collect()[0]
+    assert est_m.asDict() == est_w.asDict()
+
+
+def test_hll_validates_p(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.stats import hll_sketch
+
+    df = spark.createDataFrame([("x",)], ["v"])
+    with _pytest.raises(ValueError):
+        hll_sketch(df, "v", p=2)
