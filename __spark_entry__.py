@@ -1842,6 +1842,23 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(enc, books, q, top_k=10)
 
 
+def q_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization + quantized-L2 top-k
+    (operators/quant.py): per-dimension min/max stats (one dim-keyed
+    aggregate), a shuffle-free encode to one byte per dimension (4×
+    smaller vector storage at 100 TB), and the vec-0 query answered
+    with pure-integer codegen arithmetic — query codes and spans fold
+    in as literals, like q_pq_search's ADC table. The oracle replays
+    stats → codes → distance → top-k from raw parquet with identical
+    non-negative integer division everywhere."""
+    from serd_spark.operators.quant import sq_encode, sq_stats, sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = sq_stats(emb)
+    q = list(emb.filter(F.col("vec_id") == 0).first().embedding)
+    return sq_topk(sq_encode(emb, lo, hi), lo, hi, q, top_k=10)
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table exact k-means (k=8, 5 Lloyd rounds) over the
     embeddings table — operators/clustering.py. Power-of-two
@@ -2279,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_semdedup": q_semdedup,
         "q_pq_search": q_pq_search,
+        "q_sq8": q_sq8,
         "q_dedup_incremental": q_dedup_incremental,
         "q_line_dedup": q_line_dedup,
         "q_host_graph": q_host_graph,
@@ -4073,6 +4091,42 @@ def oracle_sql() -> dict[str, str]:
             FROM asg LEFT JOIN dups USING (vec_id)
         """,
         "q_pq_search": _pq_oracle_sql(n_iter=3, k=16),
+        # Replays the ENTIRE SQ8 pipeline from raw parquet: floor(v *
+        # 2^20) quantization, per-dimension min/max, the 255-level
+        # code rule, the query's own codes, and the span-scaled
+        # integer distance — all operands non-negative at the
+        # divisions, so //, div and numpy floor-div agree.
+        "q_sq8": """
+            WITH vm AS (
+              SELECT vec_id, i - 1 AS d,
+                     CAST(floor(embedding[i]::DOUBLE * 1048576) AS BIGINT)
+                       AS q
+              FROM (SELECT vec_id, embedding,
+                           unnest(generate_series(1, 64)) AS i
+                    FROM embeddings)
+            ), st AS (
+              SELECT d, MIN(q) AS lo, MAX(q) AS hi FROM vm GROUP BY d
+            ), codes AS (
+              SELECT vm.vec_id, vm.d,
+                     CASE WHEN st.hi = st.lo THEN 0
+                          ELSE CAST(((vm.q - st.lo) * 255)
+                                    // (st.hi - st.lo) AS BIGINT)
+                     END AS c
+              FROM vm JOIN st USING (d)
+            ), qc AS (
+              SELECT d, c AS qcode FROM codes WHERE vec_id = 0
+            ), dist AS (
+              SELECT codes.vec_id,
+                     CAST(SUM(
+                       ((abs(codes.c - qc.qcode) * (st.hi - st.lo)) // 255)
+                       * ((abs(codes.c - qc.qcode) * (st.hi - st.lo)) // 255)
+                     ) AS BIGINT) AS sq_dist
+              FROM codes JOIN qc USING (d) JOIN st USING (d)
+              GROUP BY codes.vec_id
+            )
+            SELECT vec_id, sq_dist FROM dist
+            ORDER BY sq_dist ASC, vec_id ASC LIMIT 10
+        """,
         # Brute-force canonical a<b<c three-way self-join — the exact
         # count the degree-oriented wedge join must reproduce.
         "q_triangles": """

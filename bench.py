@@ -114,6 +114,7 @@ def main() -> None:
         "q_rrf_fusion": entrymod.q_rrf_fusion,
         # round-4 session-4 additions
         "q_hll": entrymod.q_hll,
+        "q_sq8": entrymod.q_sq8,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

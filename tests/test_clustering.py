@@ -186,3 +186,67 @@ def test_semdedup_matches_python_reference(spark):
                for r in semdedup(df.repartition(13), k=3, n_iter=3,
                                  threshold=0.9).collect())
     assert a == b
+
+
+# ------------------------------------------------------------ sq8 quantization
+
+
+def test_sq8_codes_span_and_roundtrip_bound(spark):
+    from serd_spark.operators.clustering import _quantize
+    from serd_spark.operators.quant import sq_encode, sq_stats
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 8)).astype(np.float32)
+    vecs[:, 3] = 0.5  # constant dimension: span 0 must encode as 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lo, hi = sq_stats(df)
+    assert lo.shape == (8,) and (hi >= lo).all()
+    got = {r.vec_id: np.array(r.codes) for r in sq_encode(df, lo, hi).collect()}
+    allc = np.stack([got[i] for i in range(80)])
+    assert allc.min() >= 0 and allc.max() <= 255
+    assert (allc[:, 3] == 0).all()  # constant dim
+    # per-dim extremes hit the code range ends (except the constant dim)
+    for d in [0, 1, 2, 4, 5, 6, 7]:
+        assert allc[:, d].min() == 0 and allc[:, d].max() == 255
+    # reconstruction error bounded by one quantization step per dim
+    q = _quantize(vecs.astype(np.float64))
+    span = (hi - lo).astype(np.int64)
+    decoded = lo + (allc.astype(np.int64) * np.where(span == 0, 1, span)) // 255
+    assert (np.abs(decoded - q) <= np.maximum(span // 255 + 1, 1)).all()
+
+
+def test_sq8_topk_matches_numpy_reference(spark):
+    from serd_spark.operators.clustering import _quantize
+    from serd_spark.operators.quant import sq_encode, sq_stats, sq_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50, 6)).astype(np.float32)
+    vecs[9] = vecs[2]  # exact duplicate: identical codes, dist 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lo, hi = sq_stats(df)
+    enc = sq_encode(df, lo, hi)
+    got = sq_topk(enc, lo, hi, [float(x) for x in vecs[2]], top_k=5).collect()
+    # numpy replay of the exact integer rule
+    q = _quantize(vecs.astype(np.float64))
+    span = (hi - lo).astype(np.int64)
+    safe = np.where(span == 0, 1, span)
+    codes = np.where(span == 0, 0, ((q - lo) * 255) // safe)
+    qc = codes[2]
+    d = ((np.abs(codes - qc) * span) // 255) ** 2
+    dist = d.sum(axis=1)
+    order = sorted(range(50), key=lambda i: (dist[i], i))[:5]
+    assert [r.vec_id for r in got] == order
+    assert got[0].sq_dist == 0 and got[1].sq_dist == 0
+    assert {got[0].vec_id, got[1].vec_id} == {2, 9}
+
+
+def test_sq8_stats_empty_raises(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.quant import sq_stats
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        sq_stats(df)
