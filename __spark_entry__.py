@@ -2006,6 +2006,25 @@ def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact))
 
 
+MIX_WEIGHTS = {"en": 300, "zh": 250, "es": 200, "de": 150, "fr": 100}
+
+
+def q_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (corpus.py::mix_domains): derive each
+    language's keep-rate from target per-mille shares + an 80% token
+    budget, then md5-threshold sample to hit the mixture. zh's target
+    exceeds its corpus share, so its rate caps at 1e6 ppm — both the
+    capped and proportional branches are exercised. The oracle replays
+    token counts, the overflow-safe two-step rate division, and the
+    (u32*1e6)>>32 membership rule."""
+    from serd_spark.operators.corpus import _min_parallelism, mix_domains
+
+    docs = _min_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    return mix_domains(docs, MIX_WEIGHTS, budget_num=4, budget_den=5)
+
+
 BPE_MERGES = 6
 
 
@@ -2306,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantiles": q_quantiles,
         "q_distinct_sketch": q_distinct_sketch,
         "q_hll": q_hll,
+        "q_mix": q_mix,
         "q_bpe_train": q_bpe_train,
         "q_bpe_tokenize": q_bpe_tokenize,
         "q_pack_sequences": q_pack_sequences,
@@ -4256,6 +4276,54 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM tok)
                      AS exact_distinct
             FROM e
+        """,
+        # Replays the mixture pipeline end-to-end: token counts, the
+        # per-domain aggregate, the overflow-safe two-step rate
+        # division, and the (u32*1e6)>>32 membership rule.
+        "q_mix": """
+            WITH toks AS (
+              SELECT lang AS stratum, doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS n_toks
+              FROM documents
+            ), dom AS (
+              SELECT stratum, CAST(COUNT(*) AS BIGINT) AS total_docs,
+                     CAST(SUM(n_toks) AS BIGINT) AS total_toks
+              FROM toks GROUP BY stratum
+            ), tot AS (
+              SELECT CAST(SUM(total_toks) AS BIGINT) AS corpus_toks FROM dom
+            ), w AS (
+              SELECT * FROM (VALUES ('en', 300), ('zh', 250), ('es', 200),
+                                    ('de', 150), ('fr', 100))
+                     AS t(stratum, w_milli)
+            ), rates AS (
+              SELECT d.stratum,
+                     CAST(COALESCE(w.w_milli, 0) AS BIGINT) AS w_milli,
+                     d.total_docs, d.total_toks,
+                     CAST(CASE WHEN d.total_toks = 0 THEN 0
+                          ELSE least(1000000,
+                            (((tot.corpus_toks * 4) // 5)
+                              * COALESCE(w.w_milli, 0))
+                              // d.total_toks * 1000
+                            + ((((tot.corpus_toks * 4) // 5)
+                              * COALESCE(w.w_milli, 0))
+                              % d.total_toks) * 1000 // d.total_toks)
+                     END AS BIGINT) AS rate_ppm
+              FROM dom d LEFT JOIN w USING (stratum), tot
+            ), kept AS (
+              SELECT t.stratum, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+                     CAST(SUM(t.n_toks) AS BIGINT) AS kept_toks
+              FROM toks t JOIN rates r USING (stratum)
+              WHERE (CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) * 1000000) >> 32 < r.rate_ppm
+              GROUP BY t.stratum
+            )
+            SELECT r.stratum, r.w_milli, r.total_docs, r.total_toks,
+                   r.rate_ppm,
+                   CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+                   CAST(COALESCE(k.kept_toks, 0) AS BIGINT) AS kept_toks
+            FROM rates r LEFT JOIN kept k USING (stratum)
         """,
         # Replays the ENTIRE log-linear sketch independently: same
         # clamped-and-self-corrected exponent (integer-shift compares

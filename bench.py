@@ -115,6 +115,7 @@ def main() -> None:
         # round-4 session-4 additions
         "q_hll": entrymod.q_hll,
         "q_sq8": entrymod.q_sq8,
+        "q_mix": entrymod.q_mix,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

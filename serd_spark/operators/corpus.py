@@ -1199,3 +1199,124 @@ def shard_corpus(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def mix_domains(
+    docs: DataFrame,
+    weights_milli: dict[str, int],
+    budget_num: int = 4,
+    budget_den: int = 5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture resampling: given per-domain TARGET shares (in
+    per-mille, the DoReMi/Pile-style mixture spec) and a token budget
+    (a fraction of the corpus total), derive each domain's keep-rate
+    from the data and sample deterministically to hit the mixture.
+    This is the step between "measured corpus composition" and
+    "training mixture the paper specifies" — `stratified_sample`
+    takes rates as constants; this computes them.
+
+    rate_d = min(1, budget * w_d / tokens_d), carried in ppm as an
+    EXACT integer via two-step long division
+    ``(n div d) * 1000 + ((n mod d) * 1000) div d`` with
+    n = budget * w_milli — floor((n*1000)/d) without ever forming
+    n*1000 (at 100 TB, budget ~ 1e13 tokens × w ≤ 1000 is 1e16;
+    multiplying by 1000 again would overflow int64, the remainder
+    path cannot). Membership is the repo's standard md5 threshold —
+    u_ppm = (u32 * 1e6) >> 32 compared below rate_ppm — a pure
+    function of the row: retry/layout-invariant, engine-replayable,
+    monotone in the rate.
+
+    Scale shape: two domain-keyed hash aggregates (map-side combined,
+    bounded keys), one single-row total, a broadcast of the per-domain
+    rate table, and a map-side filter. The corpus shuffles ONCE (the
+    per-domain token aggregate); the sample itself never shuffles.
+
+    Returns per domain: (stratum, w_milli, total_docs, total_toks,
+    rate_ppm, kept_docs, kept_toks).
+    """
+    if budget_num < 0 or budget_den <= 0 or budget_num > budget_den:
+        raise ValueError("budget fraction must satisfy 0 <= num <= den")
+    if any(w < 0 for w in weights_milli.values()):
+        raise ValueError("weights must be non-negative")
+    from serd_spark.operators.text import token_count
+
+    toks = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_toks"),
+    )
+    dom = toks.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum("n_toks").cast("long").alias("total_toks"),
+    )
+    total = dom.agg(
+        F.sum("total_toks").cast("long").alias("_corpus_toks")
+    )
+    w_expr = F.lit(0).cast("long")
+    for s, w in sorted(weights_milli.items()):
+        w_expr = F.when(F.col("stratum") == s, F.lit(int(w))).otherwise(
+            w_expr
+        )
+    # budget = floor(corpus_toks * num / den); n = budget * w_milli;
+    # rate_ppm = min(1e6, floor(n * 1000 / total_toks)) via the
+    # overflow-safe two-step division described above
+    n = (
+        F.expr(f"(_corpus_toks * {int(budget_num)}) div {int(budget_den)}")
+        * F.col("w_milli")
+    ).cast("long")
+    rates = (
+        dom.join(F.broadcast(total))
+        .withColumn("w_milli", w_expr.cast("long"))
+        .withColumn("_n", n)
+        .withColumn(
+            "rate_ppm",
+            # total_toks = 0 (a domain of empty texts) has nothing to
+            # sample — pin rate 0 BEFORE the division so ANSI mode
+            # never sees a div-by-zero
+            F.when(F.col("total_toks") == 0, F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.lit(1_000_000).cast("long"),
+                    (
+                        F.expr("(_n div greatest(total_toks, 1L)) * 1000")
+                        + F.expr(
+                            "((_n % greatest(total_toks, 1L)) * 1000)"
+                            " div greatest(total_toks, 1L)"
+                        )
+                    ).cast("long"),
+                )
+            ),
+        )
+        .select("stratum", "w_milli", "total_docs", "total_toks", "rate_ppm")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u_ppm = F.shiftright(u32 * F.lit(1_000_000), 32)
+    kept = (
+        toks.join(F.broadcast(rates.select("stratum", "rate_ppm")), "stratum")
+        .filter(u_ppm < F.col("rate_ppm"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_toks").cast("long").alias("kept_toks"),
+        )
+    )
+    return (
+        rates.join(kept, "stratum", "left")
+        .select(
+            "stratum",
+            "w_milli",
+            "total_docs",
+            "total_toks",
+            "rate_ppm",
+            F.coalesce(F.col("kept_docs"), F.lit(0).cast("long")).alias(
+                "kept_docs"
+            ),
+            F.coalesce(F.col("kept_toks"), F.lit(0).cast("long")).alias(
+                "kept_toks"
+            ),
+        )
+    )

@@ -639,3 +639,72 @@ def test_shard_corpus_deterministic_and_layout_invariant(spark):
     assert out2 == out
     with _pytest.raises(ValueError):
         shard_corpus(docs, n_shards=0)
+
+
+# ---------------------------------------------------------------- mix_domains
+
+
+def test_mix_domains_rates_match_python_replay(spark):
+    import hashlib
+
+    from serd_spark.operators.corpus import mix_domains
+
+    rows = []
+    texts = {"a": "w " * 50, "b": "w " * 10, "c": "w " * 5}
+    for i in range(90):
+        lang = ["a", "b", "c"][i % 3]
+        rows.append((i, lang, texts[lang].strip()))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    weights = {"a": 100, "b": 700}  # c unlisted -> rate 0
+    out = {
+        r.stratum: r
+        for r in mix_domains(
+            df, weights, budget_num=1, budget_den=2
+        ).collect()
+    }
+    # python replay of the exact integer rule
+    toks = {"a": 30 * 50, "b": 30 * 10, "c": 30 * 5}
+    corpus = sum(toks.values())
+    budget = (corpus * 1) // 2
+    for lang in ["a", "b", "c"]:
+        n = budget * weights.get(lang, 0)
+        t = toks[lang]
+        want = min(1_000_000, (n // t) * 1000 + ((n % t) * 1000) // t)
+        assert out[lang].rate_ppm == want, lang
+        assert out[lang].total_toks == t
+        # membership replay
+        kept = 0
+        for i in range(90):
+            if ["a", "b", "c"][i % 3] != lang:
+                continue
+            u32 = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            if (u32 * 1_000_000) >> 32 < want:
+                kept += 1
+        assert out[lang].kept_docs == kept, lang
+    assert out["c"].rate_ppm == 0 and out["c"].kept_docs == 0
+    # b's target (70% of a 50% budget = 35% of corpus) far exceeds its
+    # ~15% share: the rate must cap and keep everything
+    assert out["b"].rate_ppm == 1_000_000
+    assert out["b"].kept_docs == 30 and out["b"].kept_toks == toks["b"]
+
+
+def test_mix_domains_empty_text_domain_and_validation(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.corpus import mix_domains
+
+    df = spark.createDataFrame(
+        [(1, "x", ""), (2, "x", "  "), (3, "y", "one two")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.stratum: r for r in mix_domains(df, {"x": 500, "y": 500}).collect()}
+    # all-empty domain: zero tokens -> rate 0, and no div-by-zero
+    assert out["x"].total_toks == 0 and out["x"].rate_ppm == 0
+    assert out["x"].kept_docs == 0
+    # corpus 2 toks -> budget floor((2*4)/5)=1; y target 500‰ of 1 tok
+    # over its 2 toks = 25%
+    assert out["y"].rate_ppm == 250_000
+    with _pytest.raises(ValueError):
+        mix_domains(df, {"x": -1})
+    with _pytest.raises(ValueError):
+        mix_domains(df, {"x": 1}, budget_num=3, budget_den=2)
