@@ -1577,6 +1577,28 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=3, undirected=False).orderBy("node")
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graph.py::hits) over the anchor-href
+    host graph — the directed complement to q_host_rank's PageRank:
+    hub scores reward pages that point AT authorities, authority
+    scores reward being pointed at by hubs. Integer micros with
+    quantized-L1 normalization (one floor division by a global
+    scalar per update — no L2 sqrt to disagree on). The oracle
+    re-derives the edges from raw page bytes AND replays both score
+    vectors through all iterations."""
+    from serd_spark.operators.corpus import host_graph
+    from serd_spark.operators.graph import hits
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta", lambda: _pages(spark, sf_dir).select("url", "html")
+    )
+    edges = host_graph(pages).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return hits(edges, n_iter=3).orderBy("node")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-host line-level boilerplate removal over the
     synthesized pages corpus (corpus.py::line_dedup_stats): a line is
@@ -2320,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_host_graph": q_host_graph,
         "q_host_rank": q_host_rank,
+        "q_hits": q_hits,
         "q_domain_cap": q_domain_cap,
         "q_range_join": q_range_join,
         "q_quantiles": q_quantiles,
@@ -2424,6 +2447,79 @@ def _pagerank_oracle_sql(
           ) infl ON infl.node = nd.node
         )""")
     return head + "".join(iters) + f"\n        SELECT node, rank_micros FROM r{n_iter}"
+
+
+def _hits_oracle_sql(n_iter: int, dir_edges_sql: str) -> str:
+    """Replays operators/graph.py's integer-micros HITS as chained
+    CTEs — per iteration: authority inflow sum, quantized-L1 divisor
+    ``greatest(1, sum div 1e6)``, floor-divided normalize, then the
+    same for hubs. Integer arithmetic throughout, so the match is
+    bit-exact."""
+    head = f"""
+        WITH dir_edges AS ({dir_edges_sql}
+        ), edges AS (
+          SELECT DISTINCT src, dst FROM dir_edges
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        ), nodes AS (
+          SELECT src AS node FROM edges
+          UNION
+          SELECT dst AS node FROM edges
+        ), h0 AS (
+          SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes
+        )"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f""", a{i}_raw AS (
+          SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS raw
+          FROM h{i - 1} h JOIN edges e ON e.src = h.node
+          GROUP BY e.dst
+        ), a{i}_div AS (
+          SELECT greatest(1, CAST(COALESCE(SUM(raw), 0) // 1000000
+                               AS BIGINT)) AS d
+          FROM a{i}_raw
+        ), a{i} AS (
+          SELECT nd.node,
+                 CAST(COALESCE(r.raw, 0) // (SELECT d FROM a{i}_div)
+                      AS BIGINT) AS auth
+          FROM nodes nd LEFT JOIN a{i}_raw r ON r.node = nd.node
+        ), h{i}_raw AS (
+          SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS raw
+          FROM a{i} a JOIN edges e ON e.dst = a.node
+          GROUP BY e.src
+        ), h{i}_div AS (
+          SELECT greatest(1, CAST(COALESCE(SUM(raw), 0) // 1000000
+                               AS BIGINT)) AS d
+          FROM h{i}_raw
+        ), h{i} AS (
+          SELECT nd.node,
+                 CAST(COALESCE(r.raw, 0) // (SELECT d FROM h{i}_div)
+                      AS BIGINT) AS hub
+          FROM nodes nd LEFT JOIN h{i}_raw r ON r.node = nd.node
+        )""")
+    tail = f"""
+        SELECT h.node, h.hub AS hub_micros, a.auth AS auth_micros
+        FROM h{n_iter} h JOIN a{n_iter} a USING (node)"""
+    return head + "".join(iters) + tail
+
+
+# Directed host→host link edges re-derived from raw page bytes —
+# shared by the q_host_rank (PageRank) and q_hits (HITS) oracles so
+# both replay the identical edge extraction.
+_HOST_DIR_EDGES_SQL = f"""
+          SELECT src_host AS src, dst_host AS dst FROM (
+            SELECT a.src_host,
+                   lower(regexp_extract(a.href,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                     AS dst_host
+            FROM (
+              SELECT lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                       AS src_host,
+                     unnest(regexp_extract_all(decode(html),
+                       'href="([^"]*)"', 1)) AS href
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ) a
+          ) WHERE src_host <> '' AND dst_host <> ''"""
 
 
 _TRADE_EDGES_SQL = """
@@ -4065,22 +4161,12 @@ def oracle_sql() -> dict[str, str]:
         "q_host_rank": _pagerank_oracle_sql(
             n_iter=3,
             undirected=False,
-            dir_edges_sql=f"""
-          SELECT src_host AS src, dst_host AS dst FROM (
-            SELECT a.src_host,
-                   lower(regexp_extract(a.href,
-                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
-                     AS dst_host
-            FROM (
-              SELECT lower(regexp_extract(url,
-                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
-                       AS src_host,
-                     unnest(regexp_extract_all(decode(html),
-                       'href="([^"]*)"', 1)) AS href
-              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
-            ) a
-          ) WHERE src_host <> '' AND dst_host <> ''""",
+            dir_edges_sql=_HOST_DIR_EDGES_SQL,
         ),
+        # HITS over the same re-derived host edges: both score
+        # vectors replayed through all iterations with the identical
+        # quantized-L1 integer normalization.
+        "q_hits": _hits_oracle_sql(n_iter=3, dir_edges_sql=_HOST_DIR_EDGES_SQL),
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
         "q_kmeans": _kmeans_oracle_sql(n_iter=5, k=8),

@@ -116,6 +116,7 @@ def main() -> None:
         "q_hll": entrymod.q_hll,
         "q_sq8": entrymod.q_sq8,
         "q_mix": entrymod.q_mix,
+        "q_hits": entrymod.q_hits,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -276,3 +276,96 @@ def label_propagation(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    table; returns (node, hub_micros, auth_micros). The complement to
+    ``pagerank`` for a web link graph: authorities are pages pointed
+    AT by good hubs (content), hubs point TO good authorities
+    (directories) — the asymmetry PageRank's single score collapses.
+
+    Determinism across engines (same discipline as ``pagerank``):
+    everything is integer micros. Classic HITS L2-normalizes each
+    vector — a float sqrt no two engines sum identically — so this
+    uses QUANTIZED L1 normalization: after each update the vector is
+    floor-divided by ``greatest(1, sum div 1e6)``, bringing its total
+    mass back to ~1e6 micros. One integer division per node by a
+    global scalar — order-independent, replayable bit-for-bit, and
+    overflow-safe without double-width products (raw values are
+    bounded by 1e6 × max-degree, never multiplied up). Relative
+    ranking — the thing HITS is for — is unaffected by the norm
+    choice.
+
+    Scale shape: per iteration two hash joins (the score table is
+    nodes-sized — AQE broadcasts it when it fits) + two
+    partial-combining aggregates + one single-row sum (broadcast back
+    as a scalar). Lineage cut every ``checkpoint_every`` iterations;
+    no driver collect anywhere.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        # quantized-L1: floor-divide by greatest(1, total div 1e6) so
+        # the vector's mass returns to ~RANK_UNIT micros
+        total = raw.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"sum({col}) div {RANK_UNIT}").cast("long"),
+            ).alias("_div")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .join(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(f"coalesce({col}, 0L) div _div")
+                .cast("long")
+                .alias(col),
+            )
+        )
+
+    hubs = nodes.withColumn("hub", F.lit(RANK_UNIT).cast("long"))
+    auth = nodes.withColumn("auth", F.lit(0).cast("long"))
+    for it in range(n_iter):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").cast("long").alias("auth"))
+        )
+        auth = _normalized(a_raw, "auth")
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").cast("long").alias("hub"))
+        )
+        hubs = _normalized(h_raw, "hub")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return hubs.join(auth, "node").select(
+        "node",
+        F.col("hub").alias("hub_micros"),
+        F.col("auth").alias("auth_micros"),
+    )

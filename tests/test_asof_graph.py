@@ -194,3 +194,67 @@ def test_label_propagation_two_cliques(spark):
     # deterministic under re-run
     lab2 = {r.node: r.label for r in label_propagation(df, n_iter=5).collect()}
     assert lab2 == lab
+
+
+def _hits_py(edges, n_iter=3):
+    """Independent integer replay of graph.py::hits' documented
+    arithmetic: quantized-L1 normalization — floor-divide each raw
+    vector by greatest(1, sum // 1e6)."""
+    e = {(s, d) for s, d in edges if s != d}
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {v: 1_000_000 for v in nodes}
+
+    def _norm(raw):
+        div = max(1, sum(raw.values()) // 1_000_000)
+        return {v: raw.get(v, 0) // div for v in nodes}
+
+    for _ in range(n_iter):
+        a_raw = {}
+        for s, d in e:
+            a_raw[d] = a_raw.get(d, 0) + hub[s]
+        auth = _norm(a_raw)
+        h_raw = {}
+        for s, d in e:
+            h_raw[s] = h_raw.get(s, 0) + auth[d]
+        hub = _norm(h_raw)
+    return hub, auth
+
+
+def test_hits_matches_independent_integer_replay(spark):
+    from serd_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (4, 3), (4, 2), (2, 5), (3, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits(df, n_iter=3).collect()
+    got_h = {r["node"]: r["hub_micros"] for r in rows}
+    got_a = {r["node"]: r["auth_micros"] for r in rows}
+    exp_h, exp_a = _hits_py(edges, n_iter=3)
+    assert got_h == exp_h and got_a == exp_a
+
+
+def test_hits_bipartite_hub_authority_asymmetry(spark):
+    from serd_spark.operators.graph import hits
+
+    # directory pages 0,1 each link to content pages 10..13: the
+    # directories must score as hubs (0 authority), the content as
+    # authorities (0 hub) — the asymmetry PageRank can't express
+    edges = [(h, a) for h in (0, 1) for a in (10, 11, 12, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits(df, n_iter=3).collect()
+    hub = {r["node"]: r["hub_micros"] for r in rows}
+    auth = {r["node"]: r["auth_micros"] for r in rows}
+    assert hub[0] == hub[1] > 0 and auth[0] == auth[1] == 0
+    assert auth[10] == auth[13] > 0 and hub[10] == 0
+    # self-loops and duplicate edges are ignored
+    df2 = spark.createDataFrame(edges + [(0, 0), (0, 10)], "src long, dst long")
+    rows2 = hits(df2, n_iter=3).collect()
+    assert {(r["node"], r["hub_micros"], r["auth_micros"]) for r in rows2} == {
+        (r["node"], r["hub_micros"], r["auth_micros"]) for r in rows
+    }
+
+
+def test_hits_empty_edges(spark):
+    from serd_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits(df, n_iter=2).count() == 0
