@@ -1387,6 +1387,44 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(d, F.col("lang") == "en", n_buckets=512)
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style weak-label quality classifier
+    (classify.py::nb_quality): multinomial Naive Bayes trained in one
+    hash aggregate on "source is in the trusted set" labels, then
+    every document scored by a broadcast-model join — the classifier
+    family whose training IS a groupBy, so the whole fit+score is
+    SQL-replayable. All log terms integer micros; pred = keep
+    decision. The oracle rebuilds counts, totals, vocabulary size,
+    prior and every document score from raw text."""
+    from serd_spark.operators.classify import nb_quality
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return nb_quality(
+        d, F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+
+
+# shared by the Spark query and the DuckDB oracle so the two engines
+# can never disagree on the dictionary (the SQL VALUES list is
+# generated from this exact list)
+_GAZETTEER = ["spark", "hash join", "sort merge", "data stream", "window"]
+
+
+def q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based entity-mention extraction
+    (classify.py::gazetteer_mentions) — the FlashText/gazetteer step
+    that seeds KG entity linking: a broadcast dictionary of 1- and
+    2-token surface forms matched against every document's token
+    stream (bigrams formed from the shifted token array, never a
+    positional self-join). The oracle re-derives unigram and bigram
+    candidates with a positional lateral unnest and joins the same
+    VALUES dictionary."""
+    from serd_spark.operators.classify import gazetteer_mentions
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gazetteer_mentions(d, _GAZETTEER)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2361,6 +2399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_countmin": q_countmin,
         "q_rrf_fusion": q_rrf_fusion,
         "q_shard": q_shard,
+        "q_nb_quality": q_nb_quality,
+        "q_gazetteer": q_gazetteer,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -4514,6 +4554,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(r.lr) AS BIGINT) > 0 AS selected
             FROM feats f JOIN ratios r USING (b)
             GROUP BY f.doc_id
+        """,
+        # Naive Bayes quality classifier: class-conditional counts,
+        # totals, vocabulary size, add-1 log terms (each rounded to
+        # micros BEFORE the per-doc sum), doc prior, and every score
+        # rebuilt from raw text + the same weak-label rule.
+        "q_nb_quality": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN source IN ('src0','src1','src2','src3')
+                          THEN 1 ELSE 0 END AS y,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                       AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, y, unnest(string_split(t, ' ')) AS w FROM d
+            ), words2 AS (
+              SELECT doc_id, y, w FROM words WHERE w <> ''
+            ), counts AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS c_pos
+              FROM words2 GROUP BY w
+            ), tot AS (
+              SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+                     CAST(SUM(n - c_pos) AS BIGINT) AS t_neg,
+                     CAST(COUNT(*) AS BIGINT) AS v
+              FROM counts
+            ), model AS (
+              SELECT w,
+                     CAST(round(ln((c_pos + 1)
+                                   / CAST(t_pos + v AS DOUBLE)) * 1000000)
+                          AS BIGINT)
+                   - CAST(round(ln((n - c_pos + 1)
+                                   / CAST(t_neg + v AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS llr_micros
+              FROM counts, tot
+            ), prior AS (
+              SELECT CAST(round(ln((SUM(y) + 1)
+                                   / CAST(SUM(1 - y) + 1 AS DOUBLE))
+                                * 1000000) AS BIGINT) AS prior_micros
+              FROM d
+            ), score AS (
+              SELECT s.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_toks,
+                     CAST(SUM(m.llr_micros) AS BIGINT) AS llr_sum_micros
+              FROM words2 s JOIN model m USING (w)
+              GROUP BY s.doc_id
+            )
+            SELECT doc_id, n_toks, llr_sum_micros,
+                   CAST(llr_sum_micros + p.prior_micros AS BIGINT)
+                     AS score_micros,
+                   CAST(CASE WHEN llr_sum_micros + p.prior_micros > 0
+                             THEN 1 ELSE 0 END AS INT) AS pred
+            FROM score CROSS JOIN prior p
+        """,
+        # Gazetteer mentions: unigram + bigram candidates re-derived
+        # with a positional lateral unnest, joined to the VALUES
+        # dictionary generated from the SAME Python list as the Spark
+        # query (a unigram never contains a space, so string equality
+        # alone cannot cross arities).
+        "q_gazetteer": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS arr
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, unnest(arr) AS g FROM tok
+            ), bi AS (
+              SELECT doc_id, arr[i.x] || ' ' || arr[i.x + 1] AS g
+              FROM tok, LATERAL (
+                SELECT unnest(range(1, len(arr))) AS x) i
+            ), cand AS (
+              SELECT doc_id, g FROM uni
+              UNION ALL SELECT doc_id, g FROM bi
+            ), dict(entity) AS (
+              VALUES {", ".join("('" + e + "')" for e in _GAZETTEER)}
+            )
+            SELECT c.doc_id, d.entity,
+                   CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM cand c JOIN dict d ON c.g = d.entity
+            GROUP BY c.doc_id, d.entity
         """,
         # Weighted-minhash signature replayed wholesale: tokenize →
         # per-(doc, word) tf capped at 8 → generate_series replicas →
