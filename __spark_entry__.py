@@ -1425,6 +1425,20 @@ def q_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gazetteer_mentions(d, _GAZETTEER)
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (corpus.py::pmi_collocations — the
+    word2vec-phrases / Church-&-Hanks pass): adjacent-pair PMI over
+    the corpus with a min-count guard and a (pmi DESC, pair ASC)
+    top-k via TakeOrderedAndProject. The PMI argument is a pinned
+    DOUBLE parenthesization over exact integer counts, ln'd and
+    rounded to micros — the oracle replays counts, the identical
+    float expression, and the cut."""
+    from serd_spark.operators.corpus import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_collocations(d, top_k=40, min_count=5)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2401,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard": q_shard,
         "q_nb_quality": q_nb_quality,
         "q_gazetteer": q_gazetteer,
+        "q_collocations": q_collocations,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -4636,6 +4651,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_mentions
             FROM cand c JOIN dict d ON c.g = d.entity
             GROUP BY c.doc_id, d.entity
+        """,
+        # PMI collocations: unigram + adjacent-pair counts, the pinned
+        # double parenthesization of the PMI argument, micro rounding,
+        # min-count guard and (pmi DESC, a, b) cut all replayed.
+        "q_collocations": """
+            WITH tok AS (
+              SELECT list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS arr
+              FROM documents
+            ), words AS (
+              SELECT unnest(arr) AS w FROM tok
+            ), uc AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+              FROM words GROUP BY w
+            ), pairs AS (
+              SELECT arr[i.x] AS a, arr[i.x + 1] AS b
+              FROM tok, LATERAL (
+                SELECT unnest(range(1, len(arr))) AS x) i
+            ), pc AS (
+              SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair
+              FROM pairs GROUP BY a, b
+            ), tot AS (
+              SELECT (SELECT CAST(SUM(c_w) AS BIGINT) FROM uc) AS n_toks,
+                     (SELECT CAST(SUM(n_pair) AS BIGINT) FROM pc) AS n_pairs
+            )
+            SELECT pc.a, pc.b, pc.n_pair,
+                   CAST(round(ln(
+                     ((CAST(pc.n_pair AS DOUBLE) * CAST(t.n_toks AS DOUBLE))
+                        / CAST(t.n_pairs AS DOUBLE))
+                     * (CAST(t.n_toks AS DOUBLE)
+                        / (CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE)))
+                   ) * 1000000) AS BIGINT) AS pmi_micros
+            FROM pc
+            JOIN uc ua ON pc.a = ua.w
+            JOIN uc ub ON pc.b = ub.w
+            CROSS JOIN tot t
+            WHERE pc.n_pair >= 5
+            ORDER BY pmi_micros DESC, pc.a ASC, pc.b ASC
+            LIMIT 40
         """,
         # Weighted-minhash signature replayed wholesale: tokenize →
         # per-(doc, word) tf capped at 8 → generate_series replicas →

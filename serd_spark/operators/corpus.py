@@ -1320,3 +1320,84 @@ def mix_domains(
             ),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PMI collocation mining — the phrase-discovery pass (Mikolov
+    et al.'s word2vec phrase step, Church & Hanks' original PMI) that
+    turns a corpus into a multiword-expression vocabulary for
+    tokenizer curricula and gazetteer seeding:
+
+        pmi(a, b) = ln( p(ab) / (p(a) * p(b)) )
+
+    with p(ab) = c(ab)/N_pairs over adjacent token pairs and
+    p(a) = c(a)/N_toks over unigrams. Pairs with c(ab) < ``min_count``
+    are dropped first (the classic low-count PMI blowup guard), and
+    the result is the top ``top_k`` by (pmi DESC, a ASC, b ASC) — a
+    TakeOrderedAndProject, never a global sort.
+
+    Cross-engine exactness: the PMI argument is evaluated as DOUBLE in
+    a pinned parenthesization —
+    ``((c_ab * N_toks) / N_pairs) * (N_toks / (c_a * c_b))`` — then
+    ln'd and rounded to integer MICROS; identical IEEE ops on
+    identical integers agree bit-for-bit in both engines (integer
+    products are NOT formed in int64, where ``c_ab * N_toks^2`` would
+    overflow at web scale).
+
+    Scale shape (100 TB): pairs come from the shifted token array
+    (JVM-side, never a positional self-join); both count tables are
+    hash aggregates with map-side combine; the unigram joins key the
+    (already min_count-pruned) pair table by word — sort-merge at
+    scale, AQE-broadcast when small. N_pairs/N_toks are single-row
+    broadcasts.
+
+    Returns (a, b, n_pair, pmi_micros)."""
+    docs = _min_parallelism(docs)
+    toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda x: x != "")
+    d = docs.select(toks.alias("toks"))
+    words = d.select(F.explode("toks").alias("w"))
+    uc = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    pairs = d.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS a, toks[i + 1] AS b))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    pc = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    totals = uc.agg(F.sum("c_w").cast("long").alias("n_toks")).crossJoin(
+        pc.agg(F.sum("n_pair").cast("long").alias("n_pairs"))
+    )
+    ca = uc.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    cb = uc.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    arg = (
+        F.col("n_pair").cast("double")
+        * F.col("n_toks").cast("double")
+        / F.col("n_pairs").cast("double")
+    ) * (
+        F.col("n_toks").cast("double")
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(F.log(arg) * 1e6).cast("long").alias("pmi_micros"),
+        )
+        .orderBy(F.desc("pmi_micros"), F.asc("a"), F.asc("b"))
+        .limit(top_k)
+    )

@@ -708,3 +708,28 @@ def test_mix_domains_empty_text_domain_and_validation(spark):
         mix_domains(df, {"x": -1})
     with _pytest.raises(ValueError):
         mix_domains(df, {"x": 1}, budget_num=3, budget_den=2)
+
+
+def test_pmi_collocations_hand_case(spark):
+    from serd_spark.operators.corpus import pmi_collocations
+
+    d = _docs(spark, [(1, "new york new york"), (2, "a b a")])
+    rows = pmi_collocations(d, top_k=10, min_count=2).collect()
+    # pairs: (new,york)x2 (york,new)x1 (a,b)x1 (b,a)x1 → only
+    # (new,york) survives min_count=2; N_toks=7, N_pairs=5,
+    # c(new)=c(york)=2
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["n_pair"]) == ("new", "york", 2)
+    arg = ((2.0 * 7.0) / 5.0) * (7.0 / (2.0 * 2.0))
+    assert r["pmi_micros"] == round(math.log(arg) * 1e6)
+
+
+def test_pmi_collocations_tiebreak_and_topk(spark):
+    from serd_spark.operators.corpus import pmi_collocations
+
+    # two structurally identical collocations → equal PMI; the
+    # (a ASC, b ASC) tie-break decides who survives top_k=1
+    d = _docs(spark, [(1, "x y x y"), (2, "p q p q")])
+    rows = pmi_collocations(d, top_k=1, min_count=2).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [("p", "q")]
