@@ -1439,6 +1439,23 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(d, top_k=40, min_count=5)
 
 
+def q_sem_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (similarity.py::semantic_decontaminate): vec_id % 37 == 0 plays
+    the benchmark set (broadcast), every other vector is corpus; per
+    corpus vector the max 6-dp cosine in integer micros, the count of
+    benchmark items above threshold, and the contamination flag —
+    the semantic complement to q_decontaminate's exact 13-gram rule.
+    The oracle replays every pair cosine, the micro scaling, and both
+    aggregates."""
+    from serd_spark.operators.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_decontaminate(
+        emb, F.col("vec_id") % 37 == 0, threshold_micros=450_000
+    )
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2416,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_quality": q_nb_quality,
         "q_gazetteer": q_gazetteer,
         "q_collocations": q_collocations,
+        "q_sem_decon": q_sem_decon,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -4691,6 +4709,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE pc.n_pair >= 5
             ORDER BY pmi_micros DESC, pc.a ASC, pc.b ASC
             LIMIT 40
+        """,
+        # Semantic decontamination: every corpus-vs-benchmark pair
+        # cosine (6 dp → micros, the q_cosine_topk discipline), the
+        # max / hit-count aggregates and the flag replayed.
+        "q_sem_decon": """
+            WITH b AS (
+              SELECT embedding::DOUBLE[] AS bv FROM embeddings
+              WHERE vec_id % 37 = 0
+            ), c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE NOT (vec_id % 37 = 0)
+            ), p AS (
+              SELECT c.vec_id,
+                     CAST(round(round(
+                       list_dot_product(c.v, b.bv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(b.bv, b.bv))), 6)
+                       * 1000000) AS BIGINT) AS cm
+              FROM c, b
+            )
+            SELECT vec_id,
+                   CAST(MAX(cm) AS BIGINT) AS max_cos_micros,
+                   CAST(SUM(CASE WHEN cm >= 450000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN MAX(cm) >= 450000 THEN 1 ELSE 0 END
+                        AS INT) AS contaminated
+            FROM p GROUP BY vec_id
         """,
         # Weighted-minhash signature replayed wholesale: tokenize →
         # per-(doc, word) tf capped at 8 → generate_series replicas →

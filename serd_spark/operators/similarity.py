@@ -167,3 +167,66 @@ def ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    bench_pred,
+    threshold_micros: int = 450_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement to ``corpus.decontaminate``'s exact 13-gram overlap:
+    a corpus document is contaminated when some benchmark item is
+    CLOSE in embedding space even if no n-gram matches (paraphrased
+    test questions, translated eval sets — the contamination that
+    string overlap provably misses, which is why the recent LLM
+    reports run both checks).
+
+    ``bench_pred`` marks the benchmark rows inside ``emb``; every
+    other row is corpus. Per corpus vector: max cosine against the
+    benchmark set, the number of benchmark items above
+    ``threshold_micros``, and the keep/flag decision.
+
+    Cross-engine exactness: each pair cosine is rounded to 6 dp (the
+    repo-wide per-row float rule), scaled to integer MICROS, and only
+    integers are aggregated — max/count never touch floats.
+
+    Scale shape (100 TB): a benchmark suite is thousands of vectors
+    vs billions of corpus rows, so the benchmark side is BROADCAST
+    (BroadcastNestedLoopJoin — the corpus never shuffles) and the
+    per-vector aggregate partial-combines the B pair rows back to one
+    row per corpus vector map-side. When the benchmark itself grows
+    past broadcast scale, pre-bucket both sides with
+    ``hyperplane_buckets`` and run this inside buckets — same
+    verdict columns, LSH-bounded pair count.
+
+    Returns (id_col, max_cos_micros, n_hits, contaminated)."""
+    from serd_spark.operators.dedup import cosine
+
+    bench = emb.filter(bench_pred).select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bvec")
+    )
+    corpus = emb.filter(~bench_pred).select(id_col, vec_col)
+    cm = (
+        F.round(F.round(cosine(F.col(vec_col), F.col("_bvec")), 6) * 1e6)
+        .cast("long")
+        .alias("_cm")
+    )
+    thr = F.lit(int(threshold_micros)).cast("long")
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(id_col, cm)
+        .groupBy(id_col)
+        .agg(
+            F.max("_cm").alias("max_cos_micros"),
+            F.sum(F.when(F.col("_cm") >= thr, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("max_cos_micros") >= thr).cast("int"),
+        )
+    )

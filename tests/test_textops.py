@@ -1013,3 +1013,52 @@ def test_wminhash_weight_cap_and_validation(spark):
         dedup.wminhash_signatures_md5(docs, n_seeds=0)
     with _pytest.raises(ValueError):
         dedup.wminhash_signatures_md5(docs, weight_cap=0)
+
+
+def test_semantic_decontaminate_flags_close_vectors(spark):
+    from serd_spark.operators.similarity import semantic_decontaminate
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),          # benchmark
+            (1, [2.0, 0.0]),          # cos 1.0 → contaminated
+            (2, [0.0, 1.0]),          # cos 0.0 → clean
+            (3, [-1.0, 0.0]),         # cos -1.0 → clean
+            (4, [1.0, 1.0]),          # cos ~0.707107 → contaminated
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(
+            emb, F.col("vec_id") == 0, threshold_micros=500_000
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # the benchmark row is not scored
+    assert out[1]["max_cos_micros"] == 1_000_000
+    assert out[1]["contaminated"] == 1 and out[1]["n_hits"] == 1
+    assert out[2]["max_cos_micros"] == 0
+    assert out[2]["contaminated"] == 0 and out[2]["n_hits"] == 0
+    assert out[3]["max_cos_micros"] == -1_000_000
+    assert out[4]["max_cos_micros"] == 707_107  # round(cos,6)*1e6
+    assert out[4]["contaminated"] == 1
+
+
+def test_semantic_decontaminate_max_over_benchmarks(spark):
+    from serd_spark.operators.similarity import semantic_decontaminate
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.0, 1.0]),
+            (1, [1.0, 1.0]),  # cos 0.707107 to BOTH benchmarks
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    (r,) = semantic_decontaminate(
+        emb, F.col("vec_id") >= 10, threshold_micros=700_000
+    ).collect()
+    assert r["vec_id"] == 1
+    assert r["n_hits"] == 2 and r["max_cos_micros"] == 707_107
