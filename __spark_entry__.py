@@ -1456,6 +1456,20 @@ def q_sem_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (corpus.py::ccnet_buckets):
+    per-language head/middle/tail thirds by bigram-LM mean log-prob
+    (vocab 32 so the OOV path is exercised, as in q_bigram_lm), cuts
+    at permille 333/667 via exact_quantiles' rank rule. Composition
+    certificate: the oracle rebuilds the bigram model (its own pair
+    derivation), the per-lang distinct-value cumsum, the ceil rank
+    rule, and the bucket CASE."""
+    from serd_spark.operators.corpus import ccnet_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return ccnet_buckets(d, vocab_size=32)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2434,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gazetteer": q_gazetteer,
         "q_collocations": q_collocations,
         "q_sem_decon": q_sem_decon,
+        "q_ccnet": q_ccnet,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -4709,6 +4724,71 @@ def oracle_sql() -> dict[str, str]:
             WHERE pc.n_pair >= 5
             ORDER BY pmi_micros DESC, pc.a ASC, pc.b ASC
             LIMIT 40
+        """,
+        # CCNet buckets: the q_bigram_lm model CTEs (independent pair
+        # derivation), per-lang distinct-score cumsum, the identical
+        # ceil((q*n)/1000) rank rule, and the tie-promoting CASE.
+        "q_ccnet": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(t, ' '), x -> x <> '') AS arr
+              FROM norm
+            ), pairs AS (
+              SELECT doc_id, arr[i.x] AS prev, arr[i.x + 1] AS w
+              FROM tok, LATERAL (
+                SELECT unnest(range(1, len(arr))) AS x
+              ) i
+            ), pc AS (
+              SELECT prev, w, COUNT(*) AS cnt FROM pairs GROUP BY prev, w
+            ), ctx AS (
+              SELECT prev, SUM(cnt) AS ctx_cnt FROM pc GROUP BY prev
+            ), tot AS (
+              SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM pc
+            ), vocab AS (
+              SELECT pc.prev, pc.w,
+                     CAST(round(ln(pc.cnt / ctx.ctx_cnt) * 1000000)
+                          AS BIGINT) AS lp_micros
+              FROM pc JOIN ctx USING (prev)
+              ORDER BY pc.cnt DESC, pc.prev ASC, pc.w ASC LIMIT 32
+            ), oov AS (
+              SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT)
+                       AS oov_micros
+              FROM tot
+            ), scores AS (
+              SELECT p.doc_id,
+                     CAST(floor(SUM(COALESCE(v.lp_micros, o.oov_micros))
+                                / COUNT(*)) AS BIGINT) AS lp
+              FROM pairs p
+              LEFT JOIN vocab v ON p.prev = v.prev AND p.w = v.w
+              CROSS JOIN oov o
+              GROUP BY p.doc_id
+            ), sl AS (
+              SELECT s.doc_id, d.lang, s.lp
+              FROM scores s JOIN documents d USING (doc_id)
+            ), cnt AS (
+              SELECT lang, lp, COUNT(*) AS c FROM sl GROUP BY lang, lp
+            ), cum AS (
+              SELECT lang, lp,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY lp) AS cum,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM cnt
+            ), cuts AS (
+              SELECT lang,
+                     MIN(CASE WHEN cum >= (333 * n + 999) // 1000
+                              THEN lp END) AS c_lo,
+                     MIN(CASE WHEN cum >= (667 * n + 999) // 1000
+                              THEN lp END) AS c_hi
+              FROM cum GROUP BY lang
+            )
+            SELECT sl.doc_id, sl.lang, sl.lp AS lp_mean_micros,
+                   CASE WHEN sl.lp >= c.c_hi THEN 'head'
+                        WHEN sl.lp >= c.c_lo THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sl JOIN cuts c USING (lang)
         """,
         # Semantic decontamination: every corpus-vs-benchmark pair
         # cosine (6 dp → micros, the q_cosine_topk discipline), the

@@ -1401,3 +1401,69 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_micros"), F.asc("a"), F.asc("b"))
         .limit(top_k)
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    vocab_size: int = 65536,
+    cuts_permille: tuple[int, int] = (333, 667),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: split each language's
+    documents into head / middle / tail thirds by LM score — the
+    step CCNet (and the LLaMA data pipeline after it) uses to keep
+    "head" (most Wikipedia-like) text and drop or downweight the
+    tail, applied PER LANGUAGE so high-resource languages don't set
+    the bar for low-resource ones.
+
+    The score is ``bigram_logprob``'s lp_mean_micros (mean token
+    log-prob; perplexity = exp(-lp_mean), so DESCENDING lp_mean is
+    ASCENDING perplexity). Cuts are exact per-language quantiles at
+    ``cuts_permille`` via ``stats.exact_quantiles``' rank rule
+    (smallest value with cumcount >= ceil(q*n/1000) over the
+    distinct-value table): head = lp_mean >= the 667-permille cut,
+    middle = >= the 333 cut, tail otherwise — ties promote to the
+    better bucket, deterministically.
+
+    Scale shape (100 TB): the score table is one row per document;
+    cuts come from the distinct-value cumsum window per language
+    (never a sort of the data). When even the per-language
+    distinct-score table gets large, swap ``stats.hdr_sketch``
+    quantile estimates in for the cut values — the bucket CASE and
+    everything downstream is unchanged. The two-column cut table is
+    broadcast back onto the scores.
+
+    Returns (id_col, lang, lp_mean_micros, bucket)."""
+    from serd_spark.operators.stats import exact_quantiles
+
+    lo, hi = cuts_permille
+    scores = bigram_logprob(
+        docs.select(id_col, text_col),
+        vocab_size=vocab_size,
+        text_col=text_col,
+        id_col=id_col,
+    ).join(docs.select(id_col, lang_col), id_col)
+    cuts = exact_quantiles(
+        scores, "lp_mean_micros", [lo, hi], by=[lang_col]
+    )
+    wide = (
+        cuts.filter(F.col("q_permille") == lo)
+        .select(lang_col, F.col("value").alias("_c_lo"))
+        .join(
+            cuts.filter(F.col("q_permille") == hi).select(
+                lang_col, F.col("value").alias("_c_hi")
+            ),
+            lang_col,
+        )
+    )
+    return scores.join(F.broadcast(wide), lang_col).select(
+        id_col,
+        lang_col,
+        "lp_mean_micros",
+        F.when(F.col("lp_mean_micros") >= F.col("_c_hi"), F.lit("head"))
+        .when(F.col("lp_mean_micros") >= F.col("_c_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

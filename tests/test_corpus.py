@@ -733,3 +733,42 @@ def test_pmi_collocations_tiebreak_and_topk(spark):
     d = _docs(spark, [(1, "x y x y"), (2, "p q p q")])
     rows = pmi_collocations(d, top_k=1, min_count=2).collect()
     assert [(r["a"], r["b"]) for r in rows] == [("p", "q")]
+
+
+def test_ccnet_buckets_tertiles_per_lang(spark):
+    from serd_spark.operators.corpus import ccnet_buckets
+
+    # 6 English docs, 14 tokens each, with an increasing fraction of
+    # out-of-vocab transitions (globally unique tokens — unsmoothed
+    # bigram conditionals score REPEATED rare pairs perfectly, so
+    # badness must come from the OOV price, not rarity)
+    rows = []
+    for d in range(1, 7):
+        common = "x y " * (7 - d)
+        rare = " ".join(f"r{d}x{j}" for j in range(2 * d))
+        rows.append((d, (common + rare).strip(), "en"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r for r in ccnet_buckets(d, vocab_size=2).collect()
+    }
+    assert len(out) == 6
+    # each doc has 13 bigrams, 2d of them OOV → strictly decreasing
+    scores = [out[i]["lp_mean_micros"] for i in range(1, 7)]
+    assert scores == sorted(scores, reverse=True)
+    # cuts at permille 333/667 of n=6: ranks 2 and 5 (ascending)
+    assert [out[i]["bucket"] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "middle", "tail"]
+
+
+def test_ccnet_buckets_langs_cut_independently(spark):
+    from serd_spark.operators.corpus import ccnet_buckets
+
+    # one language's awful docs must not drag another's cuts: the
+    # sole fr doc is its own head even though en has better docs
+    rows = [(1, "x y x y x y", "en"), (2, "c d", "en"), (3, "e f", "en"),
+            (4, "x y x y x y", "fr")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(d, vocab_size=1).collect()}
+    assert out[1]["bucket"] == "head"
+    assert out[4]["bucket"] == "head"
+    assert out[2]["bucket"] == "middle" and out[3]["bucket"] == "middle"
