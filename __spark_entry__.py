@@ -1470,6 +1470,33 @@ def q_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(d, vocab_size=32)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate document clusters with a canonical survivor
+    (dedup.py::dup_clusters): the LSH pair set closed transitively by
+    connected components, min-string-id canon per cluster, singletons
+    rejoined — "drop the non-canonical rows" as one filter. The
+    oracle replays the ENTIRE chain from the materialized
+    signatures/bands: bucket-cap prune, band join, agreement verify
+    (threshold 0.5 — same contract as dedup_minhash_lsh), recursive-
+    CTE reachability closure, canon labels, sizes, and flags."""
+    from serd_spark.operators.dedup import dup_clusters
+    from serd_spark.operators.linking import lsh_bands, signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    named = docs.select(
+        F.col("doc_id").cast("string").alias("entity"),
+        F.col("text").alias("name"),
+    )
+    _materialize(sf_dir, "minhash/sigs", lambda: signatures(named))
+    _materialize(
+        sf_dir, "minhash/bands",
+        lambda: lsh_bands(
+            spark.read.parquet(_oracle_path(sf_dir, "minhash/sigs"))
+        ),
+    )
+    return dup_clusters(docs, threshold=0.5)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2449,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collocations": q_collocations,
         "q_sem_decon": q_sem_decon,
         "q_ccnet": q_ccnet,
+        "q_dup_clusters": q_dup_clusters,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3321,6 +3349,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Dup clusters: LSH pair replay (as dedup_minhash_lsh) closed
+        # by the recursive reachability CTE, min-STRING canon (the
+        # linking contract), singleton rejoin, sizes and flags.
+        "q_dup_clusters": f"""
+            WITH RECURSIVE bands AS (
+              SELECT entity, band, band_hash
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/minhash/bands/*.parquet')
+            ), sigs AS (
+              SELECT entity, sig
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/minhash/sigs/*.parquet')
+            ), counts AS (
+              SELECT band, band_hash, COUNT(*) AS m
+              FROM bands GROUP BY band, band_hash
+            ), pruned AS (
+              SELECT b.entity, b.band, b.band_hash
+              FROM bands b JOIN counts c USING (band, band_hash)
+              WHERE c.m <= 1024
+            ), vp AS (
+              SELECT DISTINCT a.entity AS entity_a, b.entity AS entity_b
+              FROM pruned a JOIN pruned b USING (band, band_hash)
+              WHERE a.entity < b.entity
+            ), verified AS (
+              SELECT p.entity_a, p.entity_b
+              FROM vp p
+              JOIN sigs sa ON sa.entity = p.entity_a
+              JOIN sigs sb ON sb.entity = p.entity_b
+              WHERE len(list_filter(list_zip(sa.sig, sb.sig),
+                                    x -> x[1] = x[2])) / 64.0 >= 0.5
+            ), edges AS (
+              SELECT entity_a AS a, entity_b AS b FROM verified
+              UNION
+              SELECT entity_b AS a, entity_a AS b FROM verified
+            ), reach(entity, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e
+              JOIN reach ON reach.entity = e.b
+            ), labels AS (
+              SELECT entity, MIN(r) AS canon FROM reach GROUP BY entity
+            ), asg AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(l.canon, CAST(d.doc_id AS VARCHAR))
+                          AS BIGINT) AS canon_id
+              FROM documents d
+              LEFT JOIN labels l ON l.entity = CAST(d.doc_id AS VARCHAR)
+            ), sizes AS (
+              SELECT canon_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM asg GROUP BY canon_id
+            )
+            SELECT a.doc_id, a.canon_id, s.cluster_size,
+                   CAST(CASE WHEN a.doc_id = a.canon_id THEN 1 ELSE 0 END
+                        AS INT) AS is_canonical
+            FROM asg a JOIN sizes s USING (canon_id)
         """,
         "q_domain_cap": """
             SELECT doc_id, source, n_chars, CAST(rank AS INTEGER) AS rank

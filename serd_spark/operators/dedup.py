@@ -606,3 +606,65 @@ def wminhash_signatures_md5(
             for s in range(n_seeds)
         ],
     )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = 1024,
+    driver_threshold: int = 2_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate document CLUSTERS with a canonical survivor —
+    the step after pairwise detection that a real dedup pipeline
+    actually ships: transitive near-dup groups (A~B, B~C ⇒ one
+    cluster even when A~C was never a candidate pair) with one
+    deterministic keeper per group, so "drop the non-canonical rows"
+    is a single filter.
+
+    Composition: ``minhash_near_dups`` (banded LSH, bucket-capped,
+    signature-verified) → ``linking.connected_components``
+    (pointer-jumping at scale, union-find under the driver
+    threshold) → canonical label = MIN entity id per component (as
+    STRINGS — the linking contract) → singleton docs rejoin as their
+    own cluster. The corpus text is touched exactly once (the
+    signature stage); everything after moves fixed-width ids.
+
+    Returns (id_col, canon_id, cluster_size, is_canonical) for EVERY
+    document."""
+    from serd_spark.operators.linking import connected_components
+
+    pairs = minhash_near_dups(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    comp = connected_components(
+        pairs.select("entity_a", "entity_b"),
+        driver_threshold=driver_threshold,
+    )
+    base = docs.select(
+        F.col(id_col), F.col(id_col).cast("string").alias("_e")
+    )
+    asg = base.join(
+        comp, base["_e"] == comp["entity"], "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("canon"), F.col("_e")).cast("long").alias(
+            "canon_id"
+        ),
+    )
+    sizes = asg.groupBy("canon_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return asg.join(sizes, "canon_id").select(
+        id_col,
+        "canon_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("canon_id")).cast("int").alias(
+            "is_canonical"
+        ),
+    )

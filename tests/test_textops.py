@@ -1062,3 +1062,34 @@ def test_semantic_decontaminate_max_over_benchmarks(spark):
     ).collect()
     assert r["vec_id"] == 1
     assert r["n_hits"] == 2 and r["max_cos_micros"] == 707_107
+
+
+def test_dup_clusters_transitive_groups_and_singletons(spark):
+    from serd_spark.operators.dedup import dup_clusters
+
+    base = " ".join(f"token{i}" for i in range(30))
+    near = base.replace("token3", "changed3")
+    uniq = " ".join(f"zq{i}x" for i in range(30))
+    d = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, uniq)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_clusters(d, threshold=0.5).collect()}
+    assert len(out) == 4
+    # 1,2,3 form one cluster with the min-id canon; 4 is a singleton
+    assert out[1]["canon_id"] == out[2]["canon_id"] == out[3]["canon_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["is_canonical"] == 1 and out[2]["is_canonical"] == 0
+    assert out[4]["cluster_size"] == 1 and out[4]["is_canonical"] == 1
+
+
+def test_dup_clusters_canon_is_string_min(spark):
+    from serd_spark.operators.dedup import dup_clusters
+
+    # the linking contract compares entity ids AS STRINGS: "10" < "9",
+    # so the canon of {9, 10} is 10 — deterministic, and pinned here
+    t = " ".join(f"w{i}" for i in range(25))
+    d = spark.createDataFrame([(9, t), (10, t)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_clusters(d, threshold=0.5).collect()}
+    assert out[9]["canon_id"] == 10 and out[10]["canon_id"] == 10
+    assert out[10]["is_canonical"] == 1 and out[9]["is_canonical"] == 0
