@@ -1497,6 +1497,48 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, threshold=0.5)
 
 
+def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash dedup (multimodal.py::dhash64 /
+    image_dhash — the LAION-style multimodal near-dup primitive) over
+    synthesized variant groups: the same pixels as BMP and PNG/VP8L
+    must hash IDENTICALLY (lossless_match certifies real cross-format
+    decode + the pinned integer dHash), the q92 JPEG re-encode of the
+    same pixels reports its Hamming distance, and an unrelated
+    control image anchors the far field. The oracle replays the group
+    pivot and xor/bit_count arithmetic from the materialized
+    (media_id, dhash) table; the hash layer itself is certified by
+    the independent-reference unit tests and the cross-format match
+    this query asserts."""
+    from serd_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_image_variants,
+    )
+
+    media = synthesize_image_variants(spark, max(16, _n_pages(sf_dir) // 64))
+    _materialize(sf_dir, "mm_dhash", lambda: image_dhash(media))
+    g = image_dhash(media).select(
+        F.expr("media_id div 4").alias("group_id"),
+        (F.col("media_id") % 4).alias("v"),
+        "dhash",
+    )
+    p = g.groupBy("group_id").agg(
+        *[
+            F.max(F.when(F.col("v") == i, F.col("dhash"))).alias(f"h{i}")
+            for i in range(4)
+        ]
+    )
+    return p.select(
+        "group_id",
+        (F.col("h0") == F.col("h1")).cast("int").alias("lossless_match"),
+        F.bit_count(F.col("h0").bitwiseXOR(F.col("h2")))
+        .cast("long")
+        .alias("jpeg_hamming"),
+        F.bit_count(F.col("h0").bitwiseXOR(F.col("h3")))
+        .cast("long")
+        .alias("control_hamming"),
+    )
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2477,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sem_decon": q_sem_decon,
         "q_ccnet": q_ccnet,
         "q_dup_clusters": q_dup_clusters,
+        "q_mm_dhash": q_mm_dhash,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3349,6 +3392,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Image dHash groups: pivot + xor/bit_count replayed from the
+        # materialized per-image hashes (the hash layer is certified
+        # by unit tests + the cross-format lossless_match itself).
+        "q_mm_dhash": f"""
+            WITH d AS (
+              SELECT media_id, dhash
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/mm_dhash/*.parquet')
+            ), g AS (
+              SELECT media_id // 4 AS group_id, media_id % 4 AS v, dhash
+              FROM d
+            ), p AS (
+              SELECT group_id,
+                     MAX(CASE WHEN v = 0 THEN dhash END) AS h0,
+                     MAX(CASE WHEN v = 1 THEN dhash END) AS h1,
+                     MAX(CASE WHEN v = 2 THEN dhash END) AS h2,
+                     MAX(CASE WHEN v = 3 THEN dhash END) AS h3
+              FROM g GROUP BY group_id
+            )
+            SELECT group_id,
+                   CAST(CASE WHEN h0 = h1 THEN 1 ELSE 0 END AS INT)
+                     AS lossless_match,
+                   CAST(bit_count(xor(h0, h2)) AS BIGINT) AS jpeg_hamming,
+                   CAST(bit_count(xor(h0, h3)) AS BIGINT)
+                     AS control_hamming
+            FROM p
         """,
         # Dup clusters: LSH pair replay (as dedup_minhash_lsh) closed
         # by the recursive reachability CTE, min-STRING canon (the

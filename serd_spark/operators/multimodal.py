@@ -1595,3 +1595,131 @@ def synthesize_media(
             )
 
     return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- perceptual hashing
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of an RGB image — the standard
+    perceptual fingerprint for image near-dup detection (LAION-style
+    multimodal pipelines dedup on exactly this family): re-encodes of
+    the same pixels hash IDENTICALLY regardless of container, and
+    small lossy distortions flip few bits, so Hamming distance is a
+    visual-similarity proxy.
+
+    Pinned integer spec (no float anywhere, so any engine or language
+    reproduces it bit-for-bit):
+    - luminance = (299*R + 587*G + 114*B) // 1000 per pixel
+    - a 9x8 grid of block MEANS with edges floor(i*w/9), floor(j*h/8)
+      (block mean = sum // area, truncating)
+    - bit j*8+i = 1 iff mean[j][i] > mean[j][i+1]
+    - packed little-endian by bit index into a SIGNED int64 (two's
+      complement), matching Spark/DuckDB BIGINT semantics.
+
+    Requires w >= 9 and h >= 8 (a 9x8 grid needs at least one pixel
+    per cell)."""
+    h, w = px.shape[0], px.shape[1]
+    if w < 9 or h < 8:
+        raise ValueError(f"dhash64 needs w>=9, h>=8, got {w}x{h}")
+    p = px.astype(np.int64)
+    lum = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    xs = [(i * w) // 9 for i in range(10)]
+    ys = [(j * h) // 8 for j in range(9)]
+    m = np.empty((8, 9), dtype=np.int64)
+    for j in range(8):
+        for i in range(9):
+            blk = lum[ys[j]:ys[j + 1], xs[i]:xs[i + 1]]
+            m[j, i] = int(blk.sum()) // blk.size
+    val = 0
+    for j in range(8):
+        for i in range(8):
+            if m[j, i] > m[j, i + 1]:
+                val |= 1 << (j * 8 + i)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, payload) → (id, dhash, width, height) via the real image
+    decoders (BMP/PNG/GIF/JPEG/VP8L). Iterator mapInPandas, one batch
+    in flight; the shuffle downstream carries 8-byte hashes, never
+    pixels. Undecodable or too-small payloads yield dhash NULL (lax —
+    a 100 TB task must not die on one malformed blob)."""
+    src = media.select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, hgts = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    px = decode_image(b)
+                    hv, wd, hg = dhash64(px), px.shape[1], px.shape[0]
+                except Exception:
+                    hv, wd, hg = None, None, None
+                ids.append(int(mid))
+                hs.append(hv)
+                ws.append(wd)
+                hgts.append(hg)
+            yield pd.DataFrame(
+                {id_col: ids, "dhash": pd.array(hs, dtype="Int64"),
+                 "width": pd.array(ws, dtype="Int32"),
+                 "height": pd.array(hgts, dtype="Int32")}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, dhash long, width int, height int"
+    )
+
+
+def synthesize_image_variants(
+    spark, n_groups: int, seed: int = 42, partitions: int = 8
+) -> DataFrame:
+    """Deterministic near-duplicate image groups for the perceptual-
+    hash contract: per group ``g`` the SAME pixel array encoded as
+    (media_id = 4g+0) a 24-bit BMP, (4g+1) a lossless PNG for even
+    groups / a lossless WebP (VP8L) for odd groups, (4g+2) a quality-
+    92 baseline JPEG, plus (4g+3) an UNRELATED control BMP. Pixels
+    are a pure function of (seed, g)."""
+    base = spark.range(0, n_groups, 1, partitions)
+
+    def _px(tag: str, g: int, w: int, h: int) -> np.ndarray:
+        digest = hashlib.blake2b(
+            f"{seed}:{tag}:{g}".encode(), digest_size=32
+        ).digest()
+        need, out, c = w * h * 3, b"", 0
+        while len(out) < need:
+            out += hashlib.blake2b(
+                digest + c.to_bytes(4, "big"), digest_size=32
+            ).digest()
+            c += 1
+        return np.frombuffer(out[:need], dtype=np.uint8).reshape(h, w, 3)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serd_spark.operators.jpeg_codec import encode_jpeg
+        from serd_spark.operators.vp8l_codec import encode_vp8l
+
+        for pdf in batches:
+            c_id, c_payload = [], []
+            for g in pdf["id"]:
+                g = int(g)
+                w, h = 16 + (g * 7) % 16, 12 + (g * 5) % 12
+                px = _px("base", g, w, h)
+                enc1 = encode_png(px) if g % 2 == 0 else encode_vp8l(px)
+                payloads = [
+                    encode_bmp(px),
+                    enc1,
+                    encode_jpeg(px, quality=92, subsample=True),
+                    encode_bmp(_px("ctrl", g, w, h)),
+                ]
+                for v, pl in enumerate(payloads):
+                    c_id.append(4 * g + v)
+                    c_payload.append(pl)
+            yield pd.DataFrame({"media_id": c_id, "payload": c_payload})
+
+    return base.mapInPandas(gen, schema="media_id long, payload binary")

@@ -1093,3 +1093,80 @@ def test_dup_clusters_canon_is_string_min(spark):
     out = {r["doc_id"]: r for r in dup_clusters(d, threshold=0.5).collect()}
     assert out[9]["canon_id"] == 10 and out[10]["canon_id"] == 10
     assert out[10]["is_canonical"] == 1 and out[9]["is_canonical"] == 0
+
+
+def _dhash_reference(px):
+    """Independent pure-Python dHash (direct loops, no numpy) — the
+    spec the vectorized implementation must match bit-for-bit."""
+    h, w = px.shape[0], px.shape[1]
+    lum = [[(299 * int(px[y][x][0]) + 587 * int(px[y][x][1])
+             + 114 * int(px[y][x][2])) // 1000
+            for x in range(w)] for y in range(h)]
+    xs = [(i * w) // 9 for i in range(10)]
+    ys = [(j * h) // 8 for j in range(9)]
+    val = 0
+    m = [[0] * 9 for _ in range(8)]
+    for j in range(8):
+        for i in range(9):
+            s = n = 0
+            for y in range(ys[j], ys[j + 1]):
+                for x in range(xs[i], xs[i + 1]):
+                    s += lum[y][x]
+                    n += 1
+            m[j][i] = s // n
+    for j in range(8):
+        for i in range(8):
+            if m[j][i] > m[j][i + 1]:
+                val |= 1 << (j * 8 + i)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_dhash64_matches_independent_reference():
+    import hashlib
+
+    import numpy as np
+
+    from serd_spark.operators.multimodal import dhash64
+
+    for g in range(4):
+        w, h = 9 + g * 3, 8 + g * 2
+        raw = b"".join(
+            hashlib.blake2b(f"dh:{g}:{c}".encode(), digest_size=32).digest()
+            for c in range(w * h)
+        )
+        px = np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+        assert dhash64(px) == _dhash_reference(px)
+    import pytest
+
+    with pytest.raises(ValueError, match="needs w>=9"):
+        dhash64(np.zeros((8, 8, 3), dtype=np.uint8))
+
+
+def test_dhash_invariant_across_lossless_formats(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_image_variants,
+    )
+
+    media = synthesize_image_variants(spark, 6)
+    rows = image_dhash(media).collect()
+    got = {r["media_id"]: r["dhash"] for r in rows}
+    assert len(got) == 24 and all(v is not None for v in got.values())
+    for g in range(6):
+        # same pixels → identical hash across BMP and PNG/VP8L
+        assert got[4 * g + 0] == got[4 * g + 1]
+        # the unrelated control image differs
+        assert got[4 * g + 3] != got[4 * g + 0]
+
+
+def test_dhash_lax_null_on_garbage(spark):
+    from serd_spark.operators.multimodal import image_dhash
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_dhash(media).collect()}
+    assert rows[1]["dhash"] is None and rows[2]["dhash"] is None
