@@ -1539,6 +1539,24 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy windowing (multimodal.py::audio_energy — the
+    VAD/silence-segmentation primitive) over integer-sawtooth WAVs
+    whose every sample is a pure integer function of
+    (media_id, index). End-to-end certificate: Spark goes
+    bytes → wave decode → numpy windowed sum-of-squares; the oracle
+    REGENERATES every raw sample with generate_series and re-windows
+    — a divergence anywhere in the PCM path (byte order, truncation,
+    window edges) breaks the hash."""
+    from serd_spark.operators.multimodal import (
+        audio_energy,
+        synthesize_audio_saw,
+    )
+
+    media = synthesize_audio_saw(spark, max(16, _n_pages(sf_dir) // 64))
+    return audio_energy(media, window_samples=100)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2520,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet": q_ccnet,
         "q_dup_clusters": q_dup_clusters,
         "q_mm_dhash": q_mm_dhash,
+        "q_mm_audio": q_mm_audio,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3392,6 +3411,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Audio energy: every PCM sample regenerated from the integer
+        # sawtooth formula with generate_series, then re-windowed —
+        # the Spark side got them through real WAV bytes.
+        "q_mm_audio": f"""
+            WITH m AS (
+              SELECT i AS media_id, 400 + (i * 37) % 800 AS n,
+                     1 + i % 7 AS step, i % 100 AS phase
+              FROM (SELECT unnest(generate_series(
+                     0, {max(16, _n_pages("sf0.01") // 64) - 1})) AS i)
+            ), s AS (
+              SELECT media_id, jj.j,
+                     ((phase + jj.j * step) * 97) % 24001 - 12000 AS v
+              FROM m, LATERAL (
+                SELECT unnest(generate_series(0, n - 1)) AS j) jj
+            )
+            SELECT media_id, CAST(j // 100 AS BIGINT) AS win,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(v * v) AS BIGINT) AS energy
+            FROM s GROUP BY media_id, (j // 100)
         """,
         # Image dHash groups: pivot + xor/bit_count replayed from the
         # materialized per-image hashes (the hash layer is certified

@@ -1723,3 +1723,82 @@ def synthesize_image_variants(
             yield pd.DataFrame({"media_id": c_id, "payload": c_payload})
 
     return base.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+# -------------------------------------------------- audio segmentation
+
+def synthesize_audio_saw(
+    spark, n_rows: int, partitions: int = 8
+) -> DataFrame:
+    """Deterministic PCM16 WAV table whose every sample is a pure
+    INTEGER function of (media_id, sample index):
+
+        n(i)     = 400 + (i * 37) % 800          samples at 8 kHz
+        step(i)  = 1 + i % 7
+        phase(i) = i % 100
+        s(i, j)  = ((phase + j * step) * 97) % 24001 - 12000
+
+    — an integer sawtooth, so a SQL engine can regenerate the raw
+    samples with generate_series and certify the whole
+    bytes → wave-decode → windowing path end-to-end (the sine corpus
+    in ``synthesize_media`` is float-derived and can't be)."""
+    base = spark.range(0, n_rows, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_id, c_payload = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                n = 400 + (i * 37) % 800
+                step, phase = 1 + i % 7, i % 100
+                j = np.arange(n, dtype=np.int64)
+                s = ((phase + j * step) * 97) % 24001 - 12000
+                c_id.append(i)
+                c_payload.append(encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame({"media_id": c_id, "payload": c_payload})
+
+    return base.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def audio_energy(
+    media: DataFrame,
+    window_samples: int = 100,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fixed-window audio energy — the voice-activity / silence-
+    segmentation primitive (speech pipelines cut training clips on
+    exactly this: per-window sum of squared PCM samples): decode the
+    WAV payload, split samples into ``window_samples`` windows, emit
+    one row per window with the EXACT int64 energy (squares of int16
+    samples summed in integers — no float, no RMS rounding; callers
+    threshold or sqrt downstream).
+
+    Iterator mapInPandas; the shuffle carries (id, win, counters)
+    rows, never audio bytes. Undecodable payloads are skipped (lax) —
+    per-window rows are only meaningful for real PCM."""
+    src = media.select(id_col, payload_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, ns, es = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    samples, _rate = decode_wav(b)
+                except Exception:
+                    continue
+                s = samples.astype(np.int64)
+                for w in range(0, len(s), window_samples):
+                    blk = s[w:w + window_samples]
+                    ids.append(int(mid))
+                    wins.append(w // window_samples)
+                    ns.append(len(blk))
+                    es.append(int((blk * blk).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "win": wins, "n_samples": ns, "energy": es}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, win long, n_samples long, energy long"
+    )

@@ -1170,3 +1170,36 @@ def test_dhash_lax_null_on_garbage(spark):
     )
     rows = {r["media_id"]: r for r in image_dhash(media).collect()}
     assert rows[1]["dhash"] is None and rows[2]["dhash"] is None
+
+
+def test_audio_energy_matches_formula(spark):
+    from serd_spark.operators.multimodal import (
+        audio_energy,
+        synthesize_audio_saw,
+    )
+
+    media = synthesize_audio_saw(spark, 3)
+    rows = audio_energy(media, window_samples=100).collect()
+    got = {(r["media_id"], r["win"]): r for r in rows}
+    for i in range(3):
+        n = 400 + (i * 37) % 800
+        step, phase = 1 + i % 7, i % 100
+        s = [((phase + j * step) * 97) % 24001 - 12000 for j in range(n)]
+        for w in range(0, n, 100):
+            blk = s[w:w + 100]
+            r = got[(i, w // 100)]
+            assert r["n_samples"] == len(blk)
+            assert r["energy"] == sum(x * x for x in blk)
+    # every window accounted for, none invented
+    assert len(rows) == sum((400 + (i * 37) % 800 + 99) // 100
+                            for i in range(3))
+
+
+def test_audio_energy_skips_non_wav(spark):
+    from serd_spark.operators.multimodal import audio_energy
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"garbage")), (2, None)],
+        "media_id long, payload binary",
+    )
+    assert audio_energy(media).count() == 0
