@@ -1557,6 +1557,31 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(media, window_samples=100)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters without a full-vocabulary shuffle
+    (stats.py::heavy_hitters): a count-min pass finds candidate
+    cells, the row stream is filtered map-side with per-depth
+    IN-lists (est >= exact ⇒ no false negatives), and only candidate
+    rows reach the exact aggregate. The oracle is the NAIVE full
+    GROUP BY ... HAVING — equality proves the sketch path drops
+    nothing and invents nothing."""
+    from serd_spark.operators.stats import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    return heavy_hitters(words, "w", min_count=500)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2539,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": q_dup_clusters,
         "q_mm_dhash": q_mm_dhash,
         "q_mm_audio": q_mm_audio,
+        "q_heavy_hitters": q_heavy_hitters,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3411,6 +3437,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Heavy hitters: the oracle is the NAIVE exact aggregate the
+        # sketch-filtered two-pass plan must equal (no false negatives
+        # by est >= exact; false positives removed by the exact pass).
+        "q_heavy_hitters": """
+            WITH w AS (
+              SELECT unnest(string_split(
+                lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                ' ')) AS w
+              FROM documents
+            )
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w WHERE w <> ''
+            GROUP BY w HAVING COUNT(*) >= 500
+            ORDER BY n DESC, w ASC
         """,
         # Audio energy: every PCM sample regenerated from the integer
         # sawtooth formula with generate_series, then re-windowed —

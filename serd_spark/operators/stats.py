@@ -482,3 +482,55 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         .cast("long")
         .alias("hll_est"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """EXACT heavy hitters — every value occurring at least
+    ``min_count`` times, with its exact count — without ever shuffling
+    the full value vocabulary (the web-scale problem: a naive
+    ``GROUP BY value HAVING count >= k`` shuffles billions of
+    singleton keys to find the few thousand heavy ones).
+
+    Two passes, both bounded:
+    1. ``countmin_sketch`` — one hash aggregate into depth×width cells
+       (fixed size regardless of domain). Cells with cnt >= min_count
+       are collected (bounded by depth×width, and in practice by the
+       true heavy-hitter count plus collisions).
+    2. The row stream is filtered MAP-SIDE with per-depth IN-lists: a
+       row survives iff ALL depth cells of its value are heavy — i.e.
+       iff its count-min estimate >= min_count. Since est >= exact
+       (one-sided error), NO true heavy hitter is dropped; sketch
+       false positives are removed by the exact count that follows,
+       which now aggregates only candidate rows.
+
+    The driver transfer is bounded by the sketch size — the same
+    bounded-collect contract as the k-means centroid path. Returns
+    (value_col, n) ordered (n DESC, value ASC); provably equal to the
+    naive full aggregate, which is exactly what the oracle runs."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    sk = countmin_sketch(df, value_col, depth=depth, width=width)
+    heavy = sk.filter(F.col("cnt") >= min_count).collect()
+    cols_by_row: dict[int, list[int]] = {i: [] for i in range(depth)}
+    for r in heavy:
+        cols_by_row[r["row"]].append(r["col"])
+    v = F.col(value_col)
+    pred = F.lit(True)
+    for i in range(depth):
+        cs = cols_by_row[i]
+        pred = pred & (
+            _cm_col(v, i, width).isin(cs) if cs else F.lit(False)
+        )
+    return (
+        df.filter(pred)
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc(value_col))
+    )

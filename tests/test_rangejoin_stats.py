@@ -422,3 +422,36 @@ def test_hll_validates_p(spark):
     df = spark.createDataFrame([("x",)], ["v"])
     with _pytest.raises(ValueError):
         hll_sketch(df, "v", p=2)
+
+
+def test_heavy_hitters_exact_and_ordered(spark):
+    from serd_spark.operators.stats import heavy_hitters
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "w string")
+    out = [(r["w"], r["n"]) for r in heavy_hitters(df, "w", 3).collect()]
+    assert out == [("a", 5), ("b", 3), ("c", 3)]
+
+
+def test_heavy_hitters_collisions_filtered_by_exact_pass(spark):
+    from serd_spark.operators.stats import heavy_hitters
+
+    # width=2: values collide into two cells per depth → the candidate
+    # filter passes (nearly) everything; the exact pass must still
+    # produce only the true heavy hitters
+    rows = [("x",)] * 4 + [(f"u{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "w string")
+    out = [(r["w"], r["n"])
+           for r in heavy_hitters(df, "w", 4, width=2).collect()]
+    assert out == [("x", 4)]
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    import pytest
+
+    from serd_spark.operators.stats import heavy_hitters
+
+    df = spark.createDataFrame([("a",), ("b",)], "w string")
+    assert heavy_hitters(df, "w", 5).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "w", 0)
