@@ -1582,6 +1582,32 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(words, "w", min_count=500)
 
 
+def q_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining
+    (dedup.py::mine_training_pairs): LSH candidates verified into
+    POSITIVES (est >= 0.5) and HARD NEGATIVES (0.25 <= est < 0.5 —
+    same-bucket mates, the negatives in-batch sampling can't
+    produce). Same plan shape as dedup_minhash_lsh; the oracle
+    replays prune → band join → agreement verify → label CASE from
+    the materialized signatures/bands."""
+    from serd_spark.operators.dedup import mine_training_pairs
+    from serd_spark.operators.linking import lsh_bands, signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    named = docs.select(
+        F.col("doc_id").cast("string").alias("entity"),
+        F.col("text").alias("name"),
+    )
+    _materialize(sf_dir, "minhash/sigs", lambda: signatures(named))
+    _materialize(
+        sf_dir, "minhash/bands",
+        lambda: lsh_bands(
+            spark.read.parquet(_oracle_path(sf_dir, "minhash/sigs"))
+        ),
+    )
+    return mine_training_pairs(docs, pos_threshold=0.5, neg_floor=0.25)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2565,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_dhash": q_mm_dhash,
         "q_mm_audio": q_mm_audio,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_pair_mining": q_pair_mining,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3437,6 +3464,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Pair mining: the dedup_minhash_lsh replay with a lower
+        # verify floor and the pos/hard_neg label CASE.
+        "q_pair_mining": f"""
+            WITH bands AS (
+              SELECT entity, band, band_hash
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/minhash/bands/*.parquet')
+            ), sigs AS (
+              SELECT entity, sig
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/minhash/sigs/*.parquet')
+            ), counts AS (
+              SELECT band, band_hash, COUNT(*) AS m
+              FROM bands GROUP BY band, band_hash
+            ), pruned AS (
+              SELECT b.entity, b.band, b.band_hash
+              FROM bands b JOIN counts c USING (band, band_hash)
+              WHERE c.m <= 1024
+            ), pairs AS (
+              SELECT DISTINCT a.entity AS entity_a, b.entity AS entity_b
+              FROM pruned a JOIN pruned b USING (band, band_hash)
+              WHERE a.entity < b.entity
+            ), est AS (
+              SELECT p.entity_a, p.entity_b,
+                     len(list_filter(list_zip(sa.sig, sb.sig),
+                                     x -> x[1] = x[2])) / 64.0 AS j
+              FROM pairs p
+              JOIN sigs sa ON sa.entity = p.entity_a
+              JOIN sigs sb ON sb.entity = p.entity_b
+            )
+            SELECT CAST(entity_a AS BIGINT) AS id_a,
+                   CAST(entity_b AS BIGINT) AS id_b,
+                   j AS jaccard_est,
+                   CASE WHEN j >= 0.5 THEN 'pos'
+                        ELSE 'hard_neg' END AS label
+            FROM est WHERE j >= 0.25
         """,
         # Heavy hitters: the oracle is the NAIVE exact aggregate the
         # sketch-filtered two-pass plan must equal (no false negatives

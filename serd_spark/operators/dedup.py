@@ -668,3 +668,58 @@ def dup_clusters(
             "is_canonical"
         ),
     )
+
+
+def mine_training_pairs(
+    docs: DataFrame,
+    pos_threshold: float = 0.5,
+    neg_floor: float = 0.125,
+    max_bucket: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contrastive training-pair mining from the LSH candidate set —
+    the retrieval/embedding-model data step: POSITIVES are candidate
+    pairs whose signature-agreement Jaccard estimate clears
+    ``pos_threshold``; HARD NEGATIVES are pairs that collided in some
+    LSH band but verify BELOW it (same-bucket mates are precisely the
+    "hard" negatives in-batch sampling can't produce; random pairs
+    are easy). Pairs under ``neg_floor`` are discarded as
+    uninformative.
+
+    One signature pass over the corpus text (localCheckpoint-ed so
+    the band branch and the verify branch share it), the standard
+    bucket-capped band join, one agreement verify — the SAME
+    plan shape and cost as ``minhash_near_dups``; only the final
+    labeling differs. jaccard_est is agreement/64: a power-of-two
+    fraction, exact in double on every engine.
+
+    Returns (id_a, id_b, jaccard_est, label) with id_a < id_b as
+    STRINGS (the linking contract order) cast back to longs."""
+    from serd_spark.operators.linking import (
+        candidate_pairs,
+        lsh_bands,
+        signatures,
+        verified_links,
+    )
+
+    if not 0.0 <= neg_floor < pos_threshold <= 1.0:
+        raise ValueError("need 0 <= neg_floor < pos_threshold <= 1")
+    named = docs.select(
+        F.col(id_col).cast("string").alias("entity"),
+        F.col(text_col).alias("name"),
+    )
+    sigs = signatures(named).localCheckpoint(eager=False)
+    verified = verified_links(
+        candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket, dedup=False),
+        sigs,
+        threshold=neg_floor,
+    )
+    return verified.select(
+        F.col("entity_a").cast("long").alias("id_a"),
+        F.col("entity_b").cast("long").alias("id_b"),
+        "jaccard_est",
+        F.when(F.col("jaccard_est") >= pos_threshold, F.lit("pos"))
+        .otherwise(F.lit("hard_neg"))
+        .alias("label"),
+    )

@@ -1203,3 +1203,42 @@ def test_audio_energy_skips_non_wav(spark):
         "media_id long, payload binary",
     )
     assert audio_energy(media).count() == 0
+
+
+def test_mine_training_pairs_labels(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.dedup import mine_training_pairs
+
+    base = " ".join(f"token{i}" for i in range(30))
+    near = base.replace("token3", "changed3")          # high jaccard
+    # superset doc: shares every base shingle + a tail → verified
+    # est 0.703125 with exactly one colliding band (fixed perms make
+    # this deterministic; probed, not assumed)
+    part = base + " " + " ".join(f"extra{i}word" for i in range(5))
+    far = " ".join(f"zz{i}q" for i in range(30))       # no overlap
+    d = spark.createDataFrame(
+        [(1, base), (2, near), (3, part), (4, far)],
+        "doc_id long, text string",
+    )
+    rows = mine_training_pairs(
+        d, pos_threshold=0.85, neg_floor=0.05
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert got[(1, 2)]["label"] == "pos"
+    assert got[(1, 2)]["jaccard_est"] >= 0.85
+    # the superset doc collides in one band yet verifies below pos
+    assert (1, 3) in got and got[(1, 3)]["label"] == "hard_neg"
+    assert got[(1, 3)]["jaccard_est"] == 0.703125
+    # disjoint docs never become pairs at all
+    assert not any(4 in p for p in got)
+
+
+def test_mine_training_pairs_validation(spark):
+    import pytest
+
+    from serd_spark.operators.dedup import mine_training_pairs
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        mine_training_pairs(d, pos_threshold=0.3, neg_floor=0.5)
