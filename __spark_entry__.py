@@ -1608,6 +1608,22 @@ def q_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_training_pairs(docs, pos_threshold=0.5, neg_floor=0.25)
 
 
+def q_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-freshness roll-up (corpus.py::crawl_stats): per host —
+    URLs, fetches, refetched URLs, total first-to-last fetch span in
+    epoch seconds — the recrawl-scheduler's input table. The oracle
+    re-derives hosts and re-aggregates both levels from the
+    materialized (url, warc_ts) fetch log."""
+    from serd_spark.operators.corpus import crawl_stats
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_crawl",
+        lambda: _pages(spark, sf_dir).select("url", "warc_ts"),
+    )
+    return crawl_stats(pages)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2592,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_audio": q_mm_audio,
         "q_heavy_hitters": q_heavy_hitters,
         "q_pair_mining": q_pair_mining,
+        "q_crawl": q_crawl,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3464,6 +3481,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Crawl stats: per-url fetch log collapsed, host re-derived
+        # with the shared pattern, both aggregate levels replayed;
+        # timestamps compared as integer epoch seconds.
+        "q_crawl": f"""
+            WITH per_url AS (
+              SELECT url,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MIN(epoch(warc_ts)) AS BIGINT) AS t0,
+                     CAST(MAX(epoch(warc_ts)) AS BIGINT) AS t1
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_crawl/*.parquet')
+              GROUP BY url
+            )
+            SELECT lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(SUM(n) AS BIGINT) AS n_fetches,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_refetched,
+                   CAST(SUM(t1 - t0) AS BIGINT) AS sum_gap_sec
+            FROM per_url GROUP BY host
         """,
         # Pair mining: the dedup_minhash_lsh replay with a lower
         # verify floor and the pos/hard_neg label CASE.

@@ -1467,3 +1467,50 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def crawl_stats(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Crawl-freshness roll-up — the recrawl-scheduling input of a
+    crawler: per host, how many URLs exist, how often they were
+    fetched, how many were fetched MORE than once, and the total
+    first-to-last fetch span — the table a frontier scheduler reads
+    to decide which hosts deserve recrawl budget.
+
+    Two hash aggregates, both map-side-combined: (url) collapses the
+    fetch log to one row per URL (the same shuffle shape as
+    ``latest_crawl``'s ingest dedup — counters, never page bytes),
+    then (host) rolls up a bounded keyspace. Timestamps are compared
+    as epoch SECONDS in int64 (``cast(timestamp as long)`` — no
+    timezone or float ambiguity for any engine).
+
+    Returns (host, n_urls, n_fetches, n_refetched, sum_gap_sec)."""
+    per_url = (
+        pages.select(
+            F.col(url_col).alias("_u"),
+            F.col(ts_col).cast("long").alias("_t"),
+        )
+        .groupBy("_u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min("_t").alias("_t0"),
+            F.max("_t").alias("_t1"),
+        )
+    )
+    return (
+        per_url.select(
+            url_host(F.col("_u")).alias("host"), "_n", "_t0", "_t1"
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("_n").cast("long").alias("n_fetches"),
+            F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_refetched"),
+            F.sum(F.col("_t1") - F.col("_t0")).cast("long").alias(
+                "sum_gap_sec"
+            ),
+        )
+    )

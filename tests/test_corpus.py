@@ -772,3 +772,26 @@ def test_ccnet_buckets_langs_cut_independently(spark):
     assert out[1]["bucket"] == "head"
     assert out[4]["bucket"] == "head"
     assert out[2]["bucket"] == "middle" and out[3]["bucket"] == "middle"
+
+
+def test_crawl_stats_hand_case(spark):
+    from datetime import datetime
+
+    from serd_spark.operators.corpus import crawl_stats
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("https://a.example/1", t(0)),
+        ("https://a.example/1", t(30)),   # refetched, gap 30
+        ("https://a.example/2", t(5)),
+        ("https://b.example/x", t(1)),
+        ("https://b.example/x", t(11)),
+        ("https://b.example/x", t(21)),   # refetched twice, gap 20
+    ]
+    d = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    out = {r["host"]: r for r in crawl_stats(d).collect()}
+    a, b = out["a.example"], out["b.example"]
+    assert (a["n_urls"], a["n_fetches"], a["n_refetched"]) == (2, 3, 1)
+    assert a["sum_gap_sec"] == 30
+    assert (b["n_urls"], b["n_fetches"], b["n_refetched"]) == (1, 3, 1)
+    assert b["sum_gap_sec"] == 20
