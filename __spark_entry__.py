@@ -1624,6 +1624,19 @@ def q_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_stats(pages)
 
 
+def q_rare_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token scrubbing (corpus.py::mask_rare_tokens — the
+    memorization-mitigation rewrite): tokens under the corpus count
+    floor become <unk>; per doc the masked count and an md5 pinning
+    the full rewritten text content AND order. The oracle rebuilds
+    the keep-vocabulary, re-masks every position, and re-assembles
+    the string with an order-pinned string_agg."""
+    from serd_spark.operators.corpus import mask_rare_tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mask_rare_tokens(d, min_count=30)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2609,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_pair_mining": q_pair_mining,
         "q_crawl": q_crawl,
+        "q_rare_mask": q_rare_mask,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3481,6 +3495,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Rare-token masking: keep-vocab, positional re-mask, and the
+        # order-pinned string_agg md5 all rebuilt from raw text.
+        "q_rare_mask": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS arr
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, i.x - 1 AS pos, arr[i.x] AS w
+              FROM tok, LATERAL (
+                SELECT unnest(range(1, len(arr) + 1)) AS x) i
+            ), keep AS (
+              SELECT w FROM pos GROUP BY w HAVING COUNT(*) >= 30
+            ), m AS (
+              SELECT p.doc_id, p.pos,
+                     CASE WHEN k.w IS NOT NULL THEN p.w
+                          ELSE '<unk>' END AS mw,
+                     CASE WHEN k.w IS NULL THEN 1 ELSE 0 END AS is_m
+              FROM pos p LEFT JOIN keep k ON p.w = k.w
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   CAST(SUM(is_m) AS BIGINT) AS n_masked,
+                   md5(string_agg(mw, ' ' ORDER BY pos)) AS masked_md5
+            FROM m GROUP BY doc_id
         """,
         # Crawl stats: per-url fetch log collapsed, host re-derived
         # with the shared pattern, both aggregate levels replayed;

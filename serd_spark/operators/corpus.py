@@ -1514,3 +1514,60 @@ def crawl_stats(
             ),
         )
     )
+
+
+def mask_rare_tokens(
+    docs: DataFrame,
+    min_count: int = 2,
+    unk: str = "<unk>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rare-token scrubbing — the memorization-mitigation rewrite
+    (mask every token occurring fewer than ``min_count`` times in the
+    corpus): unique strings are where verbatim memorization and
+    residual PII live, so pretraining pipelines replace them with an
+    UNK sentinel while keeping sentence structure.
+
+    Plan: one token-count aggregate builds the KEEP vocabulary
+    (tokens with count >= min_count — the bounded side: Zipf means
+    the frequent vocabulary is tiny next to the token stream), then
+    the token stream left-joins it (broadcast at vocabulary scale,
+    (w)-keyed shuffle join past it) and each document reassembles
+    with an order-pinned string_agg by token position. The rewrite
+    inherently shuffles (doc, pos, token) rows once — that is the
+    op's floor, not an artifact.
+
+    Returns (id_col, n_toks, n_masked, masked_md5) — the md5 pins the
+    full rewritten text (content AND order) without hauling it
+    through the compare."""
+    docs = _min_parallelism(docs)
+    toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda x: x != "")
+    pos = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "w")
+    )
+    keep = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("w", F.lit(1).alias("_keep"))
+    )
+    masked = pos.join(F.broadcast(keep), "w", "left").select(
+        id_col,
+        "pos",
+        F.when(F.col("_keep").isNotNull(), F.col("w"))
+        .otherwise(F.lit(unk))
+        .alias("mw"),
+        F.col("_keep").isNull().cast("long").alias("is_masked"),
+    )
+    return masked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("is_masked").cast("long").alias("n_masked"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(
+                    F.collect_list(F.struct("pos", "mw"))
+                ).getField("mw")
+            ).cast("binary")
+        ).alias("masked_md5"),
+    )

@@ -795,3 +795,24 @@ def test_crawl_stats_hand_case(spark):
     assert a["sum_gap_sec"] == 30
     assert (b["n_urls"], b["n_fetches"], b["n_refetched"]) == (1, 3, 1)
     assert b["sum_gap_sec"] == 20
+
+
+def test_mask_rare_tokens_hand_case(spark):
+    import hashlib
+
+    from serd_spark.operators.corpus import mask_rare_tokens
+
+    d = _docs(spark, [
+        (1, "the cat sat on the MAT-9f3b7"),   # unique token masked
+        (2, "the cat ran"),
+        (3, ""),
+    ])
+    out = {r["doc_id"]: r for r in mask_rare_tokens(d, min_count=2).collect()}
+    # counts: the=3 cat=2 sat=1 on=1 mat-9f3b7=1 ran=1
+    assert out[1]["n_toks"] == 6 and out[1]["n_masked"] == 3
+    expect1 = "the cat <unk> <unk> the <unk>"
+    assert out[1]["masked_md5"] == hashlib.md5(expect1.encode()).hexdigest()
+    assert out[2]["n_masked"] == 1  # 'ran' is unique
+    expect2 = "the cat <unk>"
+    assert out[2]["masked_md5"] == hashlib.md5(expect2.encode()).hexdigest()
+    assert 3 not in out  # token-less docs have nothing to rewrite
