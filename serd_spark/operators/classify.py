@@ -91,10 +91,16 @@ def nb_quality(
         F.explode(_toks(text_col)).alias("w"),
     )
     # one pass, both class distributions: count(*) and the conditional
-    # sum(y) ride the same map-side-combined aggregate
-    counts = words.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("c_pos"),
+    # sum(y) ride the same map-side-combined aggregate; checkpointed
+    # because BOTH the totals agg and the model projection read it —
+    # without the cut each consumer would re-tokenize the corpus
+    counts = (
+        words.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("c_pos"),
+        )
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(
         F.sum("c_pos").cast("long").alias("t_pos"),

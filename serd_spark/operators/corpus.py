@@ -1362,7 +1362,16 @@ def pmi_collocations(
     toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda x: x != "")
     d = docs.select(toks.alias("toks"))
     words = d.select(F.explode("toks").alias("w"))
-    uc = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    # both count tables feed MULTIPLE consumers (totals + the two
+    # unigram join sides / totals + the top-k input); checkpointing
+    # the vocabulary-sized aggregates keeps the corpus tokenization
+    # at ONE pass per stream instead of one per consumer (the repo
+    # convention for reused mid-plans, cf. span_dedup_stats)
+    uc = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+        .localCheckpoint(eager=False)
+    )
     pairs = d.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
@@ -1373,7 +1382,7 @@ def pmi_collocations(
     ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
     pc = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pair")
-    )
+    ).localCheckpoint(eager=False)
     totals = uc.agg(F.sum("c_w").cast("long").alias("n_toks")).crossJoin(
         pc.agg(F.sum("n_pair").cast("long").alias("n_pairs"))
     )
