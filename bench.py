@@ -117,6 +117,19 @@ def main() -> None:
         "q_sq8": entrymod.q_sq8,
         "q_mix": entrymod.q_mix,
         "q_hits": entrymod.q_hits,
+        # round-4 session-5 additions
+        "q_nb_quality": entrymod.q_nb_quality,
+        "q_gazetteer": entrymod.q_gazetteer,
+        "q_collocations": entrymod.q_collocations,
+        "q_sem_decon": entrymod.q_sem_decon,
+        "q_ccnet": entrymod.q_ccnet,
+        "q_dup_clusters": entrymod.q_dup_clusters,
+        "q_mm_dhash": entrymod.q_mm_dhash,
+        "q_mm_audio": entrymod.q_mm_audio,
+        "q_heavy_hitters": entrymod.q_heavy_hitters,
+        "q_pair_mining": entrymod.q_pair_mining,
+        "q_crawl": entrymod.q_crawl,
+        "q_rare_mask": entrymod.q_rare_mask,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
