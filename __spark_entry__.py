@@ -1637,6 +1637,25 @@ def q_rare_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_rare_tokens(d, min_count=30)
 
 
+# shared Spark-query/oracle blocklist (same one-list discipline as
+# _GAZETTEER)
+_BLOCKLIST = ["slow", "big table", "value"]
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-blocklist filtering (classify.py::blocklist_stats — the
+    C4/FineWeb "bad words" pass): per-doc hit counts against a
+    broadcast 1-/2-token blocklist, DENSITY in integer ppm of the
+    token count (a single incidental hit must not kill a long
+    document), and the drop flag. The oracle replays matching
+    (positional lateral unnest + the same VALUES list), token counts,
+    and the exact div arithmetic."""
+    from serd_spark.operators.classify import blocklist_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_stats(d, _BLOCKLIST, max_hits_ppm=60_000)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2623,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pair_mining": q_pair_mining,
         "q_crawl": q_crawl,
         "q_rare_mask": q_rare_mask,
+        "q_blocklist": q_blocklist,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3495,6 +3515,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Blocklist filter: gazetteer-style matching + token counts +
+        # the integer div density and flag, all replayed.
+        "q_blocklist": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS arr
+              FROM documents
+            ), n AS (
+              SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks
+              FROM tok WHERE len(arr) >= 1
+            ), uni AS (
+              SELECT doc_id, unnest(arr) AS g FROM tok
+            ), bi AS (
+              SELECT doc_id, arr[i.x] || ' ' || arr[i.x + 1] AS g
+              FROM tok, LATERAL (
+                SELECT unnest(range(1, len(arr))) AS x) i
+            ), cand AS (
+              SELECT doc_id, g FROM uni
+              UNION ALL SELECT doc_id, g FROM bi
+            ), dict(entity) AS (
+              VALUES {", ".join("('" + e + "')" for e in _BLOCKLIST)}
+            ), hits AS (
+              SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+              FROM cand c JOIN dict d ON c.g = d.entity
+              GROUP BY c.doc_id
+            )
+            SELECT n.doc_id, n.n_toks,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST((COALESCE(h.n_hits, 0) * 1000000) // n.n_toks
+                        AS BIGINT) AS hits_ppm,
+                   CAST(CASE WHEN (COALESCE(h.n_hits, 0) * 1000000)
+                                  // n.n_toks > 60000
+                             THEN 1 ELSE 0 END AS INT) AS dropped
+            FROM n LEFT JOIN hits h USING (doc_id)
         """,
         # Rare-token masking: keep-vocab, positional re-mask, and the
         # order-pinned string_agg md5 all rebuilt from raw text.

@@ -225,3 +225,55 @@ def gazetteer_mentions(
         .groupBy(id_col, "entity")
         .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
     )
+
+
+def blocklist_stats(
+    docs: DataFrame,
+    terms: list[str],
+    max_hits_ppm: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word-blocklist filtering (the C4/FineWeb "bad words" pass):
+    per document, how many tokens/adjacent pairs hit a broadcast
+    blocklist of 1- and 2-token phrases, the hit DENSITY in parts per
+    million of the token count, and the drop decision
+    (density > ``max_hits_ppm``). Density, not a raw count — a single
+    incidental hit must not kill a long document (the documented C4
+    false-positive failure), while hit-saturated spam must die at any
+    length.
+
+    Matching reuses ``gazetteer_mentions`` (same tokenizer, same
+    shifted-array bigrams, same broadcast dictionaries); the density
+    is exact integer arithmetic: hits_ppm = (n_hits * 1e6) div n_toks.
+
+    Returns (id_col, n_toks, n_hits, hits_ppm, dropped) for every
+    document with >= 1 token; dropped is an int 0/1 flag so the keep
+    filter is one predicate."""
+    mentions = gazetteer_mentions(
+        docs, terms, text_col=text_col, id_col=id_col
+    )
+    hits = mentions.groupBy(id_col).agg(
+        F.sum("n_mentions").cast("long").alias("n_hits")
+    )
+    ntok = docs.select(
+        F.col(id_col), F.size(_toks(text_col)).cast("long").alias("n_toks")
+    ).filter(F.col("n_toks") >= 1)
+    return (
+        ntok.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_toks",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+        )
+        .withColumn(
+            "hits_ppm",
+            F.expr("(n_hits * 1000000) div n_toks").cast("long"),
+        )
+        .withColumn(
+            "dropped",
+            (F.col("hits_ppm") > F.lit(int(max_hits_ppm))).cast("int"),
+        )
+    )

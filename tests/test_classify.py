@@ -98,3 +98,34 @@ def test_gazetteer_rejects_bad_entries(spark):
         gazetteer_mentions(d, ["one two three"])
     with pytest.raises(ValueError, match="collide"):
         gazetteer_mentions(d, ["Hash Join", "hash  join"])
+
+
+def test_blocklist_stats_density_and_flag(spark):
+    from serd_spark.operators.classify import blocklist_stats
+
+    d = _docs(
+        spark,
+        [
+            (1, "bad words bad words bad words bad words"),  # saturated
+            (2, "one bad words mention in a long clean document " + 
+                "with many extra tokens " * 5),
+            (3, "totally clean text here"),
+            (4, ""),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_stats(
+            d, ["bad words"], max_hits_ppm=200_000
+        ).collect()
+    }
+    # doc 1: 8 tokens, 4 hits → 500000 ppm → dropped
+    assert out[1]["n_toks"] == 8 and out[1]["n_hits"] == 4
+    assert out[1]["hits_ppm"] == 500_000 and out[1]["dropped"] == 1
+    # doc 2: 1 hit over 28 tokens → 35714 ppm → kept
+    assert out[2]["n_hits"] == 1
+    assert out[2]["hits_ppm"] == (1_000_000 // out[2]["n_toks"])
+    assert out[2]["dropped"] == 0
+    # doc 3: zero hits, kept; doc 4: token-less, absent
+    assert out[3]["n_hits"] == 0 and out[3]["dropped"] == 0
+    assert 4 not in out
