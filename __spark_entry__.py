@@ -1656,6 +1656,19 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_stats(d, _BLOCKLIST, max_hits_ppm=60_000)
 
 
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document
+    (corpus.py::token_entropy — the frequency-weighted
+    vocabulary-diversity signal beside repetition_features' TTR).
+    Each (doc, token) term micro-rounded before the per-doc sum; the
+    oracle rebuilds counts, totals, every term and the integer-div
+    floor from raw text."""
+    from serd_spark.operators.corpus import token_entropy
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_entropy(d)
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2643,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl": q_crawl,
         "q_rare_mask": q_rare_mask,
         "q_blocklist": q_blocklist,
+        "q_entropy": q_entropy,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -3515,6 +3529,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(list_zip(sa.sig, sb.sig),
                                   x -> x[1] = x[2])) / 64.0 >= 0.5
             ORDER BY entity_a, entity_b
+        """,
+        # Token entropy: (doc, token) counts, per-term micro rounding,
+        # integer-div floor — all from raw text.
+        "q_entropy": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '')) AS w
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM w GROUP BY doc_id, w
+            ), totals AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+                     CAST(COUNT(*) AS BIGINT) AS n_types
+              FROM counts GROUP BY doc_id
+            ), terms AS (
+              SELECT c.doc_id, t.n_toks, t.n_types,
+                     CAST(round(CAST(c.c AS DOUBLE)
+                                * ln(CAST(t.n_toks AS DOUBLE)
+                                     / CAST(c.c AS DOUBLE))
+                                * 1000000) AS BIGINT) AS term
+              FROM counts c JOIN totals t USING (doc_id)
+            )
+            SELECT doc_id, n_toks, n_types,
+                   CAST(CAST(SUM(term) AS BIGINT) // n_toks AS BIGINT)
+                     AS entropy_micros
+            FROM terms GROUP BY doc_id, n_toks, n_types
         """,
         # Blocklist filter: gazetteer-style matching + token counts +
         # the integer div density and flag, all replayed.

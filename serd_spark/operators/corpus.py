@@ -1580,3 +1580,64 @@ def mask_rare_tokens(
             ).cast("binary")
         ).alias("masked_md5"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the
+    vocabulary-diversity quality signal (near-zero entropy = the same
+    token repeated, i.e. keyboard mash / padding / SEO stuffing;
+    entropy near ln(n) = every token distinct), complementing
+    ``text.repetition_features``\' type-token ratio with a
+    frequency-weighted measure.
+
+    entropy_micros = ( SUM_w round(c_w * ln(n / c_w) * 1e6) ) div n
+
+    — each (doc, token) term is micro-rounded BEFORE the per-doc sum
+    (the repo-wide float rule); every term is non-negative (c <= n),
+    so the integer div IS the floor and any engine reproduces the
+    result exactly.
+
+    Shape: one (doc, token) hash aggregate (map-side combine absorbs
+    within-partition repeats), a per-doc totals aggregate over that
+    (already distinct-token-sized) table, and a join back — no
+    corpus-sized join, no model, no broadcast beyond AQE\'s choice.
+    Returns (id_col, n_toks, n_types, entropy_micros) for every
+    document with >= 1 token."""
+    docs = _min_parallelism(docs)
+    toks = F.filter(F.split(_norm(F.col(text_col)), " "), lambda x: x != "")
+    counts = (
+        docs.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_toks"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    terms = counts.join(totals, id_col).select(
+        id_col,
+        "n_toks",
+        "n_types",
+        F.round(
+            F.col("c").cast("double")
+            * F.log(
+                F.col("n_toks").cast("double") / F.col("c").cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy(id_col, "n_toks", "n_types")
+        .agg(F.sum("t").cast("long").alias("_s"))
+        .select(
+            id_col,
+            "n_toks",
+            "n_types",
+            F.expr("_s div n_toks").cast("long").alias("entropy_micros"),
+        )
+    )

@@ -816,3 +816,26 @@ def test_mask_rare_tokens_hand_case(spark):
     expect2 = "the cat <unk>"
     assert out[2]["masked_md5"] == hashlib.md5(expect2.encode()).hexdigest()
     assert 3 not in out  # token-less docs have nothing to rewrite
+
+
+def test_token_entropy_hand_cases(spark):
+    from serd_spark.operators.corpus import token_entropy
+
+    d = _docs(spark, [
+        (1, "a a a a"),          # zero entropy
+        (2, "a b c d"),          # maximal: ln(4)
+        (3, "a a b"),            # mixed
+        (4, ""),
+    ])
+    out = {r["doc_id"]: r for r in token_entropy(d).collect()}
+    assert out[1]["entropy_micros"] == 0
+    assert (out[1]["n_toks"], out[1]["n_types"]) == (4, 1)
+    assert out[2]["entropy_micros"] == (
+        4 * round(math.log(4) * 1e6)) // 4
+    t_a = round(2 * math.log(3 / 2) * 1e6)
+    t_b = round(1 * math.log(3 / 1) * 1e6)
+    assert out[3]["entropy_micros"] == (t_a + t_b) // 3
+    assert 4 not in out
+    # ordering sanity: diverse > mixed > constant
+    assert (out[2]["entropy_micros"] > out[3]["entropy_micros"]
+            > out[1]["entropy_micros"])
