@@ -2548,6 +2548,104 @@ def stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_PROBE_UIDS = ["3", "46", "999"]  # 999 absent → missing-cell path
+
+
+def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-day count-min frequency sketch driven
+    end-to-end (streaming/incremental.streaming_countmin): user-id
+    events flow through an availableNow stream into tumbling-day
+    4×64 cell counts under a 2 h watermark — the SKETCH is the
+    windowed state, depth×width cells per day no matter how many
+    distinct users exist — then a BATCH pass estimates three probe
+    users per emitted day (min over depth cells, absent cell = 0;
+    width 64 < 150 users so collisions are real, and probe '999'
+    never occurs so the missing-cell path is exercised). Append mode
+    emits each day exactly once at the standard eviction cut. The
+    oracle rebuilds cells, cut, probes and the min rule from raw
+    events."""
+    import shutil
+
+    from serd_spark.operators.stats import _cm_col
+    from serd_spark.streaming.incremental import streaming_countmin
+
+    base = os.path.join(
+        "/tmp/serd_spark_stream_cm",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    in_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("uid"),
+    ).repartition(6).write.parquet(in_dir)
+
+    ev = spark.readStream.schema("ts timestamp, uid string").parquet(in_dir)
+    sk = streaming_countmin(
+        ev, "uid", window="1 day", watermark="2 hours", depth=4, width=64
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        sk.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = spark.read.parquet(out_dir).select(
+        F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+        "row",
+        "col",
+        "cnt",
+    )
+    probes = (
+        cells.select("day")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [(u,) for u in _CM_PROBE_UIDS], "uid string"
+            )
+        )
+    )
+    pairs = probes.select(
+        "day",
+        "uid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_col(F.col("uid"), i, 64).alias("col"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("_rc"),
+    ).select(
+        "day", "uid",
+        F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"),
+    )
+    return (
+        pairs.join(cells, ["day", "row", "col"], "left")
+        .groupBy("day", "uid")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("cms_est")
+        )
+        .orderBy("day", "uid")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -2657,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rare_mask": q_rare_mask,
         "q_blocklist": q_blocklist,
         "q_entropy": q_entropy,
+        "stream_countmin": stream_countmin,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -5504,6 +5603,46 @@ def oracle_sql() -> dict[str, str]:
         # filter precedes the watermark in the stream too), the
         # clamped/self-corrected bucket math, and the quantile
         # extraction — all from raw events.
+        # Streaming count-min: day windows, the eviction cut, the md5
+        # cells, the three probes and the min-with-absent-cell=0 rule
+        # all rebuilt from raw events.
+        "stream_countmin": f"""
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS uid, ts FROM events
+            ), mx AS (
+              SELECT max(ts) AS mts FROM ev
+            ), kept AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     uid
+              FROM ev, mx
+              WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+                    <= mts - INTERVAL 2 HOUR
+            ), cells AS (
+              SELECT day, i.r AS row,
+                     CAST('0x' || substr(md5(uid || '#' ||
+                          CAST(i.r AS VARCHAR)), 1, 8) AS BIGINT) % 64
+                       AS col,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM kept, LATERAL (
+                SELECT unnest(range(0, 4)) AS r) i
+              GROUP BY 1, 2, 3
+            ), probes AS (
+              SELECT d.day, u.uid, i.r AS row,
+                     CAST('0x' || substr(md5(u.uid || '#' ||
+                          CAST(i.r AS VARCHAR)), 1, 8) AS BIGINT) % 64
+                       AS col
+              FROM (SELECT DISTINCT day FROM kept) d
+              CROSS JOIN (SELECT unnest([{", ".join("'" + u + "'" for u in _CM_PROBE_UIDS)}]) AS uid) u
+              CROSS JOIN (SELECT unnest(range(0, 4)) AS r) i
+            )
+            SELECT p.day, p.uid,
+                   CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+            FROM probes p
+            LEFT JOIN cells c
+              ON c.day = p.day AND c.row = p.row AND c.col = p.col
+            GROUP BY p.day, p.uid
+            ORDER BY p.day, p.uid
+        """,
         "stream_quantiles": """
             WITH ev AS (
               SELECT event_type, ts,

@@ -412,3 +412,58 @@ def streaming_hdr_sketch(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def streaming_countmin(
+    events_stream: DataFrame,
+    value_col: str,
+    ts: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Tumbling-window count-min frequency sketch over an event
+    stream — the streaming face of ``operators/stats.countmin_sketch``
+    and the third member of the bounded-state streaming-sketch family
+    (sessions hold intervals, ``streaming_hdr_sketch`` holds a bucket
+    histogram, this holds frequency cells).
+
+    Why at 100 TB: a per-value windowed count grows state with the
+    DISTINCT value count (every user / URL / token ever seen inside
+    the window); the sketch is at most ``depth * width`` cells per
+    window no matter the domain, and late data within the watermark
+    merges by cell addition — the sketch's merge property doing the
+    late-data work. Point estimates stay a BATCH pass over the
+    emitted cell table (min over the depth probes, absent cell = 0),
+    deliberately outside the stream.
+
+    Append mode emits each window exactly once when the watermark
+    passes its end (the ``window_end <= max(event_ts) - delay``
+    eviction cut, replayable by an engine that never sees Spark's
+    state store). Returns (window struct, row, col, cnt)."""
+    from serd_spark.operators.stats import _cm_col
+
+    v = F.col(value_col)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cm_col(v, i, width).alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        events_stream.withColumn("_ts", F.col(ts).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .select("_ts", cells.alias("_rc"))
+        .groupBy(
+            F.window(F.col("_ts"), window),
+            F.col("_rc.row").alias("row"),
+            F.col("_rc.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

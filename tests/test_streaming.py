@@ -404,3 +404,83 @@ def test_streaming_hdr_sketch_merges_late_data_and_evicts(spark, tmp_path):
     # trailing day 3 stays in state — never emitted
     assert not any(d == "2024-01-03" for d, _ in got)
     assert len(got) == 4
+
+
+def test_streaming_countmin_merges_late_and_evicts(spark, tmp_path):
+    """The windowed frequency sketch must merge a late-but-within-
+    watermark event into its day's cells across micro-batches, emit a
+    day exactly once at the eviction cut, and hold back the trailing
+    open day — and the emitted cells must EQUAL the batch
+    countmin_sketch over the evicted rows (the merge property the
+    stream_countmin oracle replays)."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.stats import countmin_sketch
+    from serd_spark.streaming.incremental import streaming_countmin
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    batches = [
+        [("u1", _ts("2024-01-01 10:00:00")),
+         ("u2", _ts("2024-01-01 11:00:00"))],
+        # LATE day-1 repeat of u1 + a day-2 row
+        [("u1", _ts("2024-01-01 09:00:00")),
+         ("u3", _ts("2024-01-02 01:00:00"))],
+        # flusher: advances the watermark past day 1 and day 2
+        [("u9", _ts("2024-01-03 03:00:00"))],
+    ]
+    for k, rows in enumerate(batches):
+        p = str(in_dir / f"b{k}.parquet")
+        spark.createDataFrame(rows, "uid string, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        t = 1_700_000_000 + 1000 * k
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    _time.sleep(0.01)
+
+    ev = spark.readStream.schema("uid string, ts timestamp") \
+        .option("maxFilesPerTrigger", 1).parquet(str(in_dir) + "/*")
+    sk = streaming_countmin(
+        ev, "uid", window="1 day", watermark="2 hours", depth=2, width=16
+    )
+    q = (
+        sk.writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql(
+        "SELECT date_format(window.start, 'yyyy-MM-dd') AS day,"
+        " row, col, cnt FROM cm_stream"
+    ).collect()
+    got = {(r["day"], r["row"], r["col"]): r["cnt"] for r in emitted}
+    # only days 1 and 2 emitted; the open day 3 stays in state
+    assert {d for d, _, _ in got} == {"2024-01-01", "2024-01-02"}
+    # streaming cells == batch sketch over each closed day's rows
+    for day, day_rows in [
+        ("2024-01-01", [("u1",), ("u2",), ("u1",)]),
+        ("2024-01-02", [("u3",)]),
+    ]:
+        batch = countmin_sketch(
+            spark.createDataFrame(day_rows, "uid string"),
+            "uid", depth=2, width=16,
+        ).collect()
+        expect = {(day, r["row"], r["col"]): r["cnt"] for r in batch}
+        assert {k: v for k, v in got.items() if k[0] == day} == expect
+    # the late u1 repeat merged: each depth row's day-1 cells sum to
+    # all 3 day-1 events (collision-safe form of "the repeat counts")
+    for row in (0, 1):
+        assert sum(
+            v for (d, r, _), v in got.items()
+            if d == "2024-01-01" and r == row
+        ) == 3
