@@ -1669,6 +1669,61 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(d)
 
 
+def q_kg_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-shaped graph-pattern query over the EXTRACTED triple
+    graph: the 2-hop relatedLink closure ?s →(relatedLink) ?m
+    →(relatedLink) ?t — a basic-graph-pattern self-join on the triple
+    table (the KG-query surface, beside the host-graph analytics) —
+    with per-source distinct-target and path counts, top-k by
+    (paths DESC, s ASC). Edges are the deduped canonical triples, so
+    the self-join keys on fixed-width IRIs; at 100 TB this is the
+    (o = s) sort-merge/bucket join the subject-hash bucketing in
+    materialize.py exists for. The oracle replays the join over the
+    materialized triple table."""
+    _materialize_triples(spark, sf_dir)
+    rel = "http://schema.org/relatedLink"
+    e = (
+        _kg_triples(spark, sf_dir)
+        .filter(F.col("p") == rel)
+        .select("s", "o")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.o") == F.col("b.s"))
+        .groupBy(F.col("a.s").alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.count_distinct(F.col("b.o")).cast("long").alias("n_targets"),
+        )
+        .orderBy(F.desc("n_paths"), F.asc("s"))
+        .limit(50)
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction over the events
+    table's ``props`` column (the schema-flexible event-payload
+    pattern): get_json_object pulls $.k as an integer JVM-side — the
+    scan prunes to (event_type, props), no UDF — then a bounded-key
+    hash aggregate per event type (count, sum, min, max). The oracle
+    re-extracts with DuckDB's own JSON engine — two independent JSON
+    parsers must agree on every value."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-linear quantile sketch (stats.py::hdr_sketch /
     hdr_quantiles — the DDSketch/HDR family): per-priority order-value
@@ -2755,6 +2810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rare_mask": q_rare_mask,
         "q_blocklist": q_blocklist,
         "q_entropy": q_entropy,
+        "q_kg_twohop": q_kg_twohop,
+        "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
         "stream_quantiles": stream_quantiles,
     }
@@ -3175,6 +3232,37 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p
             ORDER BY n_triples DESC, p
             LIMIT 20
+        """,
+        # JSON props: DuckDB's own JSON engine re-extracts $.k — two
+        # independent parsers must agree on every value.
+        "q_json_props": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        # 2-hop graph pattern: the BGP self-join replayed over the
+        # materialized canonical triples.
+        "q_kg_twohop": f"""
+            WITH e AS (
+              SELECT DISTINCT s, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+              WHERE p = 'http://schema.org/relatedLink'
+            )
+            SELECT a.s,
+                   CAST(COUNT(*) AS BIGINT) AS n_paths,
+                   CAST(COUNT(DISTINCT b.o) AS BIGINT) AS n_targets
+            FROM e a JOIN e b ON a.o = b.s
+            GROUP BY a.s
+            ORDER BY n_paths DESC, a.s ASC
+            LIMIT 50
         """,
         # Replay the curation funnel: lang filter, quality filter and
         # exact dedup recomputed INDEPENDENTLY in SQL; the near-dup
