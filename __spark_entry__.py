@@ -1701,6 +1701,28 @@ def q_kg_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (graph.py::negative_samples): tail corruptions of the extracted
+    relatedLink edges drawn via md5 buckets over the node set — a
+    pure function of the edge set (no RNG: retries and shards can
+    never change the training data), empty buckets pinned to the
+    global min node, self-corruptions flagged. The oracle replays
+    nodes, buckets, representatives, fallback and flags over the
+    materialized triples."""
+    from serd_spark.operators.graph import negative_samples
+
+    _materialize_triples(spark, sf_dir)
+    rel = "http://schema.org/relatedLink"
+    e = (
+        _kg_triples(spark, sf_dir)
+        .filter(F.col("p") == rel)
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .distinct()
+    )
+    return negative_samples(e, n_neg=2, n_buckets=32)
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON property extraction over the events
     table's ``props`` column (the schema-flexible event-payload
@@ -2811,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocklist": q_blocklist,
         "q_entropy": q_entropy,
         "q_kg_twohop": q_kg_twohop,
+        "q_kg_negatives": q_kg_negatives,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
         "stream_quantiles": stream_quantiles,
@@ -3232,6 +3255,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p
             ORDER BY n_triples DESC, p
             LIMIT 20
+        """,
+        # Negative sampling: nodes, md5 buckets, min representatives,
+        # global-min fallback and self flags replayed wholesale.
+        "q_kg_negatives": f"""
+            WITH e AS (
+              SELECT DISTINCT s AS src, o AS dst
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+              WHERE p = 'http://schema.org/relatedLink'
+            ), nodes AS (
+              SELECT src AS n FROM e UNION SELECT dst FROM e
+            ), reps AS (
+              SELECT CAST('0x' || substr(md5(n), 1, 8) AS BIGINT) % 32
+                       AS b,
+                     MIN(n) AS rep
+              FROM nodes GROUP BY 1
+            ), gmin AS (
+              SELECT MIN(n) AS gmin FROM nodes
+            ), tagged AS (
+              SELECT src, dst, jj.j
+              FROM e, LATERAL (SELECT unnest(range(0, 2)) AS j) jj
+            )
+            SELECT t.src, t.dst, CAST(t.j AS INT) AS j,
+                   COALESCE(r.rep, g.gmin) AS neg_dst,
+                   CAST(CASE WHEN COALESCE(r.rep, g.gmin) = t.dst
+                             THEN 1 ELSE 0 END AS INT) AS is_self
+            FROM tagged t
+            LEFT JOIN reps r
+              ON r.b = CAST('0x' || substr(md5(t.src || '|' || t.dst ||
+                   '#' || CAST(t.j AS VARCHAR)), 1, 8) AS BIGINT) % 32
+            CROSS JOIN gmin g
         """,
         # JSON props: DuckDB's own JSON engine re-extracts $.k — two
         # independent parsers must agree on every value.

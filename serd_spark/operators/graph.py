@@ -369,3 +369,78 @@ def hits(
         F.col("hub").alias("hub_micros"),
         F.col("auth").alias("auth_micros"),
     )
+
+
+def _md5_bucket(col, salt: str, n: int):
+    """md5-hex-prefix bucket in [0, n) — the repo's engine-neutral
+    hash (CAST('0x'||substr(md5(x),1,8) AS BIGINT) % n in SQL)."""
+    base = F.concat(col, F.lit(salt)) if salt else col
+    return (
+        F.conv(F.substring(F.md5(base), 1, 8), 16, 10).cast("long")
+        % F.lit(int(n)).cast("long")
+    )
+
+
+def negative_samples(
+    edges: DataFrame,
+    n_neg: int = 2,
+    n_buckets: int = 32,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic tail-corruption negative sampling — the
+    KG-embedding training-data step (TransE-family models train on
+    (s, o) positives against (s, o') corruptions; at corpus scale the
+    sampler must be a pure function of the edge, not an RNG, or
+    retries/shards silently change the training set).
+
+    Scheme: every node gets an md5 bucket in [0, n_buckets); each
+    bucket is represented by its MIN node id. Negative j of edge
+    (s, o) is the representative of bucket md5(s '|' o '#' j) — a
+    deterministic draw from the node set. An empty bucket falls back
+    to the GLOBAL min node (pinned, engine-replayable); a corruption
+    that lands on the true tail is kept but flagged ``is_self`` so
+    the trainer can drop or resample it.
+
+    Shape (100 TB): one distinct-node aggregate (node-table-sized),
+    an n_buckets-row representative table + 1-row global-min —
+    both broadcast — and a fixed ×n_neg explode of the edge table.
+    No RNG, no window, no self-join.
+
+    Returns (src, dst, j, neg_dst, is_self)."""
+    if n_neg < 1 or n_buckets < 1:
+        raise ValueError("need n_neg >= 1 and n_buckets >= 1")
+    s, o = F.col(src), F.col(dst)
+    nodes = (
+        edges.select(s.alias("n"))
+        .union(edges.select(o.alias("n")))
+        .distinct()
+    )
+    reps = (
+        nodes.groupBy(_md5_bucket(F.col("n"), "", n_buckets).alias("b"))
+        .agg(F.min("n").alias("rep"))
+    )
+    gmin = nodes.agg(F.min("n").alias("gmin"))
+    tagged = edges.select(s.alias(src), o.alias(dst)).withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(n_neg)]))
+    )
+    tb = _md5_bucket(
+        F.concat(F.col(src), F.lit("|"), F.col(dst), F.lit("#"),
+                 F.col("j").cast("string")),
+        "",
+        n_buckets,
+    )
+    return (
+        tagged.withColumn("b", tb)
+        .join(F.broadcast(reps), "b", "left")
+        .crossJoin(F.broadcast(gmin))
+        .select(
+            src,
+            dst,
+            F.col("j").cast("int").alias("j"),
+            F.coalesce(F.col("rep"), F.col("gmin")).alias("neg_dst"),
+        )
+        .withColumn(
+            "is_self", (F.col("neg_dst") == F.col(dst)).cast("int")
+        )
+    )

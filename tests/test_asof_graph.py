@@ -258,3 +258,33 @@ def test_hits_empty_edges(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert hits(df, n_iter=2).count() == 0
+
+
+def test_negative_samples_deterministic_and_flagged(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.graph import negative_samples
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b")], "src string, dst string"
+    )
+    out = negative_samples(edges, n_neg=2, n_buckets=4).collect()
+    assert len(out) == 6  # fixed x2 explode
+
+    def bucket(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % 4
+
+    reps = {}
+    for n in ["a", "b", "c", "d"]:
+        b = bucket(n)
+        reps[b] = min(reps.get(b, n), n)
+    for r in out:
+        b = bucket(f"{r['src']}|{r['dst']}#{r['j']}")
+        expect = reps.get(b, "a")  # global min fallback
+        assert r["neg_dst"] == expect
+        assert r["is_self"] == int(r["neg_dst"] == r["dst"])
+    # identical call → identical rows (pure function of the edge set)
+    again = negative_samples(edges, n_neg=2, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
