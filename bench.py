@@ -130,6 +130,11 @@ def main() -> None:
         "q_pair_mining": entrymod.q_pair_mining,
         "q_crawl": entrymod.q_crawl,
         "q_rare_mask": entrymod.q_rare_mask,
+        "q_blocklist": entrymod.q_blocklist,
+        "q_entropy": entrymod.q_entropy,
+        "q_kg_twohop": entrymod.q_kg_twohop,
+        "q_kg_negatives": entrymod.q_kg_negatives,
+        "q_json_props": entrymod.q_json_props,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
