@@ -1557,6 +1557,38 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy(media, window_samples=100)
 
 
+def q_mm_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP decode certificate (vp8_codec.py — intra VP8
+    keyframes, the dominant web image payload after JPEG). The synth
+    table sweeps every prediction path (16x16 DC/V/H/TM + B_PRED with
+    all ten 4x4 submodes) and three quantizer levels; ``exp_sum`` is
+    the encoder's closed-loop integer pixel sum, so
+    ``dec_sum == exp_sum`` per row certifies the FULL decode chain
+    (bool decoder → token trees → dequant → inverse DCT/WHT → intra
+    prediction → YUV→RGB) bit-exactly inside Spark. The oracle
+    replays the per-qi aggregation from the materialized per-row
+    stats; n_exact == n_media is the in-band proof."""
+    from serd_spark.operators.multimodal import (
+        synthesize_webp_vp8,
+        vp8_decode_stats,
+    )
+
+    media = synthesize_webp_vp8(spark, max(16, _n_pages(sf_dir) // 128))
+    _materialize(sf_dir, "mm_vp8", lambda: vp8_decode_stats(media))
+    return (
+        vp8_decode_stats(media)
+        .groupBy("qi")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum((F.col("dec_sum") == F.col("exp_sum")).cast("long"))
+            .alias("n_exact"),
+            F.sum("dec_sum").alias("sum_pixels"),
+        )
+        .orderBy("qi")
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters without a full-vocabulary shuffle
     (stats.py::heavy_hitters): a count-min pass finds candidate
@@ -2825,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet": q_ccnet,
         "q_dup_clusters": q_dup_clusters,
         "q_mm_dhash": q_mm_dhash,
+        "q_mm_vp8": q_mm_vp8,
         "q_mm_audio": q_mm_audio,
         "q_heavy_hitters": q_heavy_hitters,
         "q_pair_mining": q_pair_mining,
@@ -3553,6 +3586,17 @@ def oracle_sql() -> dict[str, str]:
               '{ORACLE_DIR}/sf0.01/stream_batch_extract/*.parquet')
             GROUP BY syntax, rec
             ORDER BY syntax NULLS FIRST, rec NULLS FIRST
+        """,
+        "q_mm_vp8": f"""
+            SELECT qi,
+                   COUNT(*) AS n_media,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(SUM(CASE WHEN dec_sum = exp_sum THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact,
+                   CAST(SUM(dec_sum) AS BIGINT) AS sum_pixels
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/mm_vp8/*.parquet')
+            GROUP BY qi
+            ORDER BY qi
         """,
         "mm_features": f"""
             SELECT COUNT(*) AS n_media,

@@ -592,6 +592,10 @@ def _gif_features(payload: bytes, dim: int) -> np.ndarray:
 
 
 def _webp_features(payload: bytes, dim: int) -> np.ndarray:
+    if payload[12:16] == b"VP8 ":
+        from serd_spark.operators.vp8_codec import decode_webp_vp8
+
+        return _rgb_features(decode_webp_vp8(payload), dim)
     from serd_spark.operators.vp8l_codec import decode_vp8l
 
     return _rgb_features(_to_rgb(decode_vp8l(payload)), dim)
@@ -1081,10 +1085,10 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode → (h, w, 3) RGB uint8: REAL for 24-bit BMP,
-    non-interlaced 8-bit PNG, GIF (LZW), and baseline or
-    progressive JPEG (all pure
-    stdlib+numpy); WebP/AVIF/… would need Pillow/opencv, which are
-    not in this container."""
+    non-interlaced 8-bit PNG, GIF (LZW), baseline or progressive
+    JPEG, lossless WebP (VP8L) and intra-frame lossy WebP (VP8) —
+    all pure stdlib+numpy; AVIF/… would need Pillow/opencv, which
+    are not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
@@ -1096,13 +1100,18 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        if payload[12:16] == b"VP8 ":
+            from serd_spark.operators.vp8_codec import decode_webp_vp8
+
+            return decode_webp_vp8(payload)
         from serd_spark.operators.vp8l_codec import decode_vp8l
 
         return _to_rgb(decode_vp8l(payload))
     raise NotImplementedError(
-        "only BMP, PNG, GIF, Huffman JPEG and lossless WebP (VP8L) "
-        "decode without Pillow/opencv (not installed in this sandbox); "
-        "use strict=False for the deterministic fake decode"
+        "only BMP, PNG, GIF, Huffman JPEG and WebP (lossless VP8L + "
+        "intra VP8) decode without Pillow/opencv (not installed in "
+        "this sandbox); use strict=False for the deterministic fake "
+        "decode"
     )
 
 
@@ -1723,6 +1732,110 @@ def synthesize_image_variants(
             yield pd.DataFrame({"media_id": c_id, "payload": c_payload})
 
     return base.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def synthesize_webp_vp8(
+    spark, n_rows: int, seed: int = 42, partitions: int = 8
+) -> DataFrame:
+    """Deterministic lossy-WebP (VP8 intra keyframe) table: per row
+    ``i`` a smooth block-pattern image whose pixels are a pure
+    function of (seed, i), encoded with the closed-loop VP8 encoder
+    sweeping ALL prediction paths (16x16 DC/V/H/TM and B_PRED with
+    submode i %% 10) and three quantizer levels. ``exp_sum`` is the
+    integer pixel sum of the EXACT reconstruction the decoder must
+    reproduce — a pure function of the payload, computed encoder-side
+    (closed loop), so any decode divergence is detectable
+    downstream."""
+    base = spark.range(0, n_rows, 1, partitions)
+
+    def _pixels(i: int, w: int, h: int) -> np.ndarray:
+        digest = hashlib.blake2b(
+            f"{seed}:vp8:{i}".encode(), digest_size=32
+        ).digest()
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        need, out, c = bw * bh * 3, b"", 0
+        while len(out) < need:
+            out += hashlib.blake2b(
+                digest + c.to_bytes(4, "big"), digest_size=32
+            ).digest()
+            c += 1
+        blocks = np.frombuffer(out[:need], dtype=np.uint8).reshape(
+            bh, bw, 3).astype(np.float64)
+        img = np.kron(blocks, np.ones((8, 8, 1)))[:h, :w]
+        return img.astype(np.uint8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serd_spark.operators.vp8_codec import (
+            B_PRED,
+            encode_webp_vp8,
+        )
+
+        for pdf in batches:
+            c_id, c_payload, c_qi, c_exp = [], [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 16 + (i * 7) % 24, 16 + (i * 11) % 16
+                qi = 4 + (i % 3) * 24
+                ymode = i % 5
+                kw = {"ymode": ymode, "uvmode": ymode % 4}
+                if ymode == B_PRED:
+                    kw["sub_mode"] = i % 10
+                payload, expected = encode_webp_vp8(
+                    _pixels(i, w, h), qi=qi, **kw)
+                c_id.append(i)
+                c_payload.append(payload)
+                c_qi.append(qi)
+                c_exp.append(int(expected.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "media_id": c_id, "payload": c_payload,
+                "qi": c_qi, "exp_sum": c_exp,
+            })
+
+    return base.mapInPandas(
+        gen, schema="media_id long, payload binary, qi int, exp_sum long")
+
+
+def vp8_decode_stats(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-payload REAL lossy-WebP decode certificate: (id, width,
+    height, n_bytes, dec_sum) where dec_sum is the integer pixel sum
+    of the full VP8 decode (bool-decoder → token trees → dequant →
+    inverse DCT/WHT → intra prediction → YUV→RGB). Iterator
+    mapInPandas, one batch in flight; decode work is bounded by the
+    payload's DECLARED dimensions (pixel cap) like every codec in
+    this module. Carries non-payload columns through untouched so a
+    downstream compare against an encoder-side expectation needs no
+    join."""
+    passthrough = [c for c in media.columns
+                   if c not in (id_col, payload_col)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serd_spark.operators.vp8_codec import decode_webp_vp8
+
+        for pdf in batches:
+            cols = {id_col: [], "width": [], "height": [],
+                    "n_bytes": [], "dec_sum": []}
+            for raw in pdf[payload_col]:
+                b = bytes(raw)
+                px = decode_webp_vp8(b)
+                cols["width"].append(int(px.shape[1]))
+                cols["height"].append(int(px.shape[0]))
+                cols["n_bytes"].append(len(b))
+                cols["dec_sum"].append(int(px.astype(np.int64).sum()))
+            cols[id_col] = [int(v) for v in pdf[id_col]]
+            out = pd.DataFrame(cols)
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield out
+
+    schema = f"{id_col} long, width int, height int, n_bytes long, dec_sum long"
+    for c in passthrough:
+        dt = dict(media.dtypes)[c]
+        schema += f", {c} {dt}"
+    return media.mapInPandas(run, schema=schema)
 
 
 # -------------------------------------------------- audio segmentation

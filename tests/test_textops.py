@@ -724,13 +724,15 @@ def test_webp_probe_roundtrip():
 
     with _pytest.raises(ValueError):
         multimodal.probe_payload(b"RIFF\x00\x00\x00\x00WEBPXXXX")
-    # lossy VP8 decode remains an explicit, documented gap
-    vp8 = (b"RIFF" + (40).to_bytes(4, "little") + b"WEBPVP8 "
-           + (20).to_bytes(4, "little") + b"\x00\x00\x00"
-           + b"\x9d\x01\x2a" + (320).to_bytes(2, "little")
-           + (240).to_bytes(2, "little") + bytes(8))
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(vp8)
+    # lossy VP8 now decodes for real (vp8_codec.py); an all-zero
+    # first partition is a legal degenerate keyframe
+    body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + (320).to_bytes(2, "little")
+            + (240).to_bytes(2, "little") + bytes(8))
+    vp8 = (b"RIFF" + (12 + len(body)).to_bytes(4, "little")
+           + b"WEBPVP8 " + len(body).to_bytes(4, "little") + body)
+    img = multimodal.decode_image(vp8)
+    assert img.shape == (240, 320, 3)
 
 
 def test_webp_vp8l_real_decode():
