@@ -2091,6 +2091,40 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (corpus.py::chunk_documents
+    — the RAG / embedding-prep fan-out). Returns the chunk rows
+    themselves: (doc_id, chunk_idx, chunk_text, n_tokens), so the
+    oracle certifies every window boundary, overlap and join-back of
+    every chunk string, not just counts. Pure JVM (normalize → split
+    → sequence/posexplode → slice/array_join); zero shuffle."""
+    from serd_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (corpus.py::split_by_key):
+    all documents of one ``source`` land in the same split via the
+    md5-hex threshold, so site-level near-dups can never straddle the
+    eval boundary. sum_ids pins exact membership per split; n_keys
+    counts the sources per split (the leak-free invariant — each key
+    in exactly one split — is structural and unit-tested)."""
+    from serd_spark.operators.corpus import split_by_key
+
+    d = _t(spark, sf_dir, "documents")
+    s = split_by_key(d, train=0.8, valid=0.1, key_col="source")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_keys"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).orderBy("split")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document; integer-micros scoring makes
     the (score DESC, term ASC) top-k exactly reproducible in SQL."""
@@ -2814,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "q_chunking": q_chunking,
+        "q_leakage_split": q_leakage_split,
         "q_tfidf": q_tfidf,
         "q_keyword_search": q_keyword_search,
         "q_bm25": q_bm25,
@@ -4840,6 +4876,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Same normalize→split tokenization, stride-24 window starts via
+        # generate_series, 1-based inclusive list slicing, and the
+        # dense chunk_idx from the start order.
+        "q_chunking": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '
+                     ) AS t
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, t, len(t) AS n
+              FROM toks WHERE len(t) > 0 AND t[1] <> ''
+            ), st AS (
+              SELECT doc_id, t, n,
+                     unnest(generate_series(0, n - 1, 24)) AS start_
+              FROM nz
+            ), s AS (
+              SELECT *,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY start_) - 1 AS INT)
+                       AS chunk_idx
+              FROM st
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(t[start_ + 1 : start_ + 32], ' ')
+                     AS chunk_text,
+                   CAST(LEAST(32, n - start_) AS INT) AS n_tokens
+            FROM s
+            ORDER BY doc_id, chunk_idx
+        """,
+        # Byte-identical md5-hex split thresholds on the SOURCE key.
+        "q_leakage_split": """
+            WITH s AS (
+              SELECT *,
+                     CASE
+                       WHEN substring(md5(source), 1, 8) < 'cccccccd'
+                         THEN 'train'
+                       WHEN substring(md5(source), 1, 8) < 'e6666666'
+                         THEN 'valid'
+                       ELSE 'test'
+                     END AS split
+              FROM documents
+            )
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_keys,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY split ORDER BY split
         """,
         # Rebuild TF, DF, integer-micros IDF and the per-doc top-3
         # with the same (score DESC, term ASC) tie-break.

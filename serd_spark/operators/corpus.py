@@ -1641,3 +1641,92 @@ def token_entropy(
             F.expr("_s div n_toks").cast("long").alias("entropy_micros"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / embedding-prep
+    primitive (split every document into ``chunk_tokens``-word windows
+    advancing by ``chunk_tokens - overlap``, so consecutive chunks
+    share ``overlap`` words and no sentence straddles a hard cut
+    unwitnessed).
+
+    Determinism + cross-engine replay: tokenization is
+    whitespace-normalize-then-split-on-single-space (identical in
+    Spark and DuckDB regex engines); chunk identity is (doc_id,
+    chunk_idx) with chunk_idx dense from 0 in word order — no hashes,
+    no RNG. Whitespace-only documents produce zero chunks (not one
+    empty chunk).
+
+    Scale shape (100 TB): fully JVM-side — one codegen'd
+    regexp_replace + split, a ``sequence``/``posexplode`` fan-out
+    (output rows ∝ input tokens / stride, the same asymptotics as the
+    downstream embedding pass it feeds), and ``slice``/``array_join``
+    per chunk. No shuffle at all: chunking is embarrassingly
+    row-parallel and stays in the scan stage."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    d = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    d = d.filter((F.col("_n") > 0) & (F.element_at("_toks", 1) != ""))
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    return (
+        d.select(
+            id_col,
+            "_toks",
+            "_n",
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int"),
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("_start")
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def split_by_key(
+    docs: DataFrame,
+    train: float = 0.9,
+    valid: float = 0.05,
+    key_col: str = "source",
+) -> DataFrame:
+    """Leakage-safe deterministic train/valid/test split: every row
+    with the same ``key_col`` (site, source, registered domain) lands
+    in the SAME split, so near-duplicates within a site can never
+    straddle the train/eval boundary — the document-level random
+    split's classic leak. Membership is a pure function of the key
+    (md5-hex threshold, the ``stratified_sample`` discipline): no RNG,
+    no count pass, retry/partition-invariant, and any engine
+    reproduces it byte-for-byte.
+
+    Scale shape (100 TB): adds one codegen'd md5 + two string
+    compares per row — no shuffle, no broadcast, no state. Returns
+    the input plus a ``split`` column ('train' | 'valid' | 'test')."""
+    if not (0 < train < 1 and 0 <= valid < 1 and train + valid <= 1):
+        raise ValueError("need 0 < train < 1, 0 <= valid, train+valid <= 1")
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    t_train = _rate_hex(train)
+    t_valid = _rate_hex(train + valid)
+    return docs.withColumn(
+        "split",
+        F.when(bucket < F.lit(t_train), F.lit("train"))
+        .when(bucket < F.lit(t_valid), F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )

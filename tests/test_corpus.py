@@ -839,3 +839,74 @@ def test_token_entropy_hand_cases(spark):
     # ordering sanity: diverse > mixed > constant
     assert (out[2]["entropy_micros"] > out[3]["entropy_micros"]
             > out[1]["entropy_micros"])
+
+
+def test_chunk_documents_windows(spark):
+    from serd_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(
+        docs, chunk_tokens=4, overlap=2
+    ).orderBy("doc_id", "chunk_idx").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,2,4,6,8 (stride 2 over 10 tokens)
+    c1 = by_doc[1]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3, 4]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+    assert c1[4].chunk_text == "w8 w9" and c1[4].n_tokens == 2
+    assert all(r.n_tokens == 4 for r in c1[:4])
+    # short doc: single partial chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    # whitespace-only / empty docs produce NO chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    # every token of doc 1 is covered by the concatenation of chunks
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == set(words.split(" "))
+
+
+def test_chunk_documents_normalizes_whitespace(spark):
+    from serd_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "  a\t\tb\n c  ")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_tokens=8, overlap=0).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "a b c" and rows[0].n_tokens == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_split_by_key_leakage_safe(spark):
+    from serd_spark.operators.corpus import split_by_key
+
+    rows = [(i, f"host{i % 7}") for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = split_by_key(docs, train=0.6, valid=0.2, key_col="source")
+    got = out.collect()
+    # every key maps to exactly one split (the leak-free invariant)
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_key.values())
+    assert set(r.split for r in got) <= {"train", "valid", "test"}
+    # deterministic: a second evaluation is identical
+    again = {(r.doc_id, r.split) for r in out.collect()}
+    assert again == {(r.doc_id, r.split) for r in got}
