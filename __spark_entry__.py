@@ -2091,6 +2091,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene filter (text.py::encoding_features — the
+    drop/repair signal for double-encoded crawl text). The corpus is
+    all-ASCII, so the query builds the fixture IN the plan: every
+    third document is decorated with genuine UTF-8 punctuation and
+    re-decoded as Latin-1 entirely JVM-side (encode → decode — the
+    exact corruption web pipelines see), then the three codegen'd
+    regexp counters score every row. The oracle re-scores the
+    MATERIALIZED corrupted table with the verbatim-shared signature
+    pattern in RE2, so detection itself is independently replayed;
+    flagged == (doc_id % 3 == 0) for every row is the in-band
+    proof that corruption and detection line up."""
+    from serd_spark.operators.text import encoding_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    decorated = F.concat(
+        F.lit("\u00ab "), F.col("text"),
+        F.lit(" \u00bb \u2014 caf\u00e9\u2026"),
+    )
+    corrupted = F.decode(F.encode(decorated, "UTF-8"), "ISO-8859-1")
+    tbl = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, corrupted)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    _materialize(sf_dir, "mojibake_docs", lambda: tbl)
+    return encoding_features(tbl).orderBy("doc_id")
+
+
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (corpus.py::chunk_documents
     — the RAG / embedding-prep fan-out). Returns the chunk rows
@@ -2848,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "q_mojibake": q_mojibake,
         "q_chunking": q_chunking,
         "q_leakage_split": q_leakage_split,
         "q_tfidf": q_tfidf,
@@ -4876,6 +4907,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Re-scores the materialized corrupted table with the VERBATIM
+        # signature pattern (pure literal alternation, identical in
+        # Java regex and RE2; alternatives are mutually exclusive at
+        # any position so leftmost-first vs leftmost-longest cannot
+        # diverge).
+        "q_mojibake": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|Ã |Â«|Â»|Â°|Â |â|â|â|â|â|â¦|ï»¿'))
+                        AS BIGINT) AS mojibake_hits,
+                   CAST(len(regexp_extract_all(text, '\ufffd'))
+                        AS BIGINT) AS replacement_chars,
+                   CAST(len(regexp_extract_all(text, '[^\\x00-\\x7f]'))
+                        AS BIGINT) AS non_ascii_chars,
+                   CAST(CASE WHEN len(regexp_extract_all(
+                        text, 'Ã©|Ã¨|Ã¼|Ã¶|Ã¤|Ã±|Ã§|Ã |Â«|Â»|Â°|Â |â|â|â|â|â|â¦|ï»¿')) > 0
+                        THEN 1 ELSE 0 END AS INT) AS flagged
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/mojibake_docs/*.parquet')
+            ORDER BY doc_id
         """,
         # Same normalize→split tokenization, stride-24 window starts via
         # generate_series, 1-based inclusive list slicing, and the

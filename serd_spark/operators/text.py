@@ -260,3 +260,56 @@ def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[cnt.cast("long").alias(f"pii_{kind}") for kind, cnt in pii_counts(c)],
         redact_pii(c).alias("text_redacted"),
     )
+
+
+# ------------------------------------------------- encoding hygiene
+def _as_mojibake(s: str) -> str:
+    """What ``s`` becomes when its UTF-8 bytes are re-decoded as
+    Latin-1 — the classic double-encoding corruption in web crawls
+    (e.g. 'e-acute' -> 'A-tilde, copyright'). Built at runtime so no
+    C1 control codepoints live in source files."""
+    return s.encode("utf-8").decode("latin-1")
+
+
+# signature alternation shared VERBATIM by Spark (Java regex) and the
+# DuckDB oracle (RE2): pure literal codepoints, no metacharacters,
+# no engine-specific escapes.
+MOJIBAKE_MARKS = [
+    "é", "è", "ü", "ö", "ä", "ñ",
+    "ç", "à",                       # accented letters
+    "«", "»", "°", " ",   # punctuation / NBSP
+    "’", "“", "”", "—", "–", "…",
+    "﻿",                                 # BOM decoded as text
+]
+MOJIBAKE_PATTERN = "|".join(_as_mojibake(m) for m in MOJIBAKE_MARKS)
+
+
+def mojibake_hits(col: Column) -> Column:
+    """Count of mojibake signature sequences in a string column —
+    the drop/repair signal for encoding-corrupted crawl text. Pure
+    codegen'd regexp_count; the pattern literal is shared verbatim
+    with the SQL oracle."""
+    return F.regexp_count(col, F.lit(MOJIBAKE_PATTERN)).cast("long")
+
+
+def encoding_features(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document encoding-hygiene features: mojibake signature
+    count, replacement-character count (U+FFFD — a decoder already
+    gave up upstream), and the non-ASCII character count that
+    contextualizes both (a clean French page has many non-ASCII
+    chars and zero signatures; a corrupted one has both).
+
+    Scale shape (100 TB): three codegen'd regexp counts per row, no
+    Python, no shuffle — runs at scan speed next to the other
+    quality filters and prunes to (id, text) at the parquet scan."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        mojibake_hits(c).alias("mojibake_hits"),
+        F.regexp_count(c, F.lit("�")).cast("long").alias(
+            "replacement_chars"),
+        F.regexp_count(c, F.lit("[^\\x00-\\x7f]")).cast("long").alias(
+            "non_ascii_chars"),
+        (mojibake_hits(c) > 0).cast("int").alias("flagged"),
+    )

@@ -1244,3 +1244,42 @@ def test_mine_training_pairs_validation(spark):
     d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         mine_training_pairs(d, pos_threshold=0.3, neg_floor=0.5)
+
+
+def test_encoding_features_detects_mojibake(spark):
+    from serd_spark.operators.text import _as_mojibake, encoding_features
+
+    clean_fr = "café déjà « voilà »"
+    corrupted = _as_mojibake(clean_fr)
+    rows = encoding_features(
+        spark.createDataFrame(
+            [
+                (1, "plain ascii text"),
+                (2, clean_fr),
+                (3, corrupted),
+                (4, "broken � char"),
+            ],
+            "doc_id long, text string",
+        )
+    ).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].mojibake_hits == 0 and by_id[1].flagged == 0
+    # genuine accented text: non-ASCII but NOT flagged
+    assert by_id[2].mojibake_hits == 0 and by_id[2].flagged == 0
+    assert by_id[2].non_ascii_chars > 0
+    # the double-encoded version of the same string IS flagged
+    assert by_id[3].mojibake_hits >= 4 and by_id[3].flagged == 1
+    assert by_id[4].replacement_chars == 1 and by_id[4].flagged == 0
+
+
+def test_mojibake_pattern_alternatives_disjoint():
+    """Leftmost-first (Java) vs leftmost-longest (RE2 POSIX) cannot
+    diverge iff no two alternatives match at one position."""
+    from serd_spark.operators.text import MOJIBAKE_PATTERN
+
+    alts = MOJIBAKE_PATTERN.split("|")
+    assert len(set(alts)) == len(alts)
+    for a in alts:
+        for b in alts:
+            if a is not b:
+                assert not b.startswith(a)
