@@ -2091,6 +2091,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-aware Markov transition counts over the events table
+    (stats.py::transition_counts): per-user total order (ts,
+    event_id), 30-min session cuts, virtual __start__ state per
+    session. One window shuffle then a bounded-keyspace hash agg;
+    the oracle replays the identical window + lag + gap rule."""
+    from serd_spark.operators.stats import transition_counts
+
+    e = _t(spark, sf_dir, "events")
+    return transition_counts(e).orderBy("prev_state", "next_state")
+
+
 def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-hygiene filter (text.py::encoding_features — the
     drop/repair signal for double-encoded crawl text). The corpus is
@@ -2878,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "q_transitions": q_transitions,
         "q_mojibake": q_mojibake,
         "q_chunking": q_chunking,
         "q_leakage_split": q_leakage_split,
@@ -4907,6 +4920,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Identical total order, microsecond gap rule and virtual
+        # __start__ state replayed with DuckDB windows.
+        "q_transitions": """
+            WITH o AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap,
+                     lag(event_type) OVER w AS prev_raw
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT CASE WHEN gap IS NULL OR gap > 1800 * 1000000
+                        THEN '__start__' ELSE prev_raw END AS prev_state,
+                   event_type AS next_state,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o
+            GROUP BY 1, 2
+            ORDER BY prev_state, next_state
         """,
         # Re-scores the materialized corrupted table with the VERBATIM
         # signature pattern (pure literal alternation, identical in

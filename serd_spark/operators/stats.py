@@ -534,3 +534,39 @@ def heavy_hitters(
         .filter(F.col("n") >= min_count)
         .orderBy(F.desc("n"), F.asc(value_col))
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Session-aware Markov transition counts — the behavioral-model
+    primitive (next-action prediction, funnel analysis, synthetic
+    session generation): for every user, order events by (ts,
+    order_col) — a TOTAL order, so ties cannot flip under retries —
+    cut sessions at ``gap_s`` silence (the q_sessionize rule), and
+    count (prev_state -> next_state) pairs within sessions plus a
+    virtual '__start__' -> first-state transition per session.
+
+    Scale shape (100 TB): ONE shuffle (the per-user window), then a
+    hash aggregation over a keyspace bounded by |states|^2 + |states|
+    — map-side combine collapses nearly everything before the second
+    exchange. Per-user event counts bound the window sort; no
+    driver-side state."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    prev = F.when(
+        gap.isNull() | (gap > gap_s * 1_000_000), F.lit("__start__")
+    ).otherwise(F.lag(state_col).over(w))
+    return (
+        events.select(
+            prev.alias("prev_state"), F.col(state_col).alias("next_state")
+        )
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -455,3 +455,35 @@ def test_heavy_hitters_empty_and_validation(spark):
     assert heavy_hitters(df, "w", 5).count() == 0
     with pytest.raises(ValueError):
         heavy_hitters(df, "w", 0)
+
+
+def test_transition_counts_sessions_and_start(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.stats import transition_counts
+
+    rows = [
+        # user 1: one session A->B->C, then a >30min gap, new session C
+        (1, 1, "2024-01-01 10:00:00", "A"),
+        (2, 1, "2024-01-01 10:05:00", "B"),
+        (3, 1, "2024-01-01 10:10:00", "C"),
+        (4, 1, "2024-01-01 11:00:00", "C"),
+        # user 2: single event
+        (5, 2, "2024-01-01 09:00:00", "A"),
+        # user 2... tie timestamps break on event_id: 6 then 7
+        (6, 2, "2024-01-01 09:01:00", "B"),
+        (7, 2, "2024-01-01 09:01:00", "A"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.prev_state, r.next_state): r.n
+        for r in transition_counts(e).collect()
+    }
+    assert got[("__start__", "A")] == 2   # both users' first sessions
+    assert got[("__start__", "C")] == 1   # user 1's second session
+    assert got[("A", "B")] == 2
+    assert got[("B", "C")] == 1
+    assert got[("B", "A")] == 1           # the event_id tie-break
+    assert sum(got.values()) == len(rows)
