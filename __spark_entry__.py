@@ -2091,6 +2091,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate detection + stripping (corpus.py::
+    host_boilerplate / strip_boilerplate — the cookie-banner removal
+    step in crawl curation). The fixture is built IN the plan: every
+    even doc_id gets a per-source banner prepended JVM-side, the
+    detector must rediscover exactly those (k=8-token prefixes,
+    integer-permille share threshold), and the stripper must remove
+    them via the exact (host, own-prefix) broadcast equality join.
+    The oracle replays detection AND stripping in SQL from the
+    materialized decorated table — every threshold, join and
+    substring arithmetic is cross-engine exact."""
+    from serd_spark.operators.corpus import (
+        host_boilerplate,
+        strip_boilerplate,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    banner = F.concat(
+        F.lit("Cookie notice for "), F.col("source"),
+        F.lit(" please accept tracking to continue "),
+    )
+    tbl = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(banner, F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    _materialize(sf_dir, "boilerplate_docs", lambda: tbl)
+    bp = host_boilerplate(tbl, k=8, min_share_permille=400)
+    out = strip_boilerplate(tbl, bp, k=8)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("stripped").cast("long").alias("n_stripped"),
+        F.sum(F.length("text")).cast("long").alias("sum_len_after"),
+    ).orderBy("source")
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-aware Markov transition counts over the events table
     (stats.py::transition_counts): per-user total order (ts,
@@ -2890,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "q_boilerplate": q_boilerplate,
         "q_transitions": q_transitions,
         "q_mojibake": q_mojibake,
         "q_chunking": q_chunking,
@@ -4920,6 +4959,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Full detect+strip replay: same normalization, k=8 token
+        # prefixes, integer-permille share cut, (host, own-prefix)
+        # equality join and substring/ltrim arithmetic.
+        "q_boilerplate": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/boilerplate_docs/*.parquet')
+            ), tk AS (
+              SELECT *,
+                     array_to_string(
+                       string_split(norm, ' ')[1:8], ' ') AS prefix
+              FROM d
+            ), pp AS (
+              SELECT source, prefix, COUNT(*) AS n_docs
+              FROM tk WHERE prefix <> '' GROUP BY source, prefix
+            ), ph AS (
+              SELECT source, COUNT(*) AS host_docs
+              FROM tk WHERE prefix <> '' GROUP BY source
+            ), bp AS (
+              SELECT pp.source, pp.prefix
+              FROM pp JOIN ph USING (source)
+              WHERE pp.n_docs >= 2
+                AND pp.n_docs * 1000 // ph.host_docs >= 400
+            ), st AS (
+              SELECT tk.source,
+                     CASE WHEN bp.prefix IS NOT NULL THEN 1 ELSE 0 END
+                       AS stripped,
+                     CASE WHEN bp.prefix IS NOT NULL
+                          THEN ltrim(substring(
+                            tk.norm, length(bp.prefix) + 1))
+                          ELSE tk.norm END AS text2
+              FROM tk LEFT JOIN bp
+                ON tk.source = bp.source AND tk.prefix = bp.prefix
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(stripped) AS BIGINT) AS n_stripped,
+                   CAST(SUM(length(text2)) AS BIGINT) AS sum_len_after
+            FROM st GROUP BY source ORDER BY source
         """,
         # Identical total order, microsecond gap rule and virtual
         # __start__ state replayed with DuckDB windows.

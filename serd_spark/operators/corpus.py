@@ -1730,3 +1730,101 @@ def split_by_key(
         .when(bucket < F.lit(t_valid), F.lit("valid"))
         .otherwise(F.lit("test")),
     )
+
+
+def _norm_tokens(col: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+
+
+def host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_share_permille: int = 400,
+    min_count: int = 2,
+) -> DataFrame:
+    """Shared-prefix boilerplate detection — the crawl-curation step
+    that finds cookie banners / nav headers repeated across one
+    site's pages so they can be stripped before training (repeated
+    boilerplate dominates n-gram counts and poisons dedup).
+
+    A document's candidate prefix is its first ``k`` normalized
+    tokens; a prefix is boilerplate for a host when at least
+    ``min_count`` documents share it AND it covers at least
+    ``min_share_permille``/1000 of the host's documents (integer
+    permille — no float thresholds, cross-engine exact).
+
+    Scale shape (100 TB): groupBy (host, prefix) with map-side
+    combine (distinct prefixes ≤ documents, and sharing collapses the
+    hot ones), a per-host total via one more bounded hash agg, and a
+    broadcast-sized output (hosts × few banners). Returns
+    (host, prefix, n_docs, host_docs, share_permille)."""
+    toks = _norm_tokens(F.col(text_col))
+    d = docs.select(
+        F.col(host_col).alias("host"),
+        F.array_join(F.slice(toks, 1, k), " ").alias("prefix"),
+    ).filter(F.col("prefix") != "")
+    per_prefix = d.groupBy("host", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per_host = d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("host_docs")
+    )
+    return (
+        per_prefix.join(per_host, "host")
+        .withColumn(
+            "share_permille",
+            F.expr("n_docs * 1000 div host_docs").cast("long"),
+        )
+        .filter(
+            (F.col("n_docs") >= min_count)
+            & (F.col("share_permille") >= min_share_permille)
+        )
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Remove detected boilerplate prefixes: a document whose first
+    ``k`` normalized tokens equal one of its host's boilerplate
+    prefixes loses them. The join key is (host, own-k-prefix) —
+    EXACT equality, so each document matches at most one banner and
+    rows never inflate. Broadcast join against the banner table
+    (hosts × few prefixes — always tiny next to the corpus), so the
+    corpus never shuffles; adds ``stripped`` (0/1) and rewrites
+    ``text_col`` normalized."""
+    norm = F.array_join(_norm_tokens(F.col(text_col)), " ")
+    own = F.array_join(F.slice(_norm_tokens(F.col(text_col)), 1, k), " ")
+    bp = boilerplate.select(
+        F.col("host").alias(host_col),
+        F.col("prefix").alias("_bp_prefix"),
+    )
+    joined = (
+        docs.withColumn("_norm", norm)
+        .withColumn("_own", own)
+        .join(
+            F.broadcast(bp),
+            on=[
+                docs[host_col] == bp[host_col],
+                F.col("_own") == F.col("_bp_prefix"),
+            ],
+            how="left",
+        )
+        .drop(bp[host_col])
+    )
+    hit = F.col("_bp_prefix").isNotNull()
+    out_text = F.when(
+        hit, F.ltrim(F.expr("substring(_norm, length(_bp_prefix) + 1)"))
+    ).otherwise(F.col("_norm"))
+    return (
+        joined.withColumn("stripped", hit.cast("int"))
+        .withColumn(text_col, out_text)
+        .drop("_norm", "_own", "_bp_prefix")
+    )

@@ -910,3 +910,51 @@ def test_split_by_key_leakage_safe(spark):
     # deterministic: a second evaluation is identical
     again = {(r.doc_id, r.split) for r in out.collect()}
     assert again == {(r.doc_id, r.split) for r in got}
+
+
+def test_host_boilerplate_detect_and_strip(spark):
+    from serd_spark.operators.corpus import (
+        host_boilerplate,
+        strip_boilerplate,
+    )
+
+    banner = "Cookie notice for hostA site accept to continue."
+    rows = [
+        (1, "hostA", f"{banner} Real content one here"),
+        (2, "hostA", f"{banner} Other real content"),
+        (3, "hostA", "Unique page without banner at all in this one"),
+        (4, "hostB", "Totally different page"),
+        (5, "hostB", "Another different page"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bp = host_boilerplate(d, k=8, min_share_permille=400).collect()
+    assert len(bp) == 1
+    assert bp[0].host == "hostA" and bp[0].n_docs == 2
+    assert bp[0].share_permille == 666
+    assert bp[0].prefix == banner  # exactly the 8 banner tokens
+
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate(
+            d, host_boilerplate(d, k=8, min_share_permille=400)
+        ).collect()
+    }
+    assert out[1].stripped == 1 and out[1].text == "Real content one here"
+    assert out[2].stripped == 1 and out[2].text == "Other real content"
+    assert out[3].stripped == 0 and "Unique page" in out[3].text
+    assert out[4].stripped == 0 and out[5].stripped == 0
+    # no row inflation from the broadcast join
+    assert len(out) == 5
+
+
+def test_host_boilerplate_thresholds(spark):
+    from serd_spark.operators.corpus import host_boilerplate
+
+    # 1 of 3 docs sharing a prefix: below min_count -> nothing flagged
+    rows = [
+        (1, "h", "one two three four five six seven eight tail-a"),
+        (2, "h", "uno dos tres cuatro cinco seis siete ocho tail-b"),
+        (3, "h", "ichi ni san shi go roku nana hachi tail-c"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    assert host_boilerplate(d, k=8).count() == 0
