@@ -2091,6 +2091,82 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join driven end-to-end (streaming/
+    incremental.py::streaming_enrich): the events table flows through
+    an availableNow MULTI-batch stream (maxFilesPerTrigger=2 over 6
+    files), each micro-batch broadcast-joins a static category
+    dimension derived from event_type, the enriched rows append to a
+    parquet sink, and the final aggregate reads the sink. Because
+    enrichment is row-local the result is batch-split-invariant, and
+    the DuckDB oracle replays the join + money-disciplined weighted
+    sum directly over the batch events table — streaming-vs-batch
+    equivalence, cross-engine."""
+    import shutil
+
+    from serd_spark.streaming.incremental import streaming_enrich
+
+    base = os.path.join(
+        "/tmp/serd_spark_stream_enrich",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    in_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    ev_batch = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev_batch.repartition(6).write.parquet(in_dir)
+
+    # static dimension: a pure function of event_type so the SQL
+    # oracle can rebuild it without another materialization
+    dim = (
+        ev_batch.select("event_type").distinct()
+        .select(
+            "event_type",
+            F.substring("event_type", 1, 1).alias("category"),
+            F.length("event_type").cast("long").alias("weight"),
+        )
+    )
+    ev = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    enriched = streaming_enrich(ev, dim, "event_type").select(
+        "event_id",
+        "category",
+        (F.round(F.col("value") * 1_000_000).cast("long")
+         * F.col("weight")).alias("wv_micros"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", out_dir).parquet(out_dir)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("wv_micros").cast("long").alias("sum_wv_micros"),
+        )
+        .orderBy("category")
+    )
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-prefix boilerplate detection + stripping (corpus.py::
     host_boilerplate / strip_boilerplate — the cookie-banner removal
@@ -2928,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "stream_enrich": stream_enrich,
         "q_boilerplate": q_boilerplate,
         "q_transitions": q_transitions,
         "q_mojibake": q_mojibake,
@@ -4959,6 +5036,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Batch replay of the stream-static join: the dimension is a
+        # pure function of event_type, the weighted sum is per-row
+        # integer micros (order-insensitive).
+        "stream_enrich": """
+            SELECT substring(event_type, 1, 1) AS category,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 1000000) AS BIGINT)
+                        * length(event_type)) AS BIGINT) AS sum_wv_micros
+            FROM events
+            GROUP BY 1 ORDER BY category
         """,
         # Full detect+strip replay: same normalization, k=8 token
         # prefixes, integer-permille share cut, (host, own-prefix)

@@ -467,3 +467,22 @@ def streaming_countmin(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup primitive
+    (event type → category table, url host → site metadata) in every
+    production streaming pipeline. The static side is broadcast, so
+    each micro-batch enriches row-locally with NO stateful operator
+    and NO watermark: results are independent of how the input splits
+    into batches (a row-level map), which is exactly what makes the
+    stream-vs-batch oracle equivalence hold under multi-file
+    triggers. The static plan is re-evaluated per micro-batch —
+    at scale pin it with a localCheckpoint/cache before passing it
+    here if it is expensive to compute."""
+    return stream.join(F.broadcast(dim), on, how)

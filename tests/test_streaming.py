@@ -484,3 +484,51 @@ def test_streaming_countmin_merges_late_and_evicts(spark, tmp_path):
             v for (d, r, _), v in got.items()
             if d == "2024-01-01" and r == row
         ) == 3
+
+
+def test_streaming_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment is batch-split-invariant:
+    multi-file-trigger streaming output equals the batch join."""
+    from serd_spark.streaming.incremental import streaming_enrich
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, f"type{i % 3}", float(i)) for i in range(30)]
+    batch = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    batch.repartition(5).write.parquet(in_dir)
+    dim = spark.createDataFrame(
+        [(f"type{i}", i * 10) for i in range(3)],
+        "event_type string, weight long",
+    )
+    ev = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    enriched = streaming_enrich(ev, dim, "event_type")
+
+    def sink(bdf, bid):
+        bdf.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.weight)
+        for r in spark.read.option("basePath", out_dir)
+        .parquet(out_dir).collect()
+    }
+    want = {
+        (r.event_id, r.weight)
+        for r in batch.join(dim, "event_type").collect()
+    }
+    assert got == want and len(got) == 30
