@@ -2091,6 +2091,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-column data profile of the events table
+    (stats.py::profile_table — the ingest data-quality pass).
+    Min/max computed on native types and normalized only at the edge
+    (doubles → integer micros, timestamps → formatted strings); the
+    oracle rebuilds every row with per-column UNION ALL aggregates."""
+    from serd_spark.operators.stats import profile_table
+
+    e = _t(spark, sf_dir, "events")
+    return profile_table(e).orderBy("column")
+
+
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join driven end-to-end (streaming/
     incremental.py::streaming_enrich): the events table flows through
@@ -3004,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "q_profile": q_profile,
         "stream_enrich": stream_enrich,
         "q_boilerplate": q_boilerplate,
         "q_transitions": q_transitions,
@@ -5036,6 +5049,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Per-column UNION ALL aggregates with the same normalization
+        # (micros for doubles, strftime for timestamps).
+        "q_profile": """
+            WITH p AS (
+              SELECT 'event_id' AS "column", COUNT(*) AS n_total,
+                     COUNT(event_id) AS n_nonnull,
+                     COUNT(DISTINCT event_id) AS n_distinct,
+                     CAST(MIN(event_id) AS VARCHAR) AS min_norm,
+                     CAST(MAX(event_id) AS VARCHAR) AS max_norm
+              FROM events
+              UNION ALL
+              SELECT 'ts', COUNT(*), COUNT(ts), COUNT(DISTINCT ts),
+                     strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+                     strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+              FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*), COUNT(user_id),
+                     COUNT(DISTINCT user_id),
+                     CAST(MIN(user_id) AS VARCHAR),
+                     CAST(MAX(user_id) AS VARCHAR)
+              FROM events
+              UNION ALL
+              SELECT 'event_type', COUNT(*), COUNT(event_type),
+                     COUNT(DISTINCT event_type),
+                     MIN(event_type), MAX(event_type)
+              FROM events
+              UNION ALL
+              SELECT 'value', COUNT(*), COUNT(value),
+                     COUNT(DISTINCT value),
+                     CAST(CAST(round(MIN(value) * 1000000) AS BIGINT)
+                          AS VARCHAR),
+                     CAST(CAST(round(MAX(value) * 1000000) AS BIGINT)
+                          AS VARCHAR)
+              FROM events
+              UNION ALL
+              SELECT 'props', COUNT(*), COUNT(props),
+                     COUNT(DISTINCT props), MIN(props), MAX(props)
+              FROM events
+            )
+            SELECT "column",
+                   CAST(n_total AS BIGINT) AS n_total,
+                   CAST(n_nonnull AS BIGINT) AS n_nonnull,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   min_norm, max_norm
+            FROM p ORDER BY "column"
         """,
         # Batch replay of the stream-static join: the dimension is a
         # pure function of event_type, the weighted sum is per-row

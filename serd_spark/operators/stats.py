@@ -570,3 +570,67 @@ def transition_counts(
         .groupBy("prev_state", "next_state")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Deterministic per-column data profile — (column, n_total,
+    n_nonnull, n_distinct, min_norm, max_norm) — the schema-health /
+    data-quality pass every ingest pipeline runs before training.
+
+    Cross-engine discipline (CLAUDE.md): min/max are computed on the
+    NATIVE column (string ordering of numerics would be wrong) and
+    only the RESULT is normalized — doubles to integer micros,
+    timestamps to formatted strings — so any SQL engine reproduces
+    the row byte-for-byte.
+
+    Scale shape (honest): multiple COUNT(DISTINCT) in one aggregate
+    compiles to an Expand that multiplies the scan ``ncols``× before
+    the partial agg — the standard exact-profile cost (Spark's own
+    ``summary()`` pays it). At 100 TB run it composed with
+    ``stratified_sample``, or drop n_distinct for an Expand-free
+    single pass. Output is one row per column — driver-safe."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+
+    def _norm_result(c: str, agg):
+        t = dtypes[c]
+        if t in ("double", "float"):
+            return F.round(agg * 1_000_000).cast("long").cast("string")
+        if t.startswith("timestamp"):
+            return F.date_format(agg, "yyyy-MM-dd HH:mm:ss")
+        return agg.cast("string")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_total")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).cast("long").alias(f"{c}__nonnull"),
+            F.countDistinct(col).cast("long").alias(f"{c}__distinct"),
+            _norm_result(c, F.min(col)).alias(f"{c}__min"),
+            _norm_result(c, F.max(col)).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__nonnull"),
+            F.col(f"{c}__distinct"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return one.select(
+        "__n_total",
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_nonnull", "n_distinct", "min_norm", "max_norm"),
+    ).select(
+        "column",
+        F.col("__n_total").alias("n_total"),
+        "n_nonnull",
+        "n_distinct",
+        "min_norm",
+        "max_norm",
+    )

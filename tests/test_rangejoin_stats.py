@@ -487,3 +487,33 @@ def test_transition_counts_sessions_and_start(spark):
     assert got[("B", "C")] == 1
     assert got[("B", "A")] == 1           # the event_id tie-break
     assert sum(got.values()) == len(rows)
+
+
+def test_profile_table_normalization_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from serd_spark.operators.stats import profile_table
+
+    rows = [
+        (1, "a", 1.5, "2024-03-01 10:00:00"),
+        (2, None, -0.25, "2024-03-02 11:30:00"),
+        (3, "b", None, None),
+        (4, "a", 2.0, "2024-03-01 09:00:00"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "id long, s string, v double, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["id"].n_total == 4 and got["id"].n_nonnull == 4
+    assert got["id"].n_distinct == 4
+    assert (got["id"].min_norm, got["id"].max_norm) == ("1", "4")
+    assert got["s"].n_nonnull == 3 and got["s"].n_distinct == 2
+    assert (got["s"].min_norm, got["s"].max_norm) == ("a", "b")
+    # doubles normalized to integer micros, NATIVE ordering kept
+    assert (got["v"].min_norm, got["v"].max_norm) == ("-250000", "2000000")
+    # timestamps normalized to formatted strings
+    assert got["ts"].min_norm == "2024-03-01 09:00:00"
+    assert got["ts"].max_norm == "2024-03-02 11:30:00"
+    assert got["ts"].n_nonnull == 3
