@@ -2091,6 +2091,57 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff (corpus.py::crawl_delta — the
+    delta-only-reprocessing planner). Crawl A is the synthesized
+    pages corpus; crawl B is built IN the plan with known edits:
+    urls with id % 10 == 0 dropped (removed), id % 10 == 1 get a
+    byte appended (changed), and a shifted id range appears only in
+    B (added). The FULL OUTER md5 diff must recover exactly those
+    classes; the oracle replays the join and classification from the
+    two materialized (url, hash) tables. sum_len pins membership."""
+    from serd_spark.operators.corpus import crawl_delta
+    from serd_spark.sources.pages import synthesize_pages
+
+    _ensure_shipped(spark)
+    n = max(200, _n_pages(sf_dir) // 4)
+    a = synthesize_pages(spark, n, seed=42).select("url", "html")
+    b_mod = (
+        synthesize_pages(spark, n, seed=42)
+        .withColumn("_id", F.regexp_extract("url", r"/(\d+)$", 1)
+                    .cast("long"))
+        .filter(F.col("_id") % 10 != 0)
+        .select(
+            "url",
+            F.when(
+                F.col("_id") % 10 == 1,
+                F.concat(F.col("html"), F.lit(b"!")),
+            ).otherwise(F.col("html")).alias("html"),
+        )
+    )
+    b_new = (
+        synthesize_pages(spark, n + max(20, n // 10), seed=42)
+        .withColumn("_id", F.regexp_extract("url", r"/(\d+)$", 1)
+                    .cast("long"))
+        .filter(F.col("_id") >= n)
+        .select("url", "html")
+    )
+    b = b_mod.unionByName(b_new)
+    _materialize(
+        sf_dir, "crawl_a",
+        lambda: a.select("url", F.md5("html").alias("h")),
+    )
+    _materialize(
+        sf_dir, "crawl_b",
+        lambda: b.select("url", F.md5("html").alias("h")),
+    )
+    d = crawl_delta(a, b)
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(F.length("url")).cast("long").alias("sum_len"),
+    ).orderBy("status")
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-column data profile of the events table
     (stats.py::profile_table — the ingest data-quality pass).
@@ -3016,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "q_crawl_delta": q_crawl_delta,
         "q_profile": q_profile,
         "stream_enrich": stream_enrich,
         "q_boilerplate": q_boilerplate,
@@ -5049,6 +5101,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # Replays the FULL OUTER join + classification over the two
+        # materialized (url, md5) tables.
+        "q_crawl_delta": f"""
+            WITH j AS (
+              SELECT COALESCE(a.url, b.url) AS url,
+                     CASE WHEN a.url IS NULL THEN 'added'
+                          WHEN b.url IS NULL THEN 'removed'
+                          WHEN a.h = b.h THEN 'unchanged'
+                          ELSE 'changed' END AS status
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/crawl_a/*.parquet') a
+              FULL OUTER JOIN
+                   read_parquet('{ORACLE_DIR}/sf0.01/crawl_b/*.parquet') b
+                ON a.url = b.url
+            )
+            SELECT status,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(SUM(length(url)) AS BIGINT) AS sum_len
+            FROM j GROUP BY status ORDER BY status
         """,
         # Per-column UNION ALL aggregates with the same normalization
         # (micros for doubles, strftime for timestamps).

@@ -1828,3 +1828,40 @@ def strip_boilerplate(
         .withColumn(text_col, out_text)
         .drop("_norm", "_own", "_bp_prefix")
     )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Snapshot diff between two crawls — the incremental-ingest
+    planner's input (recrawl scheduling, delta-only reprocessing:
+    at 100 TB you re-extract the CHANGED slice, not the corpus).
+    Classifies every url as 'added' | 'removed' | 'changed' |
+    'unchanged' via a FULL OUTER join on url with md5 content
+    comparison (md5 over the payload bytes — cheap, engine-portable,
+    and collision-irrelevant for change detection).
+
+    Scale shape: one shuffle keyed by url on each side (or zero with
+    url-bucketed crawl tables — materialize.write_bucketed_table);
+    the hash is computed scan-side so the join carries (url, 32-byte
+    hash), never payloads. Returns (url, status, old_hash,
+    new_hash)."""
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col)).alias("old_hash"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col)).alias("new_hash"),
+    )
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"), "old_hash", "new_hash")

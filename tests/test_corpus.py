@@ -958,3 +958,22 @@ def test_host_boilerplate_thresholds(spark):
     ]
     d = spark.createDataFrame(rows, "doc_id long, source string, text string")
     assert host_boilerplate(d, k=8).count() == 0
+
+
+def test_crawl_delta_classifies_all_four(spark):
+    from serd_spark.operators.corpus import crawl_delta
+
+    a = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"old"), ("u3", b"gone")],
+        "url string, html binary",
+    )
+    b = spark.createDataFrame(
+        [("u1", b"same"), ("u2", b"new"), ("u4", b"fresh")],
+        "url string, html binary",
+    )
+    got = {r.url: r for r in crawl_delta(a, b).collect()}
+    assert got["u1"].status == "unchanged"
+    assert got["u2"].status == "changed"
+    assert got["u3"].status == "removed" and got["u3"].new_hash is None
+    assert got["u4"].status == "added" and got["u4"].old_hash is None
+    assert len(got) == 4
