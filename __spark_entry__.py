@@ -2091,6 +2091,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) expressed through the
+    spark.sql ENTRY POINT over temp views — the SQL-API surface of
+    the engine, and the only contract query touching supplier. Six-
+    way star join with the c_nationkey = s_nationkey locality
+    predicate; revenue in per-row integer cents (the q_agg_pricing
+    money discipline). Catalyst broadcast-joins the dimension chain
+    (region → nation → supplier/customer) and shuffles only the two
+    fact tables — at 100 TB the same plan holds with lineitem/orders
+    co-bucketed on orderkey."""
+    for t in ("region", "nation", "customer", "orders", "lineitem",
+              "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM v_customer
+        JOIN v_orders   ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+        JOIN v_nation   ON s_nationkey = n_nationkey
+        JOIN v_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue_cents DESC, n_name
+    """)
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl snapshot diff (corpus.py::crawl_delta — the
     delta-only-reprocessing planner). Crawl A is the synthesized
@@ -3067,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
+        "q_sql_q5": q_sql_q5,
         "q_crawl_delta": q_crawl_delta,
         "q_profile": q_profile,
         "stream_enrich": stream_enrich,
@@ -5101,6 +5135,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s WHERE b < thr GROUP BY lang
+        """,
+        # The identical SQL text modulo view names — two engines, one
+        # query, per-row integer cents.
+        "q_sql_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name
         """,
         # Replays the FULL OUTER join + classification over the two
         # materialized (url, md5) tables.

@@ -135,6 +135,16 @@ def main() -> None:
         "q_kg_twohop": entrymod.q_kg_twohop,
         "q_kg_negatives": entrymod.q_kg_negatives,
         "q_json_props": entrymod.q_json_props,
+        # round-4 session-6 additions
+        "q_mm_vp8": entrymod.q_mm_vp8,
+        "q_chunking": entrymod.q_chunking,
+        "q_leakage_split": entrymod.q_leakage_split,
+        "q_mojibake": entrymod.q_mojibake,
+        "q_transitions": entrymod.q_transitions,
+        "q_boilerplate": entrymod.q_boilerplate,
+        "q_profile": entrymod.q_profile,
+        "q_crawl_delta": entrymod.q_crawl_delta,
+        "q_sql_q5": entrymod.q_sql_q5,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
