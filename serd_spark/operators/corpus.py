@@ -1769,8 +1769,11 @@ def host_boilerplate(
     per_prefix = d.groupBy("host", "prefix").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    per_host = d.groupBy("host").agg(
-        F.count(F.lit(1)).cast("long").alias("host_docs")
+    # host totals derive from the per-prefix table (sum of n_docs),
+    # NOT a second corpus scan: one aggregation touches the text,
+    # the roll-up runs over the already-collapsed prefix keyspace
+    per_host = per_prefix.groupBy("host").agg(
+        F.sum("n_docs").cast("long").alias("host_docs")
     )
     return (
         per_prefix.join(per_host, "host")
