@@ -2126,6 +2126,91 @@ def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl snapshot diff (corpus.py::crawl_delta — the
+    delta-only-reprocessing planner). Snapshots are url-UNIQUE by
+    construction (the operator's precondition): one latest_crawl
+    pass over the synthesized fetch log, then crawl B is carved IN
+    the plan with known edits — urls with id % 10 == 0 dropped
+    (removed), id % 10 == 1 get a byte appended (changed), ids >= n
+    appear only in B (added). The FULL OUTER md5 diff must recover
+    exactly those classes; the oracle replays the join and
+    classification from the two materialized (url, hash) tables.
+    sum_len pins membership."""
+    from serd_spark.operators.corpus import crawl_delta
+    from serd_spark.sources.pages import latest_crawl, synthesize_pages
+
+    _ensure_shipped(spark)
+    n = max(200, _n_pages(sf_dir) // 4)
+    extra = max(20, n // 10)
+    snap = (
+        latest_crawl(synthesize_pages(spark, n + extra, seed=42))
+        .withColumn("_id", F.regexp_extract("url", r"/(\d+)$", 1)
+                    .cast("long"))
+        .select("_id", "url", "html")
+    )
+    a = snap.filter(F.col("_id") < n).select("url", "html")
+    b = (
+        snap.filter(
+            (F.col("_id") >= n)
+            | ((F.col("_id") < n) & (F.col("_id") % 10 != 0))
+        )
+        .select(
+            "url",
+            F.when(
+                (F.col("_id") < n) & (F.col("_id") % 10 == 1),
+                F.concat(F.col("html"), F.lit(b"!")),
+            ).otherwise(F.col("html")).alias("html"),
+        )
+    )
+    _materialize(
+        sf_dir, "crawl_a",
+        lambda: a.select("url", F.md5("html").alias("h")),
+    )
+    _materialize(
+        sf_dir, "crawl_b",
+        lambda: b.select("url", F.md5("html").alias("h")),
+    )
+    d = crawl_delta(a, b)
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(F.length("url")).cast("long").alias("sum_len"),
+    ).orderBy("status")
+
+
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) expressed through the
+    spark.sql ENTRY POINT over temp views — the SQL-API surface of
+    the engine, and the only contract query touching supplier. Six-
+    way star join with the c_nationkey = s_nationkey locality
+    predicate; revenue in per-row integer cents (the q_agg_pricing
+    money discipline). Catalyst broadcast-joins the dimension chain
+    (region → nation → supplier/customer) and shuffles only the two
+    fact tables — at 100 TB the same plan holds with lineitem/orders
+    co-bucketed on orderkey."""
+    for t in ("region", "nation", "customer", "orders", "lineitem",
+              "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_items
+        FROM v_customer
+        JOIN v_orders   ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+        JOIN v_nation   ON s_nationkey = n_nationkey
+        JOIN v_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue_cents DESC, n_name
+    """)
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff (corpus.py::crawl_delta — the
     delta-only-reprocessing planner). Crawl A is the synthesized
     pages corpus; crawl B is built IN the plan with known edits:
     urls with id % 10 == 0 dropped (removed), id % 10 == 1 get a
@@ -5238,7 +5323,8 @@ def oracle_sql() -> dict[str, str]:
         "q_boilerplate": f"""
             WITH d AS (
               SELECT doc_id, source,
-                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                     trim(regexp_replace(
+                       text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS norm
               FROM read_parquet(
                 '{ORACLE_DIR}/sf0.01/boilerplate_docs/*.parquet')
             ), tk AS (
@@ -5318,7 +5404,9 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      string_split(
-                       trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '
+                       trim(regexp_replace(
+                         text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')),
+                       ' '
                      ) AS t
               FROM documents
             ), nz AS (
@@ -5328,12 +5416,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, t, n,
                      unnest(generate_series(0, n - 1, 24)) AS start_
               FROM nz
+            ), stf AS (
+              SELECT * FROM st WHERE start_ = 0 OR start_ + 8 < n
             ), s AS (
               SELECT *,
                      CAST(row_number() OVER (
                        PARTITION BY doc_id ORDER BY start_) - 1 AS INT)
                        AS chunk_idx
-              FROM st
+              FROM stf
             )
             SELECT doc_id, chunk_idx,
                    array_to_string(t[start_ + 1 : start_ + 32], ' ')

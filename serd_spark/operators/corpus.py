@@ -1643,6 +1643,18 @@ def token_entropy(
     )
 
 
+def _norm_tokens(col: Column) -> Column:
+    """Whitespace-normalize-then-split tokenization shared by
+    chunking and boilerplate (and mirrored verbatim in their SQL
+    oracles). The class is EXPLICIT — Java's \\s matches \\x0B
+    (vertical tab) but RE2's does not, so \\s would silently
+    tokenize differently across engines (CLAUDE.md blesses only
+    \\p{L}/\\p{N}; this is the same discipline for spaces)."""
+    return F.split(
+        F.trim(F.regexp_replace(col, "[ \\t\\n\\r\\f\\x0B]+", " ")), " "
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 64,
@@ -1672,9 +1684,7 @@ def chunk_documents(
     if not (0 <= overlap < chunk_tokens):
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(
-        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
-    )
+    toks = _norm_tokens(F.col(text_col))
     d = docs.select(
         F.col(id_col),
         toks.alias("_toks"),
@@ -1688,6 +1698,12 @@ def chunk_documents(
             "_n",
             F.posexplode(starts).alias("chunk_idx", "_start"),
         )
+        # drop a trailing window fully contained in its predecessor
+        # (start + overlap >= n ⇔ the previous chunk already covers
+        # the tail) — only ever the LAST start, so chunk_idx stays
+        # dense
+        .filter((F.col("_start") == 0)
+                | (F.col("_start") + overlap < F.col("_n")))
         .select(
             F.col(id_col),
             F.col("chunk_idx").cast("int"),
@@ -1730,10 +1746,6 @@ def split_by_key(
         .when(bucket < F.lit(t_valid), F.lit("valid"))
         .otherwise(F.lit("test")),
     )
-
-
-def _norm_tokens(col: Column) -> Column:
-    return F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
 
 
 def host_boilerplate(
@@ -1846,6 +1858,12 @@ def crawl_delta(
     'unchanged' via a FULL OUTER join on url with md5 content
     comparison (md5 over the payload bytes — cheap, engine-portable,
     and collision-irrelevant for change detection).
+
+    PRECONDITION: each side must be url-UNIQUE — a crawl *snapshot*,
+    i.e. one (latest) payload per url. Compose with
+    ``sources.pages.latest_crawl`` (the map-side ``max_by`` ingest
+    dedup) first; feeding a raw fetch log fans the full-outer join
+    out N×M per re-crawled url and can classify one url two ways.
 
     Scale shape: one shuffle keyed by url on each side (or zero with
     url-bucketed crawl tables — materialize.write_bucketed_table);

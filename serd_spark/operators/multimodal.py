@@ -592,7 +592,7 @@ def _gif_features(payload: bytes, dim: int) -> np.ndarray:
 
 
 def _webp_features(payload: bytes, dim: int) -> np.ndarray:
-    if payload[12:16] == b"VP8 ":
+    if _webp_has_chunk(payload, b"VP8 "):
         from serd_spark.operators.vp8_codec import decode_webp_vp8
 
         return _rgb_features(decode_webp_vp8(payload), dim)
@@ -1083,6 +1083,19 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (u / 2**31) - 1.0
 
 
+def _webp_has_chunk(payload: bytes, tag: bytes) -> bool:
+    """Walk the RIFF chunk list for ``tag`` — a VP8X-wrapped lossy
+    WebP carries its 'VP8 ' chunk after the VP8X header, so testing
+    byte offset 12 alone would misroute it."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        if payload[pos: pos + 4] == tag:
+            return True
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        pos += 8 + size + (size & 1)
+    return False
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode → (h, w, 3) RGB uint8: REAL for 24-bit BMP,
     non-interlaced 8-bit PNG, GIF (LZW), baseline or progressive
@@ -1100,9 +1113,14 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        if payload[12:16] == b"VP8 ":
+        if _webp_has_chunk(payload, b"VP8 "):
             from serd_spark.operators.vp8_codec import decode_webp_vp8
 
+            # NOTE on third-party streams: the bitstream STRUCTURE is
+            # decoded for real, but the spec's numeric probability
+            # tables are offline-unavailable (vp8_codec.py docstring)
+            # so pixels from encoders that rely on the defaults are
+            # deterministic-but-not-reference-identical.
             return decode_webp_vp8(payload)
         from serd_spark.operators.vp8l_codec import decode_vp8l
 

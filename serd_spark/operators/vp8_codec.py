@@ -859,6 +859,26 @@ def _edge(plane: np.ndarray, y0: int, x0: int, size: int):
     return above, left, al
 
 
+def _above_right4(Y, y0: int, x0: int, r: int, c: int,
+                  a4) -> "np.ndarray":
+    """Above-right 4 pixels for subblock (r, c) of the MB at
+    (y0, x0), per RFC 6386 §12.3: interior columns read the
+    up-right subblock's bottom row; the RIGHT MB column (c == 3)
+    always reads the row ABOVE the macroblock at x0+16..x0+20 —
+    the above-right MB's bottom row, already reconstructed in
+    raster order and deliberately "stale" for rows 1-3 — never the
+    undecoded right-neighbor MB; edges replicate the last above
+    pixel."""
+    by, bx = y0 + 4 * r, x0 + 4 * c
+    if c < 3:
+        if by > 0:
+            return Y[by - 1, bx + 4: bx + 8].copy()
+        return np.full(4, a4[-1], np.uint8)
+    if y0 > 0 and x0 + 20 <= Y.shape[1]:
+        return Y[y0 - 1, x0 + 16: x0 + 20].copy()
+    return np.full(4, a4[-1], np.uint8)
+
+
 def _recon_mb(Y, U, V, my, mx, ym, uvm, sub, ycoef, ucoef, vcoef):
     y0, x0 = my * 16, mx * 16
     if ym == B_PRED:
@@ -868,12 +888,7 @@ def _recon_mb(Y, U, V, my, mx, ym, uvm, sub, ycoef, ucoef, vcoef):
             above, left, al = _edge(Y, by, bx, 4)
             a4 = (np.full(4, 127, np.uint8) if above is None
                   else above.astype(np.uint8))
-            # above-right: 4 pixels right of the above row; replicate
-            # the last above pixel at the frame / MB-row edge
-            if by > 0 and bx + 8 <= Y.shape[1]:
-                ar = Y[by - 1, bx + 4: bx + 8].copy()
-            else:
-                ar = np.full(4, a4[-1], np.uint8)
+            ar = _above_right4(Y, y0, x0, r, c, a4)
             a8 = np.concatenate([a4, ar])
             l4 = (np.full(4, 129, np.uint8) if left is None
                   else left.astype(np.uint8))
@@ -1043,10 +1058,7 @@ def encode_vp8(rgb: np.ndarray, qi: int = 12, ymode: int = DC_PRED,
                     above, left, al = _edge(Y, by, bx, 4)
                     a4 = (np.full(4, 127, np.uint8) if above is None
                           else above.astype(np.uint8))
-                    if by > 0 and bx + 8 <= Y.shape[1]:
-                        ar = Y[by - 1, bx + 4: bx + 8].copy()
-                    else:
-                        ar = np.full(4, a4[-1], np.uint8)
+                    ar = _above_right4(Y, y0, x0, r, c, a4)
                     a8 = np.concatenate([a4, ar])
                     l4 = (np.full(4, 129, np.uint8) if left is None
                           else left.astype(np.uint8))

@@ -855,13 +855,15 @@ def test_chunk_documents_windows(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # doc 1: starts 0,2,4,6,8 (stride 2 over 10 tokens)
+    # doc 1: starts 0,2,4,6 (stride 2 over 10 tokens; the start-8
+    # window would be fully contained in the start-6 one and is
+    # dropped)
     c1 = by_doc[1]
-    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3, 4]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
     assert c1[0].chunk_text == "w0 w1 w2 w3"
     assert c1[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
-    assert c1[4].chunk_text == "w8 w9" and c1[4].n_tokens == 2
-    assert all(r.n_tokens == 4 for r in c1[:4])
+    assert c1[3].chunk_text == "w6 w7 w8 w9"
+    assert all(r.n_tokens == 4 for r in c1)
     # short doc: single partial chunk
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
     # whitespace-only / empty docs produce NO chunks
@@ -877,11 +879,11 @@ def test_chunk_documents_normalizes_whitespace(spark):
     from serd_spark.operators.corpus import chunk_documents
 
     docs = spark.createDataFrame(
-        [(1, "  a\t\tb\n c  ")], "doc_id long, text string"
+        [(1, "  a\t\tb\n c \x0b d ")], "doc_id long, text string"
     )
     rows = chunk_documents(docs, chunk_tokens=8, overlap=0).collect()
     assert len(rows) == 1
-    assert rows[0].chunk_text == "a b c" and rows[0].n_tokens == 3
+    assert rows[0].chunk_text == "a b c d" and rows[0].n_tokens == 4
 
 
 def test_chunk_documents_rejects_bad_overlap(spark):
