@@ -2711,6 +2711,70 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, n_iter=5)
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-folded trade graph shared by the graph family
+    (q_triangles/q_kcore/q_label_prop and the walk/BFS/link-predict
+    queries): customer and supplier keys folded into one id space mod
+    9973 so the bipartite structure closes into wedges and cycles."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") % 9973).alias("src"),
+        (F.col("l_suppkey") % 9973).alias("dst"),
+    )
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (graph.py::bfs_distance) from a
+    deterministic seed set (node % 997 == 0) over the hash-folded
+    trade graph — frontier-only propagation, so each reachable edge
+    is traversed once across all rounds, not once per round. The
+    oracle replays all 3 frontier/settled rounds as chained CTEs with
+    the identical anti-join."""
+    from serd_spark.operators.graph import bfs_distance
+
+    edges = _trade_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 997 == 0)
+    return (
+        bfs_distance(edges, seeds, n_rounds=3, undirected=True)
+        .select("node", F.col("dist").cast("int").alias("dist"))
+        .orderBy("node")
+    )
+
+
+def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks (graph.py::random_walks,
+    the DeepWalk/node2vec corpus generator) over the hash-folded
+    trade graph: 2 replicas per start node, 3 steps, every draw an
+    md5 pure function of (start, replica, step). The oracle rebuilds
+    the (src, dst-ascending) indexed adjacency with the same window
+    and replays every step join byte-for-byte."""
+    from serd_spark.operators.graph import random_walks
+
+    edges = _trade_edges(spark, sf_dir)
+    return random_walks(edges, walk_len=3, walks_per_node=2).orderBy(
+        "start", "w", "step"
+    )
+
+
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (graph.py::link_predict): common-neighbors +
+    integer-micros Adamic–Adar over 2-hop wedges of the trade graph,
+    hub centers capped at deg 64 (the quadratic-blowup guard), top 50
+    non-adjacent pairs under an explicit total order. The oracle
+    replays degrees, the capped wedge self-join, the integer AA terms
+    and the anti-join independently."""
+    from serd_spark.operators.graph import link_predict
+
+    edges = _trade_edges(spark, sf_dir)
+    return link_predict(edges, max_center_deg=64, min_cn=2, top_k=50)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: per click, the count and latest id of the same
     user's views in the preceding 10 minutes (inclusive both ends) —
@@ -3203,6 +3267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangles": q_triangles,
         "q_kcore": q_kcore,
         "q_label_prop": q_label_prop,
+        "q_bfs_hops": q_bfs_hops,
+        "q_walks": q_walks,
+        "q_link_predict": q_link_predict,
         "q_kmeans": q_kmeans,
         "q_semdedup": q_semdedup,
         "q_pq_search": q_pq_search,
@@ -3591,6 +3658,143 @@ def _lpa_oracle_sql(n_iter: int) -> str:
         )""")
     parts.append(f"\n        SELECT node, label FROM l{n_iter}")
     return "".join(parts)
+
+
+# Mirrored trade adjacency for the BFS oracle — DIRECTED edges
+# mirrored then deduped, self-loops kept (bfs_distance keeps them;
+# they are no-ops under the settled anti-join on both engines).
+_TRADE_MIRROR_EDGES_SQL = """
+        WITH dir AS (
+          SELECT o_custkey % 9973 AS src, l_suppkey % 9973 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), e0 AS (
+          SELECT DISTINCT src AS a, dst AS b FROM (
+            SELECT src, dst FROM dir
+            UNION ALL SELECT dst AS src, src AS dst FROM dir
+          )
+        )"""
+
+
+def _bfs_oracle_sql(n_rounds: int) -> str:
+    """Replays graph.py::bfs_distance's frontier-only rounds as
+    chained CTEs: per round, the distinct neighbor expansion of the
+    previous frontier anti-joined against the settled set — identical
+    to the Spark loop, so a wrong frontier in any round diverges."""
+    parts = [_TRADE_MIRROR_EDGES_SQL, """, seeds AS (
+          SELECT DISTINCT a AS node FROM e0 WHERE a % 997 = 0
+        ), d0 AS (
+          SELECT node, 0 AS dist FROM seeds
+        ), f0 AS (SELECT node FROM seeds)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""", f{r} AS (
+          SELECT DISTINCT e.b AS node
+          FROM e0 e JOIN f{r - 1} f ON e.a = f.node
+          WHERE NOT EXISTS (
+            SELECT 1 FROM d{r - 1} d WHERE d.node = e.b)
+        ), d{r} AS (
+          SELECT node, dist FROM d{r - 1}
+          UNION ALL SELECT node, {r} AS dist FROM f{r}
+        )""")
+    parts.append(f"""
+        SELECT node, CAST(dist AS INT) AS dist
+        FROM d{n_rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+def _walks_oracle_sql(walk_len: int, walks_per_node: int) -> str:
+    """Replays graph.py::random_walks step by step: the same
+    (src, dst-ascending) row_number adjacency index, and per step the
+    md5(start '#' w '#' t) % deg + 1 neighbor pick — any divergence
+    in adjacency order, degree, or hash arithmetic desynchronizes the
+    rest of the walk."""
+    head = f"""
+        WITH dir AS (
+          SELECT o_custkey % 9973 AS src, l_suppkey % 9973 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), und AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM dir WHERE src <> dst
+            UNION ALL SELECT dst AS src, src AS dst FROM dir
+            WHERE src <> dst
+          )
+        ), adj AS (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst)
+                   AS idx
+          FROM und
+        ), deg AS (
+          SELECT src, MAX(idx) AS deg FROM adj GROUP BY src
+        ), starts AS (
+          SELECT DISTINCT src AS start FROM adj
+        ), s0 AS (
+          SELECT start, jj.j AS w, start AS cur
+          FROM starts, LATERAL (
+            SELECT unnest(range(0, {walks_per_node})) AS j) jj
+        )"""
+    steps = []
+    for t in range(1, walk_len + 1):
+        steps.append(f""", s{t} AS (
+          SELECT p.start, p.w, a.dst AS cur
+          FROM (
+            SELECT s.start, s.w, s.cur,
+                   CAST('0x' || substr(md5(
+                     CAST(s.start AS VARCHAR) || '#' ||
+                     CAST(s.w AS VARCHAR) || '#' || '{t}'), 1, 8)
+                     AS BIGINT) % d.deg + 1 AS pick
+            FROM s{t - 1} s JOIN deg d ON d.src = s.cur
+          ) p JOIN adj a ON a.src = p.cur AND a.idx = p.pick
+        )""")
+    union = "\n          UNION ALL ".join(
+        f"SELECT start, w, {t} AS step, cur AS node FROM s{t}"
+        for t in range(walk_len + 1)
+    )
+    tail = f"""
+        SELECT start, CAST(w AS INT) AS w, CAST(step AS INT) AS step,
+               node
+        FROM ({union})
+        ORDER BY start, w, step"""
+    return head + "".join(steps) + tail
+
+
+def _link_predict_oracle_sql(
+    max_center_deg: int, min_cn: int, top_k: int
+) -> str:
+    """Replays graph.py::link_predict: full-graph degrees, the
+    deg-capped wedge self-join, integer-micros Adamic–Adar terms
+    (1e12 div round(ln(deg) * 1e6) — pinned parenthesization), the
+    existing-edge anti-join and the explicit total order."""
+    return f"""
+        WITH dir AS (
+          SELECT o_custkey % 9973 AS src, l_suppkey % 9973 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), und AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM dir WHERE src <> dst
+        ), m AS (
+          SELECT a AS u, b AS v FROM und
+          UNION ALL SELECT b AS u, a AS v FROM und
+        ), deg AS (
+          SELECT u, COUNT(*) AS deg FROM m GROUP BY u
+        ), centers AS (
+          SELECT u, CAST(1000000000000 //
+                   CAST(round(ln(deg) * 1000000) AS BIGINT)
+                   AS BIGINT) AS aa_term
+          FROM deg WHERE deg <= {max_center_deg} AND deg >= 2
+        ), mm AS (
+          SELECT m.u, m.v, c.aa_term FROM m JOIN centers c USING (u)
+        ), pairs AS (
+          SELECT x.v AS a, y.v AS b,
+                 CAST(COUNT(*) AS BIGINT) AS cn,
+                 CAST(SUM(x.aa_term) AS BIGINT) AS aa_micros
+          FROM mm x JOIN mm y ON x.u = y.u
+          WHERE x.v < y.v
+          GROUP BY x.v, y.v
+        )
+        SELECT p.a, p.b, p.cn, p.aa_micros
+        FROM pairs p LEFT JOIN und e ON p.a = e.a AND p.b = e.b
+        WHERE e.a IS NULL AND p.cn >= {min_cn}
+        ORDER BY p.cn DESC, p.aa_micros DESC, p.a, p.b
+        LIMIT {top_k}"""
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
@@ -5624,6 +5828,11 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _hits_oracle_sql(n_iter=3, dir_edges_sql=_HOST_DIR_EDGES_SQL),
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
+        "q_bfs_hops": _bfs_oracle_sql(n_rounds=3),
+        "q_walks": _walks_oracle_sql(walk_len=3, walks_per_node=2),
+        "q_link_predict": _link_predict_oracle_sql(
+            max_center_deg=64, min_cn=2, top_k=50
+        ),
         "q_kmeans": _kmeans_oracle_sql(n_iter=5, k=8),
         # SemDeDup: the k-means assignment (certified end-to-end by
         # q_kmeans's iteration replay) is materialized; DuckDB then

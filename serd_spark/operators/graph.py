@@ -444,3 +444,249 @@ def negative_samples(
             "is_self", (F.col("neg_dst") == F.col(dst)).cast("int")
         )
     )
+
+
+def bfs_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+    undirected: bool = True,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distance — crawl depth from a seed set,
+    the frontier-expansion step behind focused crawling, seed-biased
+    corpus selection, and KG neighborhood extraction.
+
+    FRONTIER-ONLY propagation (the BSP BFS every Pregel system runs):
+    round r joins only the nodes settled in round r-1 against the
+    edge table, then anti-joins the already-settled set — so total
+    work across all rounds is one traversal of each reachable edge,
+    not rounds × |E|. A naive "relax the whole distance table each
+    round" re-sends every settled node per round and is the shape
+    that dies at 100 TB.
+
+    ``n_rounds`` is FIXED, not convergence-tested (determinism across
+    engines: the mirror replays the identical round count; once the
+    frontier empties further rounds are no-ops). Integer hop counts —
+    nothing float anywhere. Each frontier is localCheckpointed: it
+    feeds BOTH the next expansion join and the settled anti-join,
+    and the cut keeps the per-round plan flat.
+
+    Returns (node, dist) for every node within ``n_rounds`` hops of
+    any seed; unreached nodes are absent (the caller left-joins if it
+    wants NULL = unreachable).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+
+    frontier = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = frontier.withColumn("dist", F.lit(0).cast("int"))
+    for r in range(1, n_rounds + 1):
+        reached = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(
+            dist.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        dist = dist.unionByName(
+            frontier.withColumn("dist", F.lit(r).cast("int"))
+        )
+    return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks — the DeepWalk/node2vec
+    training-data generator (walks become "sentences" for a skip-gram
+    embedder). At corpus scale the walker must be a pure function of
+    (start, replica, step), NOT an RNG: retries, shard re-runs, and
+    the cross-engine mirror all have to reproduce the identical walk
+    (same discipline as ``negative_samples``).
+
+    Step rule: at step t the walk (start s, replica w) sitting on
+    node v moves to neighbor number ``md5(s '#' w '#' t) % deg(v)``
+    in the (src, dst-ascending) indexed adjacency — an md5 draw the
+    DuckDB mirror replays byte-for-byte.
+
+    Scale shape: the indexed adjacency is built ONCE with a
+    row_number window partitioned by src (one sort shuffle of the
+    edge table — the standard adjacency-build cost) and
+    localCheckpointed; the degree table is nodes-sized (AQE
+    broadcasts it when it fits). Each step is then one join against
+    deg (computes the pick) plus one EQUI-join on (src, idx) — never
+    an explode of state × neighborhood, so hub nodes cost nothing
+    extra. Mirrored-undirected adjacency means every node has deg ≥ 1:
+    no dead ends, no dangling branch.
+
+    Returns (start, w, step, node) — step 0 is the start node itself.
+    """
+    from pyspark.sql import Window
+
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("need walk_len >= 1 and walks_per_node >= 1")
+    und = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )
+    und = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    adj = und.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    ).localCheckpoint(eager=False)
+    deg = adj.groupBy("src").agg(F.max("idx").alias("deg"))
+
+    state = (
+        adj.select(F.col("src").alias("start"))
+        .distinct()
+        .withColumn(
+            "w", F.explode(F.array(*[F.lit(j) for j in range(walks_per_node)]))
+        )
+        .withColumn("cur", F.col("start"))
+    )
+    out = state.select(
+        "start", "w", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for t in range(1, walk_len + 1):
+        pick = (
+            _md5_bucket(
+                F.concat(
+                    F.col("start").cast("string"),
+                    F.lit("#"),
+                    F.col("w").cast("string"),
+                    F.lit("#"),
+                    F.lit(str(t)),
+                ),
+                "",
+                1 << 62,
+            )
+            % F.col("deg")
+            + F.lit(1)
+        )
+        stepped = (
+            state.join(deg, state.cur == deg.src)
+            .withColumn("pick", pick)
+            .select("start", "w", F.col("cur").alias("jsrc"), "pick")
+        )
+        state = (
+            stepped.join(
+                adj,
+                (stepped.jsrc == adj.src) & (stepped.pick == adj.idx),
+            )
+            .select("start", "w", F.col("dst").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            state.select(
+                "start", "w", F.lit(t).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out.select(
+        "start",
+        F.col("w").cast("int").alias("w"),
+        F.col("step").cast("int").alias("step"),
+        "node",
+    )
+
+
+def link_predict(
+    edges: DataFrame,
+    max_center_deg: int = 64,
+    min_cn: int = 2,
+    top_k: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link prediction by common-neighbors + Adamic–Adar over the
+    2-hop neighborhood — the KG-completion candidate generator
+    (which unlinked pairs are most likely to be the same entity /
+    a missing edge).
+
+    Wedge enumeration through a center u costs C(deg(u), 2), so hub
+    centers are CAPPED at ``max_center_deg``: a node linked to
+    everything contributes no discriminative signal (its AA weight
+    ~1/ln(deg) → 0 anyway) but would quadratically explode the join —
+    the standard production mitigation, and the difference between a
+    runnable and a quadratic job at 100 TB. Degrees are computed over
+    the FULL graph; only wedge centers are filtered.
+
+    Adamic–Adar in integers: each center contributes
+    ``10^12 div round(ln(deg(u)) * 10^6)`` micros — ln pinned to
+    integer micros per term before the sum (the ``dsir_weights``
+    discipline), so the cross-center sum is associative and the
+    DuckDB mirror matches bit-for-bit. A wedge center has deg ≥ 2 by
+    construction, so ln ≥ ln 2 and the divisor is never 0.
+
+    Returns the ``top_k`` non-adjacent pairs (a, b, cn,
+    aa_micros) by (cn DESC, aa_micros DESC, a ASC, b ASC) — explicit
+    total order, TakeOrderedAndProject plan.
+    """
+    und = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(
+            (F.col("a") != F.col("b"))
+            & F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    deg = m.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = (
+        # deg >= 2: a deg-1 node can't center a wedge, and ln(1) = 0
+        # would zero the AA divisor (ANSI divide-by-zero)
+        deg.filter((F.col("deg") <= max_center_deg) & (F.col("deg") >= 2))
+        .withColumn(
+            "aa_term",
+            F.expr(
+                "cast(1000000000000 div "
+                "cast(round(ln(deg) * 1000000) as bigint) as bigint)"
+            ),
+        )
+        .select("u", "aa_term")
+    )
+    mm = m.join(centers, "u").localCheckpoint(eager=False)
+    wedges = (
+        mm.select("u", F.col("v").alias("x"), "aa_term")
+        .join(mm.select("u", F.col("v").alias("y")), "u")
+        .filter(F.col("x") < F.col("y"))
+    )
+    pairs = wedges.groupBy(
+        F.col("x").alias("a"), F.col("y").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("aa_term").cast("long").alias("aa_micros"),
+    )
+    return (
+        pairs.join(und, ["a", "b"], "left_anti")
+        .filter(F.col("cn") >= min_cn)
+        .orderBy(
+            F.desc("cn"), F.desc("aa_micros"), F.col("a"), F.col("b")
+        )
+        .limit(top_k)
+    )

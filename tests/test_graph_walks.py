@@ -1,0 +1,140 @@
+"""bfs_distance / random_walks / link_predict — hand-computed
+expectations on tiny graphs, plus the determinism properties the
+cross-engine oracles rely on."""
+
+import hashlib
+
+from serd_spark.operators.graph import bfs_distance, link_predict, random_walks
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+# ---------------------------------------------------------------- BFS
+
+def test_bfs_path_graph_hop_distances(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = dict(
+        bfs_distance(e, _seeds(spark, [1]), n_rounds=4).collect()
+    )
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_seed_takes_min_distance(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = dict(
+        bfs_distance(e, _seeds(spark, [1, 5]), n_rounds=4).collect()
+    )
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_rounds_cap_limits_reach(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = dict(
+        bfs_distance(e, _seeds(spark, [1]), n_rounds=2).collect()
+    )
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_directed_respects_edge_direction(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    got = dict(
+        bfs_distance(
+            e, _seeds(spark, [2]), n_rounds=3, undirected=False
+        ).collect()
+    )
+    assert got == {2: 0, 3: 1}
+
+
+def test_bfs_extra_rounds_are_noops(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    a = dict(bfs_distance(e, _seeds(spark, [1]), n_rounds=2).collect())
+    b = dict(bfs_distance(e, _seeds(spark, [1]), n_rounds=6).collect())
+    assert a == b == {1: 0, 2: 1, 3: 2}
+
+
+# -------------------------------------------------------------- walks
+
+def _md5_pick(start, w, t, deg):
+    h = hashlib.md5(f"{start}#{w}#{t}".encode()).hexdigest()
+    return int(h[:8], 16) % deg + 1
+
+
+def test_random_walks_match_reference_replay(spark):
+    # triangle 1-2-3, mirrored: every node's neighbors sorted asc
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    nbrs = {1: [2, 3], 2: [1, 3], 3: [1, 2]}
+    got = {
+        (r.start, r.w, r.step): r.node
+        for r in random_walks(e, walk_len=2, walks_per_node=2).collect()
+    }
+    for start in (1, 2, 3):
+        for w in (0, 1):
+            cur = start
+            assert got[(start, w, 0)] == start
+            for t in (1, 2):
+                cur = nbrs[cur][_md5_pick(start, w, t, 2) - 1]
+                assert got[(start, w, t)] == cur
+    assert len(got) == 3 * 2 * 3  # nodes × replicas × (walk_len + 1)
+
+
+def test_random_walks_deterministic_across_runs(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    a = sorted(map(tuple, random_walks(e, 3, 1).collect()))
+    b = sorted(map(tuple, random_walks(e, 3, 1).collect()))
+    assert a == b and len(a) == 4 * 4
+
+
+def test_random_walks_steps_follow_edges(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    adj = {1: {2, 4}, 2: {1, 3}, 3: {2, 4}, 4: {1, 3}}
+    rows = random_walks(e, walk_len=3, walks_per_node=1).collect()
+    pos = {(r.start, r.step): r.node for r in rows}
+    for start in (1, 2, 3, 4):
+        for t in (1, 2, 3):
+            assert pos[(start, t)] in adj[pos[(start, t - 1)]]
+
+
+# ------------------------------------------------------- link predict
+
+AA2 = 10**12 // 693147  # AA micros of one deg-2 center: 1e12 div ln(2)e6
+
+
+def test_link_predict_cycle4_hand_computed(spark):
+    # cycle 1-2-3-4: non-adjacent pairs (1,3) and (2,4), cn=2 each,
+    # every center deg 2
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    got = sorted(
+        (r.a, r.b, r.cn, r.aa_micros)
+        for r in link_predict(e, min_cn=2).collect()
+    )
+    assert got == [(1, 3, 2, 2 * AA2), (2, 4, 2, 2 * AA2)]
+
+
+def test_link_predict_excludes_existing_edges(spark):
+    # triangle + pendant: all 2-hop pairs among {1,2,3} are adjacent
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {(r.a, r.b) for r in link_predict(e, min_cn=1).collect()}
+    assert (1, 2) not in got and (2, 3) not in got and (1, 3) not in got
+    assert got == {(1, 4), (2, 4)}  # via center 3
+
+
+def test_link_predict_hub_cap_drops_mega_center(spark):
+    # star center 0 with 5 leaves: with the cap below 5 no wedge
+    # survives; without it every leaf pair scores
+    star = [(0, i) for i in range(1, 6)]
+    e = _edges(spark, star)
+    assert link_predict(e, max_center_deg=4, min_cn=1).count() == 0
+    assert link_predict(e, max_center_deg=5, min_cn=1).count() == 10
+
+
+def test_link_predict_topk_total_order(spark):
+    # two wedges: pair (1,3) via two centers beats (4,6) via one
+    e = _edges(spark, [(1, 2), (2, 3), (1, 7), (7, 3), (4, 5), (5, 6)])
+    rows = link_predict(e, min_cn=1, top_k=1).collect()
+    assert [(r.a, r.b, r.cn) for r in rows] == [(1, 3, 2)]
