@@ -1755,6 +1755,45 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(e, n_neg=2, n_buckets=32)
 
 
+# schema.org-subset ontology shared verbatim by q_rdfs_entail's Spark
+# side and its DuckDB mirror (axioms are public schema.org hierarchy)
+_SCHEMA_SUBCLASS = [
+    ("http://schema.org/Review", "http://schema.org/CreativeWork"),
+    ("http://schema.org/CreativeWork", "http://schema.org/Thing"),
+    ("http://schema.org/Person", "http://schema.org/Thing"),
+    ("http://schema.org/Rating", "http://schema.org/Intangible"),
+    ("http://schema.org/Intangible", "http://schema.org/Thing"),
+]
+_SCHEMA_DOMAINS = [
+    ("http://schema.org/review", "http://schema.org/CreativeWork"),
+    ("http://schema.org/ratingValue", "http://schema.org/Rating"),
+]
+_SCHEMA_RANGES = [
+    ("http://schema.org/review", "http://schema.org/Review"),
+    ("http://schema.org/author", "http://schema.org/Person"),
+]
+
+
+def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS forward-chaining entailment (operators/rdfs.py) over the
+    extracted triples under a schema.org-subset ontology: domain and
+    range rules seed types (review→Review, author→Person,
+    ratingValue subjects→Rating), then the driver-side subClassOf
+    closure lifts them (Review⊑CreativeWork⊑Thing, Rating⊑Intangible⊑
+    Thing) — multi-hop inference chains from raw markup. The oracle
+    replays closure rounds, all three rule scans, and the asserted
+    flag from the materialized triples."""
+    from serd_spark.operators.rdfs import rdfs_entail
+
+    _materialize_triples(spark, sf_dir)
+    return rdfs_entail(
+        _kg_triples(spark, sf_dir),
+        _SCHEMA_SUBCLASS,
+        domains=_SCHEMA_DOMAINS,
+        ranges=_SCHEMA_RANGES,
+    ).orderBy("node", "cls")
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON property extraction over the events
     table's ``props`` column (the schema-flexible event-payload
@@ -3314,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entropy": q_entropy,
         "q_kg_twohop": q_kg_twohop,
         "q_kg_negatives": q_kg_negatives,
+        "q_rdfs_entail": q_rdfs_entail,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
         "stream_quantiles": stream_quantiles,
@@ -3797,6 +3837,59 @@ def _link_predict_oracle_sql(
         LIMIT {top_k}"""
 
 
+def _rdfs_oracle_sql(n_rounds: int = 4) -> str:
+    """Replays operators/rdfs.py end-to-end: the doubling subclass-
+    closure rounds over the literal axioms, the domain/range/type
+    rule scans, the one distinct, and the asserted flag — any rule or
+    closure divergence shows as a row or flag mismatch."""
+    from serd_spark.operators.rdfs import RDF_TYPE
+
+    def values(rows):
+        return ", ".join(f"('{a}', '{b}')" for a, b in rows)
+
+    parts = [f"""
+        WITH ax(sub, sup) AS (VALUES {values(_SCHEMA_SUBCLASS)}),
+        dom(pred, cls) AS (VALUES {values(_SCHEMA_DOMAINS)}),
+        rng(pred, cls) AS (VALUES {values(_SCHEMA_RANGES)}),
+        c0 AS (SELECT DISTINCT sub, sup FROM ax WHERE sub <> sup)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""", c{r} AS (
+          SELECT DISTINCT sub, sup FROM (
+            SELECT sub, sup FROM c{r - 1}
+            UNION ALL
+            SELECT a.sub, b.sup FROM c{r - 1} a JOIN c{r - 1} b
+            ON a.sup = b.sub WHERE a.sub <> b.sup
+          )
+        )""")
+    parts.append(f""", t AS (
+          SELECT s, p, o
+          FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+        ), asserted AS (
+          SELECT DISTINCT s AS node, o AS cls FROM t
+          WHERE p = '{RDF_TYPE}'
+        ), base AS (
+          SELECT s AS node, o AS cls FROM t WHERE p = '{RDF_TYPE}'
+          UNION ALL
+          SELECT t.s AS node, d.cls FROM t JOIN dom d ON t.p = d.pred
+          UNION ALL
+          SELECT t.o AS node, r.cls FROM t JOIN rng r ON t.p = r.pred
+        ), allt AS (
+          SELECT DISTINCT node, cls FROM (
+            SELECT node, cls FROM base
+            UNION ALL
+            SELECT b.node, c.sup AS cls
+            FROM base b JOIN c{n_rounds} c ON b.cls = c.sub
+          )
+        )
+        SELECT a.node, a.cls,
+               CAST(CASE WHEN x.node IS NOT NULL THEN 1 ELSE 0 END
+                    AS INT) AS asserted
+        FROM allt a
+        LEFT JOIN asserted x ON a.node = x.node AND a.cls = x.cls
+        ORDER BY a.node, a.cls""")
+    return "".join(parts)
+
+
 def _bpe_oracle_sql(n_merges: int) -> str:
     """Replays every BPE training iteration independently: for each
     rank i, DuckDB recomputes the weighted adjacent-pair counts over
@@ -3903,6 +3996,7 @@ def oracle_sql() -> dict[str, str]:
                    '#' || CAST(t.j AS VARCHAR)), 1, 8) AS BIGINT) % 32
             CROSS JOIN gmin g
         """,
+        "q_rdfs_entail": _rdfs_oracle_sql(n_rounds=4),
         # JSON props: DuckDB's own JSON engine re-extracts $.k — two
         # independent parsers must agree on every value.
         "q_json_props": """
