@@ -1794,6 +1794,42 @@ def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node", "cls")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink→source fixpoint (sources/warc.py): the pages corpus
+    is written as sharded ISO-28500 WARC files (deterministic md5-url
+    shards, warcinfo heads, HTTP envelopes) and read back with the
+    by-file binaryFile scanner; per-url record counts, formatted
+    max timestamp and content md5s must equal the ORIGINAL table —
+    the oracle computes the same aggregate straight from the
+    materialized (url, warc_ts, html) parquet, so a single corrupted
+    byte, lost record, or timestamp drift anywhere in the
+    writer/parser fails the hash."""
+    import shutil
+
+    from serd_spark.sources.warc import read_warc, write_warc
+
+    src = _pages(spark, sf_dir).select("url", "warc_ts", "html")
+    _materialize(sf_dir, "warc_src", lambda: src)
+    out = os.path.join(
+        "/tmp/serd_spark_warc", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(src, out, n_files=8).collect()  # 8-row manifest action
+    return (
+        read_warc(spark, out + "/*.warc")
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.date_format(
+                F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("ts_max"),
+            F.min(F.md5("html")).alias("h_min"),
+            F.max(F.md5("html")).alias("h_max"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON property extraction over the events
     table's ``props`` column (the schema-flexible event-payload
@@ -3354,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_twohop": q_kg_twohop,
         "q_kg_negatives": q_kg_negatives,
         "q_rdfs_entail": q_rdfs_entail,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
         "stream_quantiles": stream_quantiles,
@@ -3997,6 +4034,18 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN gmin g
         """,
         "q_rdfs_entail": _rdfs_oracle_sql(n_rounds=4),
+        # WARC fixpoint: the roundtrip aggregate recomputed from the
+        # materialized source parquet — equality proves the sink and
+        # scanner preserve every byte, record and timestamp.
+        "q_warc_roundtrip": f"""
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n,
+                   strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS ts_max,
+                   MIN(md5(decode(html))) AS h_min,
+                   MAX(md5(decode(html))) AS h_max
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/warc_src/*.parquet')
+            GROUP BY url ORDER BY url
+        """,
         # JSON props: DuckDB's own JSON engine re-extracts $.k — two
         # independent parsers must agree on every value.
         "q_json_props": """

@@ -1,0 +1,111 @@
+"""WARC source/sink — byte-level record roundtrips, bomb guards,
+lax resync, and the distributed write→read fixpoint."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from serd_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+    warc_record,
+    warcinfo_record,
+    write_warc,
+)
+
+TS = datetime(2026, 1, 2, 3, 4, 5, 123456, tzinfo=timezone.utc)
+
+
+def test_record_roundtrip_exact_bytes():
+    body = "héllo 漢字 <p>bytes</p>\nline2".encode()
+    rec = warc_record("http://a.example/x", TS, body)
+    records, errors = parse_warc(rec)
+    assert errors == []
+    assert records == [("http://a.example/x", TS, body)]
+
+
+def test_warcinfo_and_multiple_records():
+    buf = (
+        warcinfo_record("f.warc")
+        + warc_record("http://a/1", TS, b"one")
+        + warc_record("http://a/2", TS, b"two")
+    )
+    records, errors = parse_warc(buf)
+    assert [r[0] for r in records] == ["http://a/1", "http://a/2"]
+    assert [r[2] for r in records] == [b"one", b"two"]
+    assert errors == []
+
+
+def test_declared_length_bomb_is_one_error_row():
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Length: 2147483647\r\n\r\nshort"
+    )
+    records, errors = parse_warc(evil + warc_record("http://ok/", TS, b"ok"))
+    assert len(errors) == 1 and "declared length" in errors[0][1]
+    # resync recovered the following good record
+    assert [r[0] for r in records] == ["http://ok/"]
+
+
+def test_strict_mode_raises():
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n", lax=False)
+
+
+def test_garbage_prefix_resyncs():
+    buf = b"NOT A WARC" + warc_record("http://ok/", TS, b"ok")
+    records, errors = parse_warc(buf)
+    assert [r[0] for r in records] == ["http://ok/"]
+    assert len(errors) == 1
+
+
+def test_seconds_only_warc_date_accepted():
+    rec = warc_record("http://a/", TS, b"x").replace(
+        b"2026-01-02T03:04:05.123456Z", b"2026-01-02T03:04:05Z"
+    )
+    # header Content-Length unchanged — payload length is what counts
+    records, _ = parse_warc(rec)
+    assert records[0][1] == TS.replace(microsecond=0)
+
+
+def test_write_read_fixpoint(spark, tmp_path):
+    rows = [
+        (f"http://s{i % 3}.example/p/{i}", TS, f"<p>doc {i} é</p>".encode())
+        for i in range(50)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = str(tmp_path / "warc")
+    manifest = write_warc(pages, out, n_files=4).collect()
+    assert sum(m.n_records for m in manifest) == 50
+    assert {m.file for m in manifest} <= {
+        f"shard-{i:05d}.warc" for i in range(4)
+    }
+    back = read_warc(spark, out + "/*.warc")
+    # Spark collects timestamps as session-UTC naive datetimes
+    a = sorted((r.url, r.warc_ts, bytes(r.html)) for r in back.collect())
+    want = sorted((u, t.replace(tzinfo=None), h) for u, t, h in rows)
+    assert a == want
+
+
+def test_write_is_deterministic(spark, tmp_path):
+    rows = [(f"http://h/{i}", TS, f"b{i}".encode()) for i in range(20)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    outs = []
+    for d in ("w1", "w2"):
+        out = str(tmp_path / d)
+        write_warc(pages.repartition(7), out, n_files=2).collect()
+        outs.append(
+            {
+                f: open(f"{out}/shard-{i:05d}.warc", "rb").read()
+                for i, f in enumerate(
+                    [f"shard-{i:05d}.warc" for i in range(2)]
+                )
+            }
+        )
+    assert outs[0] == outs[1]
