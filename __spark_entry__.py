@@ -2423,6 +2423,73 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join driven end-to-end (streaming/
+    incremental.py::streaming_interval_join): clicks and views flow
+    as two availableNow multi-batch file streams (maxFilesPerTrigger=
+    2 over 6 files each, unordered split), the join matches each
+    click to the same user's views in the preceding 4 hours with
+    cross-batch state, and the appended pair sink is re-aggregated
+    per click. The watermark is wider than the input's span, so
+    nothing is evicted or late-dropped and the result is EXACTLY the
+    batch interval join — which the DuckDB oracle replays as the
+    naive inequality join over the batch events table (eviction
+    timing itself is pinned by the controlled-arrival unit test)."""
+    import shutil
+
+    from serd_spark.streaming.incremental import streaming_interval_join
+
+    base = os.path.join(
+        "/tmp/serd_spark_stream_join",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    in_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    ).repartition(6).write.parquet(in_dir)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(in_dir)
+        )
+
+    clicks = src().filter(F.col("event_type") == "click").drop("event_type")
+    views = src().filter(F.col("event_type") == "view").drop("event_type")
+    pairs = streaming_interval_join(
+        clicks, views, key="user_id", lookback_s=14400, watermark="3650 days"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("view_id"),
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.max("view_id").cast("long").alias("last_view_id"),
+        )
+        .orderBy("click_id")
+    )
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-prefix boilerplate detection + stripping (corpus.py::
     host_boilerplate / strip_boilerplate — the cookie-banner removal
@@ -3328,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_delta": q_crawl_delta,
         "q_profile": q_profile,
         "stream_enrich": stream_enrich,
+        "stream_join": stream_join,
         "q_boilerplate": q_boilerplate,
         "q_transitions": q_transitions,
         "q_mojibake": q_mojibake,
@@ -4034,6 +4102,19 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN gmin g
         """,
         "q_rdfs_entail": _rdfs_oracle_sql(n_rounds=4),
+        # Stream-stream interval join: wide watermark makes the
+        # availableNow result exactly the batch inequality join.
+        "stream_join": """
+            SELECT c.event_id AS click_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_views,
+                   CAST(MAX(v.event_id) AS BIGINT) AS last_view_id
+            FROM events c JOIN events v
+              ON v.user_id = c.user_id
+             AND v.ts >= c.ts - INTERVAL 14400 SECOND AND v.ts <= c.ts
+            WHERE c.event_type = 'click' AND v.event_type = 'view'
+            GROUP BY c.event_id
+            ORDER BY click_id
+        """,
         # WARC fixpoint: the roundtrip aggregate recomputed from the
         # materialized source parquet — equality proves the sink and
         # scanner preserve every byte, record and timestamp.

@@ -486,3 +486,49 @@ def streaming_enrich(
     at scale pin it with a localCheckpoint/cache before passing it
     here if it is expensive to compute."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_s: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each left row matches right rows
+    of the same ``key`` whose timestamp falls in
+    ``[left_ts - lookback_s, left_ts]`` (inclusive both ends — the
+    identical contract as the batch ``operators/rangejoin.range_join``,
+    so the two certify each other). The attribution/conversion join of
+    every event pipeline (click ← preceding views, purchase ←
+    preceding clicks).
+
+    State shape at scale: Spark keeps BOTH sides' unmatched rows in
+    the state store, keyed by ``key``, and the time-range condition
+    plus the watermarks bound retention — right rows are evictable
+    once the watermark passes ``right_ts + lookback_s``, left rows
+    once it passes ``left_ts``; state is O(events inside one
+    watermark+lookback window), never O(stream). A tight
+    ``watermark`` is the production setting; a watermark wider than
+    the input's time span makes the availableNow result EXACTLY the
+    batch join (nothing evicted, nothing late-dropped), which is what
+    the cross-engine oracle certifies — eviction itself is pinned by
+    the controlled-arrival unit test.
+
+    Right-side columns come back prefixed ``r_`` (both sides usually
+    share ts/key names).
+    """
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    lw = left.withWatermark(left_ts, watermark)
+    rw = r.withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (
+            F.col(f"r_{right_ts}")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {int(lookback_s)} SECONDS")
+        )
+        & (F.col(f"r_{right_ts}") <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner")
