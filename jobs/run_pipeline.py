@@ -30,6 +30,11 @@ def main() -> int:
                     help="synthetic corpus size (used when --input absent)")
     ap.add_argument("--input", default=None,
                     help="parquet path of a pages table (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc"],
+                    help="warc: --input is a binaryFile glob of ISO-28500 "
+                         "archives (e.g. /data/crawl/*.warc) parsed by "
+                         "sources/warc.py — Common-Crawl-native ingestion")
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--master", default=None, help="e.g. local[8]")
@@ -43,11 +48,16 @@ def main() -> int:
     from serd_spark.plans.pipeline import run_pipeline
     from serd_spark.session import get_spark
     from serd_spark.sources.pages import read_pages, synthesize_pages
+    from serd_spark.sources.warc import read_warc
 
     spark = get_spark(app_name="kg-pipeline", master=args.master)
     run_id = args.run_id or f"run-{int(time.time())}"
 
-    if args.input:
+    if args.input and args.input_format == "warc":
+        # by-file parallelism (WARC has no intra-file split points);
+        # the pipeline only needs (url, warc_ts, html)
+        pages = read_warc(spark, args.input)
+    elif args.input:
         # decoded-size-aware split sizing (pages parquet compresses
         # ~15×; the 128 MB default under-splits the extraction stage)
         pages = read_pages(spark, args.input)
