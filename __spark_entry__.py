@@ -2490,6 +2490,62 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-sized keyed-table MERGE (operators/materialize.py::
+    upsert_keyed_table): orders lands as an md5-bucket-partitioned
+    table, then one merge applies updates (keys %7==0, +111 cents),
+    inserts (re-keyed %97==0 rows) and deletes (%13==0, minus the
+    update overlap) touching ONLY affected bucket directories —
+    including the all-rows-deleted-bucket cleanup dynamic overwrite
+    misses. The returned per-bucket aggregate covers the WHOLE final
+    table, so a stale file, lost survivor, or wrong bucket anywhere
+    breaks the compare; the oracle recomputes the merge and the md5
+    bucketing from raw orders."""
+    import shutil
+
+    from serd_spark.operators.materialize import (
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    base_dir = os.path.join(
+        "/tmp/serd_spark_upsert", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    path = os.path.join(base_dir, "orders_kv")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed_table(o, path, "k", n_buckets=16)
+    updates = (
+        o.filter(F.col("k") % 7 == 0)
+        .select("k", (F.col("cents") + 111).alias("cents"))
+        .unionByName(
+            o.filter(F.col("k") % 97 == 0).select(
+                (F.col("k") + 100000000).alias("k"),
+                F.col("k").alias("cents"),
+            )
+        )
+    )
+    deletes = o.filter(
+        (F.col("k") % 13 == 0) & (F.col("k") % 7 != 0)
+    ).select("k")
+    upsert_keyed_table(spark, path, updates, "k", n_buckets=16,
+                       deletes=deletes)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("kbucket").cast("int").alias("kbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("kbucket")
+    )
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-prefix boilerplate detection + stripping (corpus.py::
     host_boilerplate / strip_boilerplate — the cookie-banner removal
@@ -3396,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile": q_profile,
         "stream_enrich": stream_enrich,
         "stream_join": stream_join,
+        "q_upsert": q_upsert,
         "q_boilerplate": q_boilerplate,
         "q_transitions": q_transitions,
         "q_mojibake": q_mojibake,
@@ -4102,6 +4159,35 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN gmin g
         """,
         "q_rdfs_entail": _rdfs_oracle_sql(n_rounds=4),
+        # Keyed-table MERGE: update/insert/delete semantics and the
+        # md5 storage bucketing replayed from raw orders.
+        "q_upsert": """
+            WITH o AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), upd AS (
+              SELECT k, cents + 111 AS cents FROM o WHERE k % 7 = 0
+              UNION ALL
+              SELECT k + 100000000 AS k, k AS cents FROM o
+              WHERE k % 97 = 0
+            ), dels AS (
+              SELECT k FROM o WHERE k % 13 = 0 AND k % 7 <> 0
+            ), merged AS (
+              SELECT k, cents FROM upd
+              UNION ALL
+              SELECT o.k, o.cents FROM o
+              WHERE o.k NOT IN (SELECT k FROM upd)
+                AND o.k NOT IN (SELECT k FROM dels)
+            )
+            SELECT CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 16 AS INT) AS kbucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(MIN(k) AS BIGINT) AS k_min,
+                   CAST(MAX(k) AS BIGINT) AS k_max
+            FROM merged GROUP BY 1 ORDER BY kbucket
+        """,
         # Stream-stream interval join: wide watermark makes the
         # availableNow result exactly the batch inequality join.
         "stream_join": """

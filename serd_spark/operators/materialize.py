@@ -175,3 +175,117 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _key_bucket(col, n_buckets: int):
+    """md5-hex-prefix bucket in [0, n_buckets) — the repo's
+    engine-neutral hash (graph._md5_bucket), used for STORAGE layout
+    here so the cross-engine oracle can recompute bucket membership."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(int(n_buckets)).cast("long")
+    ).cast("int")
+
+
+def write_keyed_table(
+    df: DataFrame, path: str, key: str, n_buckets: int = 64
+) -> None:
+    """Directory-partitioned keyed table (``kbucket=…`` dirs, rows
+    sorted by key within files) — the layout ``upsert_keyed_table``
+    merges into. Buckets are md5-derived from the key: a pure
+    function of row content, deterministic under retries, and
+    recomputable by any engine reading the table."""
+    (
+        df.withColumn("kbucket", _key_bucket(F.col(key), n_buckets))
+        .repartition("kbucket")
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .partitionBy("kbucket")
+        .parquet(path)
+    )
+
+
+def upsert_keyed_table(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    n_buckets: int = 64,
+    deletes: DataFrame | None = None,
+) -> dict:
+    """Delta-sized MERGE into a keyed table: update rows replace their
+    key wholesale, new keys insert, ``deletes`` (a one-column frame of
+    keys) removes — and only the bucket partitions actually touched by
+    the delta are read or rewritten.
+
+    Why this is the 100 TB shape: the merge cost is O(delta +
+    affected-bucket data), NOT O(table). Affected bucket ids come
+    from one distinct over the delta (≤ n_buckets ints on the
+    driver); the existing-rows scan prunes to those directories
+    (partition filter on ``kbucket``); dynamic partition overwrite
+    rewrites only those directories, leaving every other bucket's
+    files untouched (byte-identical — the unit test asserts it).
+    The merged delta is localCheckpointed before the write because
+    source and target are the same path — the checkpoint is the
+    parquet stand-in for Iceberg's snapshot swap, and it holds only
+    the affected buckets, never the table. If a key appears in both
+    ``updates`` and ``deletes``, the update wins (deletes filter the
+    EXISTING side only).
+
+    Returns {"buckets_touched", "rows_written"}.
+    """
+    up = updates.withColumn(
+        "kbucket", _key_bucket(F.col(key), n_buckets)
+    ).localCheckpoint(eager=True)
+    affected = sorted(
+        r.kbucket for r in up.select("kbucket").distinct().collect()
+    )
+    if deletes is not None:
+        del_keys = deletes.select(key).distinct().localCheckpoint(eager=True)
+        affected = sorted(
+            set(affected)
+            | {
+                r.kbucket
+                for r in del_keys.select(
+                    _key_bucket(F.col(key), n_buckets).alias("kbucket")
+                )
+                .distinct()
+                .collect()
+            }
+        )
+    existing = spark.read.parquet(path).filter(F.col("kbucket").isin(affected))
+    survivors = existing.join(up.select(key).distinct(), key, "left_anti")
+    if deletes is not None:
+        survivors = survivors.join(del_keys, key, "left_anti")
+    merged = up.unionByName(survivors.select(*up.columns)).localCheckpoint(
+        eager=True
+    )
+    n_rows = merged.count()
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            merged.repartition("kbucket")
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .partitionBy("kbucket")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(mode_key, prev)
+
+    # dynamic overwrite only replaces partitions PRESENT in the write:
+    # a bucket whose rows were all deleted produces no output rows, so
+    # its stale directory would silently survive — drop those
+    # explicitly (Hadoop FS API, so any DFS the table lives on works)
+    present = {
+        r.kbucket for r in merged.select("kbucket").distinct().collect()
+    }
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in set(affected) - present:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/kbucket={b}")
+        p.getFileSystem(hconf).delete(p, True)
+    return {"buckets_touched": len(affected), "rows_written": n_rows}
