@@ -2546,6 +2546,53 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (materialize.py::compact_keyed_table):
+    lineitem lands in three micro-batch appends (3+ files per bucket
+    — the streaming-ingest fragmentation), compaction rewrites every
+    fragmented bucket down to one sorted file, and the returned
+    per-bucket aggregate is computed from the POST-compaction files —
+    so any row lost, duplicated or mis-bucketed by the rewrite breaks
+    the compare against the oracle's replay from raw lineitem.
+    File-count and healthy-bucket-untouched invariants are pinned by
+    the unit tests."""
+    import shutil
+
+    from serd_spark.operators.materialize import (
+        append_keyed_table,
+        compact_keyed_table,
+        write_keyed_table,
+    )
+
+    base_dir = os.path.join(
+        "/tmp/serd_spark_compact", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    path = os.path.join(base_dir, "li_kv")
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    write_keyed_table(li.filter(F.col("k") % 3 == 0), path, "k",
+                      n_buckets=16)
+    append_keyed_table(li.filter(F.col("k") % 3 == 1), path, "k",
+                       n_buckets=16)
+    append_keyed_table(li.filter(F.col("k") % 3 == 2), path, "k",
+                       n_buckets=16)
+    compact_keyed_table(spark, path, "k", max_files=1)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("kbucket").cast("int").alias("kbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("kbucket")
+    )
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-prefix boilerplate detection + stripping (corpus.py::
     host_boilerplate / strip_boilerplate — the cookie-banner removal
@@ -3453,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": stream_enrich,
         "stream_join": stream_join,
         "q_upsert": q_upsert,
+        "q_compact": q_compact,
         "q_boilerplate": q_boilerplate,
         "q_transitions": q_transitions,
         "q_mojibake": q_mojibake,
@@ -4159,6 +4207,22 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN gmin g
         """,
         "q_rdfs_entail": _rdfs_oracle_sql(n_rounds=4),
+        # Compaction content certificate: the per-bucket aggregate of
+        # the post-compaction table replayed from raw lineitem.
+        "q_compact": """
+            WITH li AS (
+              SELECT l_orderkey * 10 + l_linenumber AS k,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+            )
+            SELECT CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 16 AS INT) AS kbucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(MIN(k) AS BIGINT) AS k_min,
+                   CAST(MAX(k) AS BIGINT) AS k_max
+            FROM li GROUP BY 1 ORDER BY kbucket
+        """,
         # Keyed-table MERGE: update/insert/delete semantics and the
         # md5 storage bucketing replayed from raw orders.
         "q_upsert": """

@@ -289,3 +289,90 @@ def upsert_keyed_table(
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/kbucket={b}")
         p.getFileSystem(hconf).delete(p, True)
     return {"buckets_touched": len(affected), "rows_written": n_rows}
+
+
+def append_keyed_table(
+    df: DataFrame, path: str, key: str, n_buckets: int = 64
+) -> None:
+    """Append a delta into the keyed layout WITHOUT merging (the
+    streaming / micro-batch ingest path: cheap now, merged or
+    compacted later). Each append adds files to its bucket dirs —
+    that fragmentation is what ``compact_keyed_table`` repairs."""
+    (
+        df.withColumn("kbucket", _key_bucket(F.col(key), n_buckets))
+        .repartition("kbucket")
+        .sortWithinPartitions(key)
+        .write.mode("append")
+        .partitionBy("kbucket")
+        .parquet(path)
+    )
+
+
+def compact_keyed_table(
+    spark, path: str, key: str, max_files: int = 1
+) -> dict:
+    """Small-file compaction, delta-sized like the merge: rewrite
+    ONLY the bucket partitions holding more than ``max_files``
+    parquet files (each down to one sorted file), leave healthy
+    buckets byte-untouched.
+
+    Why it matters at 100 TB: micro-batch appends and per-delta
+    merges each add a file per touched bucket; scan cost degrades
+    with file count (task scheduling, footer reads, lost sort
+    locality), so table maintenance must run forever — and a
+    maintenance pass that rewrites the whole table is a non-starter.
+    File counts come from one driver-side directory listing
+    (n_buckets entries via the Hadoop FS API — any DFS); the data
+    job reads and rewrites only fragmented buckets. Content is
+    preserved exactly (the oracle certifies it); the localCheckpoint
+    before the overwrite is the same read-own-input guard as the
+    merge.
+
+    Returns {"buckets_compacted", "files_before", "rows_rewritten"}.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    fragged: list[int] = []
+    files_before = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("kbucket=")):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n_files > max_files:
+            fragged.append(int(name.split("=", 1)[1]))
+            files_before += n_files
+    if not fragged:
+        return {
+            "buckets_compacted": 0, "files_before": 0, "rows_rewritten": 0
+        }
+    merged = (
+        spark.read.parquet(path)
+        .filter(F.col("kbucket").isin(sorted(fragged)))
+        .localCheckpoint(eager=True)
+    )
+    n_rows = merged.count()
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (
+            merged.repartition("kbucket")
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .partitionBy("kbucket")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(mode_key, prev)
+    return {
+        "buckets_compacted": len(fragged),
+        "files_before": files_before,
+        "rows_rewritten": n_rows,
+    }
