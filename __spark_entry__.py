@@ -2922,6 +2922,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k=8, n_iter=2, threshold=0.4).orderBy("vec_id")
 
 
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PCA (operators/pca.py): top principal component
+    of the embeddings table by power iteration on a quantized,
+    mean-centered integer covariance — two tree-aggregate Arrow
+    passes (dim and dim² partial rows per task), a 4096-cell driver
+    iteration, one projection pass. Everything truncating-division
+    deterministic, so the oracle replays quantization, means,
+    covariance, all 8 matvec+rescale rounds AND the projections —
+    any float leak or division-sign slip desynchronizes it."""
+    from serd_spark.operators.pca import pca_power_iteration
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj, _w = pca_power_iteration(emb, n_iter=8, dim=64)
+    return proj.orderBy("vec_id")
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=35, 4 synchronous peel rounds — the
     sf0.01 graph reaches its fixpoint in 2) over the same hash-folded
@@ -3513,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_pagerank": q_pagerank,
         "q_triangles": q_triangles,
+        "q_pca": q_pca,
         "q_kcore": q_kcore,
         "q_label_prop": q_label_prop,
         "q_bfs_hops": q_bfs_hops,
@@ -3865,6 +3882,56 @@ def _pq_oracle_sql(
         FROM codes e JOIN adct t ON t.sub = e.sub AND t.cid = e.cid
         GROUP BY e.vec_id
         ORDER BY adc ASC, vec_id ASC LIMIT {top_k}"""
+    return head + "".join(its) + tail
+
+
+def _pca_oracle_sql(n_iter: int = 8, dim: int = 64) -> str:
+    """Replays operators/pca.py end-to-end: quantization, truncating
+    integer means, the centered covariance cells, the covariance
+    rescale, every power-iteration matvec + rescale round (DuckDB //
+    is the operator's tdiv), and the final projections."""
+    q = 1 << 20
+    head = f"""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        vm AS (
+          SELECT vec_id, i - 1 AS d,
+                 CAST(floor(embedding[i]::DOUBLE * {q}) AS BIGINT) AS v
+          FROM (SELECT vec_id, embedding,
+                       unnest(generate_series(1, {dim})) AS i FROM base)
+        ), mn AS (
+          SELECT d, CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                   AS m
+          FROM vm GROUP BY d
+        ), c AS MATERIALIZED (
+          SELECT vec_id, vm.d, v - m AS c FROM vm JOIN mn USING (d)
+        ), cells AS MATERIALIZED (
+          SELECT a.d AS i, b.d AS j,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS s
+          FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2
+        ), cdiv AS (
+          SELECT greatest(1, greatest(1, MAX(abs(s))) // {q}) AS d0
+          FROM cells
+        ), cn AS MATERIALIZED (
+          SELECT i, j, s // (SELECT d0 FROM cdiv) AS s FROM cells
+        ), w0 AS (
+          SELECT unnest(generate_series(0, {dim - 1})) AS d,
+                 CAST({q} AS BIGINT) AS x
+        )"""
+    its = []
+    for t in range(1, n_iter + 1):
+        its.append(f""", u{t} AS MATERIALIZED (
+          SELECT cn.i AS d, CAST(SUM(cn.s * w.x) AS BIGINT) AS u
+          FROM cn JOIN w{t - 1} w ON cn.j = w.d GROUP BY 1
+        ), ud{t} AS (
+          SELECT greatest(1, greatest(1, MAX(abs(u))) // {q}) AS du
+          FROM u{t}
+        ), w{t} AS MATERIALIZED (
+          SELECT d, u // (SELECT du FROM ud{t}) AS x FROM u{t}
+        )""")
+    tail = f"""
+        SELECT c.vec_id, CAST(SUM(c.c * w.x) AS BIGINT) AS proj
+        FROM c JOIN w{n_iter} w ON c.d = w.d
+        GROUP BY 1 ORDER BY vec_id"""
     return head + "".join(its) + tail
 
 
@@ -6200,6 +6267,7 @@ def oracle_sql() -> dict[str, str]:
         # vectors replayed through all iterations with the identical
         # quantized-L1 integer normalization.
         "q_hits": _hits_oracle_sql(n_iter=3, dir_edges_sql=_HOST_DIR_EDGES_SQL),
+        "q_pca": _pca_oracle_sql(n_iter=8, dim=64),
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
         "q_bfs_hops": _bfs_oracle_sql(n_rounds=3),
