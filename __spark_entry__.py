@@ -1755,6 +1755,29 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(e, n_neg=2, n_buckets=32)
 
 
+def q_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-SPARQL BGP compiler (plans/sparql.py): a 4-pattern
+    star+chain SELECT — page name, its review's author (a blank-node
+    hop), its rating — parsed from SPARQL text and compiled to
+    constant-pushdown scans + shared-variable joins over the
+    extracted triple table. The oracle hand-writes the equivalent
+    relational join, so parser, compiler and join semantics are all
+    under the hash."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?page ?name ?author ?rating WHERE {
+      ?page s:name ?name .
+      ?page s:review ?rev .
+      ?rev s:author ?author .
+      ?page s:ratingValue ?rating .
+    } ORDER BY ?page LIMIT 300
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
 # schema.org-subset ontology shared verbatim by q_rdfs_entail's Spark
 # side and its DuckDB mirror (axioms are public schema.org hierarchy)
 _SCHEMA_SUBCLASS = [
@@ -3580,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_twohop": q_kg_twohop,
         "q_kg_negatives": q_kg_negatives,
         "q_rdfs_entail": q_rdfs_entail,
+        "q_sparql": q_sparql,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4274,6 +4298,25 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN gmin g
         """,
         "q_rdfs_entail": _rdfs_oracle_sql(n_rounds=4),
+        # Mini-SPARQL: the compiled BGP replayed as a hand-written
+        # relational join over the materialized triples.
+        "q_sparql": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            )
+            SELECT n.s AS page, n.o AS name, a.o AS author,
+                   v.o AS rating
+            FROM t n
+            JOIN t r ON r.s = n.s
+            JOIN t a ON a.s = r.o
+            JOIN t v ON v.s = n.s
+            WHERE n.p = 'http://schema.org/name'
+              AND r.p = 'http://schema.org/review'
+              AND a.p = 'http://schema.org/author'
+              AND v.p = 'http://schema.org/ratingValue'
+            ORDER BY page LIMIT 300
+        """,
         # Compaction content certificate: the per-bucket aggregate of
         # the post-compaction table replayed from raw lineitem.
         "q_compact": """

@@ -1,0 +1,111 @@
+"""Mini-SPARQL compiler — parse/compile semantics on a hand-built
+triple table."""
+
+import pytest
+
+from serd_spark.plans.sparql import SparqlError, parse_sparql, sparql_query
+
+T = [
+    ("e:a", "rdf:type", "e:Dog"),
+    ("e:b", "rdf:type", "e:Cat"),
+    ("e:a", "e:name", "rex"),
+    ("e:b", "e:name", "tom"),
+    ("e:a", "e:likes", "e:b"),
+    ("e:b", "e:likes", "e:b"),  # self-loop for the repeated-var case
+]
+
+
+def _triples(spark):
+    rows = [
+        tuple(
+            x.replace("e:", "http://ex.org/").replace(
+                "rdf:type", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+            )
+            for x in t
+        )
+        for t in T
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_single_pattern_constant_pushdown(spark):
+    df = sparql_query(
+        _triples(spark),
+        'PREFIX e: <http://ex.org/> SELECT ?x WHERE { ?x e:name "rex" }',
+    )
+    assert [r.x for r in df.collect()] == ["http://ex.org/a"]
+
+
+def test_star_and_chain_join(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n ?m WHERE {
+      ?x e:likes ?y .
+      ?x e:name ?n .
+      ?y e:name ?m .
+    } ORDER BY ?x
+    """
+    got = [(r.x, r.n, r.m) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [
+        ("http://ex.org/a", "rex", "tom"),
+        ("http://ex.org/b", "tom", "tom"),
+    ]
+
+
+def test_a_shorthand_and_select_star(spark):
+    q = "PREFIX e: <http://ex.org/> SELECT * WHERE { ?x a e:Dog }"
+    df = sparql_query(_triples(spark), q)
+    assert df.columns == ["x"]
+    assert [r.x for r in df.collect()] == ["http://ex.org/a"]
+
+
+def test_repeated_variable_in_one_pattern(spark):
+    q = "PREFIX e: <http://ex.org/> SELECT ?x WHERE { ?x e:likes ?x }"
+    assert [r.x for r in sparql_query(_triples(spark), q).collect()] == [
+        "http://ex.org/b"
+    ]
+
+
+def test_filter_and_limit(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n WHERE { ?x e:name ?n . FILTER (?n != "tom") } LIMIT 1
+    """
+    got = sparql_query(_triples(spark), q).collect()
+    assert len(got) == 1 and got[0].n == "rex"
+
+
+def test_disconnected_patterns_cartesian(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?y WHERE { ?x a e:Dog . ?y a e:Cat }
+    """
+    got = [(r.x, r.y) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/a", "http://ex.org/b")]
+
+
+def test_parse_errors():
+    with pytest.raises(SparqlError, match="undeclared prefix"):
+        parse_sparql("SELECT ?x WHERE { ?x e:name ?n }")
+    with pytest.raises(SparqlError, match="not bound"):
+        parse_sparql("SELECT ?z WHERE { ?x <http://p> ?y }")
+    with pytest.raises(SparqlError, match="empty WHERE"):
+        parse_sparql("SELECT ?x WHERE { }")
+    with pytest.raises(SparqlError):  # '<' comparator: lexer rejects
+        parse_sparql(
+            'SELECT ?x WHERE { ?x <http://p> ?y . FILTER (?y < "3") }'
+        )
+    with pytest.raises(SparqlError, match="unsupported FILTER"):
+        parse_sparql(
+            'SELECT ?x WHERE { ?x <http://p> ?y . FILTER (?y . "3") }'
+        )
+
+
+def test_order_desc(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?n WHERE { ?x e:name ?n } ORDER BY DESC(?n)
+    """
+    assert [r.n for r in sparql_query(_triples(spark), q).collect()] == [
+        "tom", "rex",
+    ]
