@@ -1778,6 +1778,28 @@ def q_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sparql_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL compound graph patterns (plans/sparql.py): a UNION of
+    two link predicates (bag semantics), joined to the name pattern,
+    with the rating attached via OPTIONAL (left join — only ~16% of
+    pages carry a rating, the rest must surface as NULL). DISTINCT +
+    ORDER + LIMIT on top. The oracle replays it as UNION ALL +
+    LEFT JOIN, so the left-join null semantics and the bag/distinct
+    distinction are both under the hash."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT DISTINCT ?page ?link ?rating WHERE {
+      { ?page s:relatedLink ?link . } UNION { ?page s:review ?link . }
+      ?page s:name ?name .
+      OPTIONAL { ?page s:ratingValue ?rating . }
+    } ORDER BY ?page ?link LIMIT 500
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
 # schema.org-subset ontology shared verbatim by q_rdfs_entail's Spark
 # side and its DuckDB mirror (axioms are public schema.org hierarchy)
 _SCHEMA_SUBCLASS = [
@@ -3604,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_negatives": q_kg_negatives,
         "q_rdfs_entail": q_rdfs_entail,
         "q_sparql": q_sparql,
+        "q_sparql_opt": q_sparql_opt,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4316,6 +4339,29 @@ def oracle_sql() -> dict[str, str]:
               AND a.p = 'http://schema.org/author'
               AND v.p = 'http://schema.org/ratingValue'
             ORDER BY page LIMIT 300
+        """,
+        # SPARQL compound patterns: UNION ALL (bag) + LEFT JOIN
+        # (OPTIONAL) + DISTINCT, replayed relationally.
+        "q_sparql_opt": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ),
+            u AS (
+              SELECT s AS page, o AS link FROM t
+              WHERE p = 'http://schema.org/relatedLink'
+              UNION ALL
+              SELECT s AS page, o AS link FROM t
+              WHERE p = 'http://schema.org/review'
+            )
+            SELECT DISTINCT u.page AS page, u.link AS link,
+                   v.o AS rating
+            FROM u
+            JOIN t n ON n.s = u.page
+                    AND n.p = 'http://schema.org/name'
+            LEFT JOIN t v ON v.s = u.page
+                         AND v.p = 'http://schema.org/ratingValue'
+            ORDER BY page, link LIMIT 500
         """,
         # Compaction content certificate: the per-bucket aggregate of
         # the post-compaction table replayed from raw lineitem.

@@ -3,12 +3,25 @@ DataFrame plan over the (s, p, o) triple table — the query surface a
 serd user pairs with the parser (serd itself feeds SPARQL stores;
 here the store IS the Spark triple table).
 
-Supported subset (grammar below): PREFIX declarations, SELECT with an
-explicit variable list or *, a WHERE block of dot-separated triple
-patterns (terms: ?var, <iri>, prefixed:name, "literal"), FILTER
-(?v = term / ?v != term), ORDER BY, LIMIT. No OPTIONAL / UNION /
-property paths — each of those is a DataFrame outer-join / union /
-iteration the caller can compose manually.
+Supported subset (grammar below): PREFIX declarations, SELECT
+[DISTINCT] with an explicit variable list or *, a WHERE block of
+dot-separated triple patterns (terms: ?var, <iri>, prefixed:name,
+"literal"), FILTER (?v = term / ?v != term), OPTIONAL { patterns },
+{ patterns } UNION { patterns }, ORDER BY, LIMIT. No property paths
+or nested groups — those are DataFrame iterations the caller can
+compose manually.
+
+OPTIONAL compiles to a LEFT OUTER join on the shared variables and
+UNION to a bag union (unionByName) — both exact under two statically
+enforced scope rules that keep Spark's null-join semantics identical
+to SPARQL's compatible-mapping semantics: an OPTIONAL block must
+share at least one already-bound variable and may only bind new
+variables that no LATER pattern mentions (a later top-level FILTER
+on an optional variable is fine: SPARQL's unbound-comparison
+type-error→false and Spark's null-comparison→null both drop the
+row); UNION branches must bind identical variable sets. Queries
+outside these rules raise SparqlError instead of silently computing
+something subtly different.
 
 Compilation is RELATIONAL, the classic BGP→join mapping every SPARQL
 engine uses: each triple pattern becomes one scan of the triple table
@@ -49,7 +62,8 @@ _TOKEN = re.compile(
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<lit>"(?:[^"\\]|\\.)*")
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
-  | (?P<kw>PREFIX|SELECT|WHERE|FILTER|ORDER|BY|LIMIT|ASC|DESC|A\b)
+  | (?P<kw>PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION
+          |ORDER|BY|LIMIT|ASC|DESC|A\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<punct>[{}().=*]|!=|\.)
     """,
@@ -122,9 +136,76 @@ class _Parser:
         raise SparqlError(f"cannot parse term {t!r}")
 
 
+def _parse_filter(p: "_Parser") -> tuple[str, str, _Term]:
+    p.next()  # FILTER
+    p.expect("(")
+    v = p.term()
+    if v.kind != "var":
+        raise SparqlError("FILTER must start with a variable")
+    op = p.next()
+    if op not in ("=", "!="):
+        raise SparqlError(f"unsupported FILTER op {op!r}")
+    rhs = p.term()
+    p.expect(")")
+    return (v.value, op, rhs)
+
+
+def _parse_group(p: "_Parser", compound: bool) -> list[tuple]:
+    """Parse a { ... } block into a list of elements:
+    ('pat', (s,p,o)) | ('filter', (var,op,rhs)) |
+    ('optional', [elements]) | ('union', elemsA, elemsB).
+    OPTIONAL/UNION only at the top level (compound=True)."""
+    p.expect("{")
+    elems: list[tuple] = []
+    while p.peek() and p.peek() != "}":
+        nt = p.peek()
+        if nt.upper() == "FILTER":
+            elems.append(("filter", _parse_filter(p)))
+        elif nt.upper() == "OPTIONAL":
+            if not compound:
+                raise SparqlError("nested OPTIONAL/UNION is not supported")
+            p.next()
+            elems.append(("optional", _parse_group(p, compound=False)))
+        elif nt == "{":
+            if not compound:
+                raise SparqlError("nested OPTIONAL/UNION is not supported")
+            a = _parse_group(p, compound=False)
+            p.expect("UNION")
+            b = _parse_group(p, compound=False)
+            elems.append(("union", a, b))
+        else:
+            elems.append(("pat", (p.term(), p.term(), p.term())))
+        if p.peek() == ".":
+            p.next()
+    p.expect("}")
+    return elems
+
+
+def _pattern_vars(elems: list[tuple]) -> list[str]:
+    """Variables bound by patterns in ``elems`` (recursively),
+    in first-seen order. FILTER does not bind."""
+    out: list[str] = []
+
+    def walk(es):
+        for e in es:
+            if e[0] == "pat":
+                for t in e[1]:
+                    if t.kind == "var" and t.value not in out:
+                        out.append(t.value)
+            elif e[0] == "optional":
+                walk(e[1])
+            elif e[0] == "union":
+                walk(e[1])
+                walk(e[2])
+
+    walk(elems)
+    return out
+
+
 def parse_sparql(q: str) -> dict:
-    """Parse into {vars, patterns, filters, order, limit} —
-    patterns are (s, p, o) _Term triples."""
+    """Parse into {vars, distinct, elements, filters, order, limit} —
+    ``elements`` is the WHERE group (see _parse_group), ``filters``
+    the top-level FILTERs (group-scoped, applied after all joins)."""
     p = _Parser(q)
     while p.peek() and p.peek().upper() == "PREFIX":
         p.next()
@@ -138,6 +219,10 @@ def parse_sparql(q: str) -> dict:
     p.expect("SELECT")
     sel: list[str] = []
     star = False
+    distinct = False
+    if p.peek() and p.peek().upper() == "DISTINCT":
+        p.next()
+        distinct = True
     while p.peek() and p.peek().upper() != "WHERE":
         t = p.next()
         if t == "*":
@@ -147,28 +232,9 @@ def parse_sparql(q: str) -> dict:
         else:
             raise SparqlError(f"bad SELECT item {t!r}")
     p.expect("WHERE")
-    p.expect("{")
-    patterns: list[tuple[_Term, _Term, _Term]] = []
-    filters: list[tuple[str, str, _Term]] = []  # (var, op, term)
-    while p.peek() and p.peek() != "}":
-        if p.peek().upper() == "FILTER":
-            p.next()
-            p.expect("(")
-            v = p.term()
-            if v.kind != "var":
-                raise SparqlError("FILTER must start with a variable")
-            op = p.next()
-            if op not in ("=", "!="):
-                raise SparqlError(f"unsupported FILTER op {op!r}")
-            rhs = p.term()
-            p.expect(")")
-            filters.append((v.value, op, rhs))
-        else:
-            s, pr, o = p.term(), p.term(), p.term()
-            patterns.append((s, pr, o))
-        if p.peek() == ".":
-            p.next()
-    p.expect("}")
+    elements = _parse_group(p, compound=True)
+    filters = [e[1] for e in elements if e[0] == "filter"]
+    elements = [e for e in elements if e[0] != "filter"]
     order: list[tuple[str, bool]] = []
     limit: int | None = None
     while p.peek() is not None:
@@ -191,24 +257,111 @@ def parse_sparql(q: str) -> dict:
             limit = int(p.next())
         else:
             raise SparqlError(f"unexpected trailing token {t!r}")
-    if not patterns:
+    if not elements:
         raise SparqlError("empty WHERE block")
-    all_vars: list[str] = []
-    for s, pr, o in patterns:
-        for t in (s, pr, o):
-            if t.kind == "var" and t.value not in all_vars:
-                all_vars.append(t.value)
+    # scope rules that keep left-join/union compilation exact
+    bound: list[str] = []
+    opt_introduced: set[str] = set()
+    for e in elements:
+        evars = _pattern_vars([e])
+        reused = [v for v in evars if v in opt_introduced]
+        if reused:
+            raise SparqlError(
+                f"variable ?{reused[0]} bound in OPTIONAL cannot be "
+                "mentioned by a later pattern"
+            )
+        for branch in e[1:] if e[0] in ("optional", "union") else ():
+            bvars = _pattern_vars(branch)
+            for be in branch:
+                if be[0] != "filter":
+                    continue
+                fv, _, frhs = be[1]
+                used = [fv] + ([frhs.value] if frhs.kind == "var" else [])
+                for v in used:
+                    if v not in bvars:
+                        raise SparqlError(
+                            f"FILTER on ?{v} inside {e[0].upper()} "
+                            "must use a variable the block itself binds"
+                        )
+        if e[0] == "optional":
+            if not bound:
+                raise SparqlError("OPTIONAL cannot be the first pattern")
+            shared = [v for v in evars if v in bound]
+            if not shared:
+                raise SparqlError(
+                    "OPTIONAL block shares no variable with the "
+                    "preceding patterns"
+                )
+            opt_introduced.update(v for v in evars if v not in bound)
+            continue
+        if e[0] == "union" and set(_pattern_vars(e[1])) != set(
+            _pattern_vars(e[2])
+        ):
+            raise SparqlError("UNION branches must bind the same variables")
+        bound.extend(v for v in evars if v not in bound)
+    all_vars = _pattern_vars(elements)
     if star:
         sel = all_vars
     if not sel:
         raise SparqlError("SELECT list is empty")
-    for v in sel + [v for v, _, _ in filters] + [v for v, _ in order]:
+    filter_vars = [v for v, _, _ in filters] + [
+        r.value for _, _, r in filters if r.kind == "var"
+    ]
+    for v in sel + filter_vars + [v for v, _ in order]:
         if v not in all_vars:
             raise SparqlError(f"variable ?{v} not bound in WHERE")
     return {
-        "vars": sel, "patterns": patterns, "filters": filters,
-        "order": order, "limit": limit,
+        "vars": sel, "distinct": distinct, "elements": elements,
+        "filters": filters, "order": order, "limit": limit,
     }
+
+
+def _scan(triples: DataFrame, pat) -> DataFrame:
+    """One triple pattern → a scan with constants pushed down as
+    equality filters and variable positions renamed."""
+    s, pr, o = pat
+    scan = triples.select("s", "p", "o")
+    cols: dict[str, str] = {}  # var -> position column
+    for pos, t in (("s", s), ("p", pr), ("o", o)):
+        if t.kind == "const":
+            scan = scan.filter(F.col(pos) == t.value)
+        elif t.value in cols:  # repeated var inside one pattern
+            scan = scan.filter(F.col(pos) == F.col(cols[t.value]))
+        else:
+            cols[t.value] = pos
+    return scan.select(
+        *[F.col(pos).alias(var) for var, pos in cols.items()]
+    )
+
+
+def _apply_filter(plan: DataFrame, flt) -> DataFrame:
+    var, op, rhs = flt
+    rv = F.lit(rhs.value) if rhs.kind == "const" else F.col(rhs.value)
+    return plan.filter(F.col(var) == rv if op == "=" else F.col(var) != rv)
+
+
+def _compile_bgp(triples: DataFrame, elems: list[tuple]) -> DataFrame:
+    """Compile a plain pattern+filter list (an OPTIONAL body or a
+    UNION branch) into a joined plan; filters apply group-scoped,
+    after the joins."""
+    plan: DataFrame | None = None
+    for e in elems:
+        if e[0] != "pat":
+            continue
+        scan = _scan(triples, e[1])
+        if plan is None:
+            plan = scan
+        else:
+            shared = [c for c in scan.columns if c in plan.columns]
+            plan = (
+                plan.join(scan, shared) if shared else plan.crossJoin(scan)
+            )
+    if plan is None:
+        raise SparqlError("pattern group binds no triples")
+    for e in elems:
+        if e[0] == "filter":
+            plan = _apply_filter(plan, e[1])
+    return plan
 
 
 def sparql_query(triples: DataFrame, q: str) -> DataFrame:
@@ -216,19 +369,22 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
     Output columns are the SELECT variables, in order."""
     ast = parse_sparql(q)
     plan: DataFrame | None = None
-    for n, (s, pr, o) in enumerate(ast["patterns"]):
-        scan = triples.select("s", "p", "o")
-        cols: dict[str, str] = {}  # var -> position column
-        for pos, t in (("s", s), ("p", pr), ("o", o)):
-            if t.kind == "const":
-                scan = scan.filter(F.col(pos) == t.value)
-            elif t.value in cols:  # repeated var inside one pattern
-                scan = scan.filter(F.col(pos) == F.col(cols[t.value]))
-            else:
-                cols[t.value] = pos
-        scan = scan.select(
-            *[F.col(pos).alias(var) for var, pos in cols.items()]
-        )
+    for e in ast["elements"]:
+        if e[0] == "pat":
+            scan = _scan(triples, e[1])
+        elif e[0] == "union":
+            # SPARQL UNION is bag union; branches bind the same
+            # variable set (enforced at parse), so column-name union
+            # is exact
+            scan = _compile_bgp(triples, e[1]).unionByName(
+                _compile_bgp(triples, e[2])
+            )
+        else:  # optional — left-join on the shared (already-bound) vars
+            opt = _compile_bgp(triples, e[1])
+            assert plan is not None  # parse enforces a preceding pattern
+            shared = [c for c in opt.columns if c in plan.columns]
+            plan = plan.join(opt, shared, "left")
+            continue
         if plan is None:
             plan = scan
         else:
@@ -237,12 +393,11 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
                 plan.join(scan, shared) if shared else plan.crossJoin(scan)
             )
     assert plan is not None
-    for var, op, rhs in ast["filters"]:
-        rv = F.lit(rhs.value) if rhs.kind == "const" else F.col(rhs.value)
-        plan = plan.filter(
-            F.col(var) == rv if op == "=" else F.col(var) != rv
-        )
+    for flt in ast["filters"]:
+        plan = _apply_filter(plan, flt)
     plan = plan.select(*ast["vars"])
+    if ast["distinct"]:
+        plan = plan.distinct()
     if ast["order"]:
         plan = plan.orderBy(
             *[F.col(v) if asc else F.desc(v) for v, asc in ast["order"]]

@@ -101,6 +101,113 @@ def test_parse_errors():
         )
 
 
+def test_optional_left_join(spark):
+    # every ?x with a name; type only where present — e:c has a name
+    # but no type row, so ?t must come back NULL for it
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n ?t WHERE {
+      ?x e:name ?n .
+      OPTIONAL { ?x a ?t . }
+    } ORDER BY ?x
+    """
+    extra = spark.createDataFrame(
+        [("http://ex.org/c", "http://ex.org/name", "ann")],
+        "s string, p string, o string",
+    )
+    got = [
+        (r.x, r.n, r.t)
+        for r in sparql_query(_triples(spark).union(extra), q).collect()
+    ]
+    assert got == [
+        ("http://ex.org/a", "rex", "http://ex.org/Dog"),
+        ("http://ex.org/b", "tom", "http://ex.org/Cat"),
+        ("http://ex.org/c", "ann", None),
+    ]
+
+
+def test_optional_filter_on_unbound_drops_row(spark):
+    # SPARQL: FILTER on an unbound var is a type error -> false;
+    # Spark: NULL comparison -> NULL -> dropped. Must agree.
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?t WHERE {
+      ?x e:name ?n .
+      OPTIONAL { ?x a ?t . }
+      FILTER (?t != e:Cat)
+    } ORDER BY ?x
+    """
+    extra = spark.createDataFrame(
+        [("http://ex.org/c", "http://ex.org/name", "ann")],
+        "s string, p string, o string",
+    )
+    got = [
+        (r.x, r.t)
+        for r in sparql_query(_triples(spark).union(extra), q).collect()
+    ]
+    assert got == [("http://ex.org/a", "http://ex.org/Dog")]
+
+
+def test_union_bag_semantics_and_distinct(spark):
+    # e:b likes e:b and is also a Cat -> bag union keeps both rows;
+    # DISTINCT collapses them
+    q_bag = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x WHERE {
+      { ?x e:likes ?y . } UNION { ?x a ?y . }
+    } ORDER BY ?x
+    """
+    bag = [r.x for r in sparql_query(_triples(spark), q_bag).collect()]
+    assert bag == ["http://ex.org/a"] * 2 + ["http://ex.org/b"] * 2
+    q_dis = q_bag.replace("SELECT ?x", "SELECT DISTINCT ?x")
+    dis = [r.x for r in sparql_query(_triples(spark), q_dis).collect()]
+    assert dis == ["http://ex.org/a", "http://ex.org/b"]
+
+
+def test_union_joins_with_following_pattern(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n WHERE {
+      { ?x a e:Dog . } UNION { ?x a e:Cat . }
+      ?x e:name ?n .
+    } ORDER BY ?x
+    """
+    got = [(r.x, r.n) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/a", "rex"), ("http://ex.org/b", "tom")]
+
+
+def test_compound_scope_errors():
+    pre = "PREFIX e: <http://ex.org/> "
+    with pytest.raises(SparqlError, match="cannot be the first"):
+        parse_sparql(pre + "SELECT ?x WHERE { OPTIONAL { ?x a e:D . } }")
+    with pytest.raises(SparqlError, match="shares no variable"):
+        parse_sparql(
+            pre + "SELECT ?x WHERE { ?x a e:D . OPTIONAL { ?y a e:C . } }"
+        )
+    with pytest.raises(SparqlError, match="later pattern"):
+        parse_sparql(
+            pre
+            + "SELECT ?x WHERE { ?x a e:D . "
+            + "OPTIONAL { ?x e:name ?n . } ?n a e:N . }"
+        )
+    with pytest.raises(SparqlError, match="same variables"):
+        parse_sparql(
+            pre + "SELECT ?x WHERE { { ?x a e:D . } UNION { ?y a e:C . } }"
+        )
+    with pytest.raises(SparqlError, match="nested OPTIONAL"):
+        parse_sparql(
+            pre
+            + "SELECT ?x WHERE { ?x a e:D . "
+            + "OPTIONAL { OPTIONAL { ?x a ?t . } } }"
+        )
+    with pytest.raises(SparqlError, match="block itself binds"):
+        parse_sparql(
+            pre
+            + "SELECT ?x WHERE { ?x e:name ?n . "
+            + 'OPTIONAL { ?x a ?t . FILTER (?n != "x") } }'
+        )
+
+
 def test_order_desc(spark):
     q = """
     PREFIX e: <http://ex.org/>
