@@ -1800,6 +1800,35 @@ def q_sparql_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property paths (plans/sparql.py): transitive closure
+    relatedLink+ (iterated squaring, O(log d) rounds), with the
+    review author attached through a sequence path review/author
+    under OPTIONAL. The oracle replays the closure as a DuckDB
+    recursive CTE (UNION = distinct-pair semantics, exactly SPARQL's
+    OneOrMorePath) and the sequence as a two-table join, so the
+    squaring loop's fixpoint is certified against an independent
+    recursive evaluation."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?x ?y ?auth WHERE {
+      ?x s:relatedLink+ ?y .
+      OPTIONAL { ?x s:review/s:author ?auth . }
+    } ORDER BY ?x ?y LIMIT 600
+    """
+    out = sparql_query(_kg_triples(spark, sf_dir), q)
+    # '' for no-author: 'auth' sorts first in the driver's
+    # column-name-ordered row compare, so a NULL there would hit the
+    # comparer's mixed-type row sort (q_sparql_opt keeps raw NULLs —
+    # its nullable column sorts last behind a unique key)
+    return out.select(
+        "x", "y", F.coalesce(F.col("auth"), F.lit("")).alias("auth")
+    )
+
+
 # schema.org-subset ontology shared verbatim by q_rdfs_entail's Spark
 # side and its DuckDB mirror (axioms are public schema.org hierarchy)
 _SCHEMA_SUBCLASS = [
@@ -3627,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rdfs_entail": q_rdfs_entail,
         "q_sparql": q_sparql,
         "q_sparql_opt": q_sparql_opt,
+        "q_sparql_path": q_sparql_path,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4362,6 +4392,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t v ON v.s = u.page
                          AND v.p = 'http://schema.org/ratingValue'
             ORDER BY page, link LIMIT 500
+        """,
+        # Property paths: closure as a recursive CTE (UNION =
+        # distinct pairs = SPARQL OneOrMorePath), sequence as a join.
+        "q_sparql_path": f"""
+            WITH RECURSIVE t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ),
+            e AS (
+              SELECT s, o FROM t
+              WHERE p = 'http://schema.org/relatedLink'
+            ),
+            c AS (
+              SELECT s AS x, o AS y FROM e
+              UNION
+              SELECT c.x, e.o FROM c JOIN e ON c.y = e.s
+            ),
+            ra AS (
+              SELECT r.s AS x, a.o AS auth
+              FROM t r JOIN t a ON a.s = r.o
+                   AND a.p = 'http://schema.org/author'
+              WHERE r.p = 'http://schema.org/review'
+            )
+            SELECT c.x AS x, c.y AS y,
+                   COALESCE(ra.auth, '') AS auth
+            FROM c LEFT JOIN ra ON ra.x = c.x
+            ORDER BY x, y LIMIT 600
         """,
         # Compaction content certificate: the per-bucket aggregate of
         # the post-compaction table replayed from raw lineitem.

@@ -7,9 +7,14 @@ Supported subset (grammar below): PREFIX declarations, SELECT
 [DISTINCT] with an explicit variable list or *, a WHERE block of
 dot-separated triple patterns (terms: ?var, <iri>, prefixed:name,
 "literal"), FILTER (?v = term / ?v != term), OPTIONAL { patterns },
-{ patterns } UNION { patterns }, ORDER BY, LIMIT. No property paths
-or nested groups — those are DataFrame iterations the caller can
-compose manually.
+{ patterns } UNION { patterns }, ORDER BY, LIMIT, and property paths
+in the predicate position: sequence (p1/p2 → join chain),
+alternation (p1|p2 → bag union), inverse (^p → column swap),
+parenthesized grouping, and OneOrMorePath (p+ → transitive closure
+by iterated squaring, O(log diameter) shuffle rounds — see
+_compile_path). ZeroOrMorePath (p*) is excluded: its zero-length
+component is the identity relation over ALL graph nodes, which has
+no bounded relational form here. No nested groups.
 
 OPTIONAL compiles to a LEFT OUTER join on the shared variables and
 UNION to a bag union (unionByName) — both exact under two statically
@@ -65,7 +70,7 @@ _TOKEN = re.compile(
   | (?P<kw>PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION
           |ORDER|BY|LIMIT|ASC|DESC|A\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<punct>[{}().=*]|!=|\.)
+  | (?P<punct>!=|[{}().=*/|^+])
     """,
     re.VERBOSE | re.IGNORECASE,
 )
@@ -110,6 +115,57 @@ class _Parser:
         t = self.next()
         if t.upper() != want.upper():
             raise SparqlError(f"expected {want!r}, got {t!r}")
+
+    def pred(self):
+        """Predicate position: a plain ?var, or a property path."""
+        nt = self.peek()
+        if nt is not None and nt.startswith("?"):
+            return self.term()
+        return self.path()
+
+    def path(self):
+        parts = [self._path_seq()]
+        while self.peek() == "|":
+            self.next()
+            parts.append(self._path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def _path_seq(self):
+        parts = [self._path_unary()]
+        while self.peek() == "/":
+            self.next()
+            parts.append(self._path_unary())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def _path_unary(self):
+        if self.peek() == "^":
+            self.next()
+            return ("inv", self._path_unary())
+        node = self._path_primary()
+        while self.peek() == "+":
+            self.next()
+            node = ("plus", node)
+        return node
+
+    def _path_primary(self):
+        if self.peek() == "(":
+            self.next()
+            inner = self.path()
+            self.expect(")")
+            return inner
+        t = self.next()
+        if t.startswith("<") and t.endswith(">"):
+            return ("pred", t[1:-1])
+        if t.lower() == "a":
+            return (
+                "pred", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+            )
+        if ":" in t and not t.startswith(("?", '"')):
+            pfx, _, local = t.partition(":")
+            if pfx not in self.prefixes:
+                raise SparqlError(f"undeclared prefix {pfx!r}")
+            return ("pred", self.prefixes[pfx] + local)
+        raise SparqlError(f"cannot parse path element {t!r}")
 
     def term(self) -> _Term:
         t = self.next()
@@ -174,7 +230,7 @@ def _parse_group(p: "_Parser", compound: bool) -> list[tuple]:
             b = _parse_group(p, compound=False)
             elems.append(("union", a, b))
         else:
-            elems.append(("pat", (p.term(), p.term(), p.term())))
+            elems.append(("pat", (p.term(), p.pred(), p.term())))
         if p.peek() == ".":
             p.next()
     p.expect("}")
@@ -190,7 +246,11 @@ def _pattern_vars(elems: list[tuple]) -> list[str]:
         for e in es:
             if e[0] == "pat":
                 for t in e[1]:
-                    if t.kind == "var" and t.value not in out:
+                    if (
+                        isinstance(t, _Term)
+                        and t.kind == "var"
+                        and t.value not in out
+                    ):
                         out.append(t.value)
             elif e[0] == "optional":
                 walk(e[1])
@@ -316,13 +376,83 @@ def parse_sparql(q: str) -> dict:
     }
 
 
+_PATH_MAX_ROUNDS = 20  # squaring rounds: covers path depth 2^20
+
+
+def _compile_path(triples: DataFrame, ast) -> DataFrame:
+    """A property-path expression → its binary relation as an (s, o)
+    DataFrame. seq is a join chain, alt a bag union, inv a column
+    swap; '+' (OneOrMorePath — DISTINCT node pairs per SPARQL 1.1) is
+    transitive closure by ITERATED SQUARING: round k covers paths up
+    to length 2^k, so like the pointer-jumping CC in
+    operators/linking.py it needs O(log diameter) shuffle rounds, not
+    O(diameter) — the scale-viable closure shape. Each round is
+    localCheckpointed to cut lineage, mirroring operators/graph.py."""
+    kind = ast[0]
+    if kind == "pred":
+        return triples.filter(F.col("p") == ast[1]).select("s", "o")
+    if kind == "inv":
+        r = _compile_path(triples, ast[1])
+        return r.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if kind == "seq":
+        out = _compile_path(triples, ast[1][0])
+        for part in ast[1][1:]:
+            nxt = _compile_path(triples, part)
+            out = (
+                out.alias("l")
+                .join(nxt.alias("r"), F.col("l.o") == F.col("r.s"))
+                .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
+            )
+        return out
+    if kind == "alt":
+        out = _compile_path(triples, ast[1][0])
+        for part in ast[1][1:]:
+            out = out.unionByName(_compile_path(triples, part))
+        return out
+    assert kind == "plus"
+    paths = _compile_path(triples, ast[1]).distinct().localCheckpoint(
+        eager=False
+    )
+    prev = paths.count()
+    for _ in range(_PATH_MAX_ROUNDS):
+        doubled = (
+            paths.alias("l")
+            .join(paths.alias("r"), F.col("l.o") == F.col("r.s"))
+            .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
+        )
+        paths = (
+            paths.unionByName(doubled)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n = paths.count()
+        if n == prev:
+            return paths
+        prev = n
+    raise SparqlError(
+        f"property-path closure did not converge within depth "
+        f"2^{_PATH_MAX_ROUNDS}"
+    )
+
+
 def _scan(triples: DataFrame, pat) -> DataFrame:
     """One triple pattern → a scan with constants pushed down as
-    equality filters and variable positions renamed."""
+    equality filters and variable positions renamed. A property-path
+    predicate first compiles to its (s, o) relation, then the
+    subject/object terms apply identically."""
     s, pr, o = pat
-    scan = triples.select("s", "p", "o")
+    if isinstance(pr, _Term) or pr[0] == "pred":
+        scan = triples.select("s", "p", "o")
+        positions = (
+            ("s", s),
+            ("p", pr if isinstance(pr, _Term) else _Term("const", pr[1])),
+            ("o", o),
+        )
+    else:
+        scan = _compile_path(triples, pr)
+        positions = (("s", s), ("o", o))
     cols: dict[str, str] = {}  # var -> position column
-    for pos, t in (("s", s), ("p", pr), ("o", o)):
+    for pos, t in positions:
         if t.kind == "const":
             scan = scan.filter(F.col(pos) == t.value)
         elif t.value in cols:  # repeated var inside one pattern

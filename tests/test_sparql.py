@@ -208,6 +208,86 @@ def test_compound_scope_errors():
         )
 
 
+def test_path_sequence_and_inverse(spark):
+    # ?x e:likes/e:name ?m — who ?x likes, by name; ^e:likes inverts
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?m WHERE { ?x e:likes/e:name ?m . } ORDER BY ?x
+    """
+    got = [(r.x, r.m) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/a", "tom"), ("http://ex.org/b", "tom")]
+    # ?s ^p ?o  ==  ?o p ?s: "e:a ^e:likes ?y" asks who likes a
+    q_inv = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?y WHERE { e:a ^e:likes ?y . }
+    """
+    assert sparql_query(_triples(spark), q_inv).count() == 0  # no one likes a
+    q_inv2 = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?y WHERE { e:b ^e:likes ?y . } ORDER BY ?y
+    """
+    assert [r.y for r in sparql_query(_triples(spark), q_inv2).collect()] == [
+        "http://ex.org/a", "http://ex.org/b",
+    ]
+
+
+def test_path_alternation_bag(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?v WHERE { ?x e:name|e:likes ?v . } ORDER BY ?x ?v
+    """
+    got = [(r.x, r.v) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [
+        ("http://ex.org/a", "http://ex.org/b"),
+        ("http://ex.org/a", "rex"),
+        ("http://ex.org/b", "http://ex.org/b"),
+        ("http://ex.org/b", "tom"),
+    ]
+
+
+def test_path_plus_deep_chain(spark):
+    # a 100-node chain: closure from node 0 must reach all 100
+    # successors in O(log d) squaring rounds, not 100 joins
+    chain = [
+        (f"http://c.org/{i}", "http://c.org/next", f"http://c.org/{i+1}")
+        for i in range(100)
+    ]
+    t = spark.createDataFrame(chain, "s string, p string, o string")
+    q = """
+    PREFIX c: <http://c.org/>
+    SELECT ?y WHERE { c:0 c:next+ ?y . }
+    """
+    got = sorted(
+        int(r.y.rsplit("/", 1)[1]) for r in sparql_query(t, q).collect()
+    )
+    assert got == list(range(1, 101))
+
+
+def test_path_plus_cycle_terminates(spark):
+    # closure over a 3-cycle: every node reaches every node (incl.
+    # itself) and the fixpoint detection stops the squaring loop
+    cyc = [
+        ("http://c.org/a", "http://c.org/n", "http://c.org/b"),
+        ("http://c.org/b", "http://c.org/n", "http://c.org/c"),
+        ("http://c.org/c", "http://c.org/n", "http://c.org/a"),
+    ]
+    t = spark.createDataFrame(cyc, "s string, p string, o string")
+    q = "PREFIX c: <http://c.org/> SELECT ?x ?y WHERE { ?x c:n+ ?y . }"
+    assert sparql_query(t, q).count() == 9
+
+
+def test_path_grouped_alt_then_seq(spark):
+    # (e:likes|e:name) composed with closure grouping parses; the
+    # seq of an alt: ?x (e:likes/e:name)|e:name ?v
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT DISTINCT ?v WHERE { e:a (e:likes/e:name)|e:name ?v . }
+    ORDER BY ?v
+    """
+    got = [r.v for r in sparql_query(_triples(spark), q).collect()]
+    assert got == ["rex", "tom"]
+
+
 def test_order_desc(spark):
     q = """
     PREFIX e: <http://ex.org/>
