@@ -4,7 +4,12 @@ serd user pairs with the parser (serd itself feeds SPARQL stores;
 here the store IS the Spark triple table).
 
 Supported subset (grammar below): PREFIX declarations, SELECT
-[DISTINCT] with an explicit variable list or *, a WHERE block of
+[DISTINCT] with an explicit variable list, *, or aggregate items
+(COUNT/COUNT DISTINCT/COUNT(*)/MIN/MAX ... AS ?alias) paired with
+GROUP BY (→ groupBy().agg()), CONSTRUCT { template } WHERE (template
+instantiation per solution, distinct-unioned — an RDF graph is a set
+— yielding a triple DataFrame the Turtle/NT writers can serialize
+directly), a WHERE block of
 dot-separated triple patterns (terms: ?var, <iri>, prefixed:name,
 "literal"), FILTER (?v = term / ?v != term), OPTIONAL { patterns },
 { patterns } UNION { patterns }, ORDER BY, LIMIT, and property paths
@@ -67,9 +72,10 @@ _TOKEN = re.compile(
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<lit>"(?:[^"\\]|\\.)*")
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
-  | (?P<kw>PREFIX|SELECT|DISTINCT|WHERE|FILTER|OPTIONAL|UNION
-          |ORDER|BY|LIMIT|ASC|DESC|A\b)
+  | (?P<kw>(?:PREFIX|SELECT|CONSTRUCT|DISTINCT|WHERE|FILTER|OPTIONAL
+          |UNION|GROUP|ORDER|BY|LIMIT|ASC|DESC|COUNT|MIN|MAX|AS|A)\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<punct>!=|[{}().=*/|^+])
     """,
     re.VERBOSE | re.IGNORECASE,
@@ -276,30 +282,78 @@ def parse_sparql(q: str) -> dict:
         if not (iri.startswith("<") and iri.endswith(">")):
             raise SparqlError("prefix must map to an <iri>")
         p.prefixes[pname[:-1]] = iri[1:-1]
-    p.expect("SELECT")
+    form = p.next().upper()
     sel: list[str] = []
     star = False
     distinct = False
-    if p.peek() and p.peek().upper() == "DISTINCT":
-        p.next()
-        distinct = True
-    while p.peek() and p.peek().upper() != "WHERE":
-        t = p.next()
-        if t == "*":
-            star = True
-        elif t.startswith("?"):
-            sel.append(t[1:])
-        else:
-            raise SparqlError(f"bad SELECT item {t!r}")
+    aggs: list[tuple[str, bool, str | None, str]] = []
+    template: list[tuple[_Term, _Term, _Term]] = []
+    if form == "CONSTRUCT":
+        p.expect("{")
+        while p.peek() and p.peek() != "}":
+            template.append((p.term(), p.term(), p.term()))
+            if p.peek() == ".":
+                p.next()
+        p.expect("}")
+        if not template:
+            raise SparqlError("empty CONSTRUCT template")
+    elif form == "SELECT":
+        if p.peek() and p.peek().upper() == "DISTINCT":
+            p.next()
+            distinct = True
+        while p.peek() and p.peek().upper() != "WHERE":
+            t = p.next()
+            if t == "*":
+                star = True
+            elif t.startswith("?"):
+                sel.append(t[1:])
+            elif t == "(":
+                # ( COUNT|MIN|MAX ( [DISTINCT] ?v | * ) AS ?alias )
+                fn = p.next().upper()
+                if fn not in ("COUNT", "MIN", "MAX"):
+                    raise SparqlError(f"unsupported aggregate {fn!r}")
+                p.expect("(")
+                agg_distinct = False
+                if p.peek() and p.peek().upper() == "DISTINCT":
+                    p.next()
+                    agg_distinct = True
+                at = p.next()
+                if at == "*":
+                    if fn != "COUNT" or agg_distinct:
+                        raise SparqlError("only COUNT(*) may use *")
+                    arg = None
+                elif at.startswith("?"):
+                    arg = at[1:]
+                else:
+                    raise SparqlError(f"bad aggregate argument {at!r}")
+                p.expect(")")
+                p.expect("AS")
+                alias = p.next()
+                if not alias.startswith("?"):
+                    raise SparqlError("aggregate alias must be a ?var")
+                p.expect(")")
+                aggs.append((fn, agg_distinct, arg, alias[1:]))
+                sel.append(alias[1:])
+            else:
+                raise SparqlError(f"bad SELECT item {t!r}")
+    else:
+        raise SparqlError(f"expected SELECT or CONSTRUCT, got {form!r}")
     p.expect("WHERE")
     elements = _parse_group(p, compound=True)
     filters = [e[1] for e in elements if e[0] == "filter"]
     elements = [e for e in elements if e[0] != "filter"]
     order: list[tuple[str, bool]] = []
     limit: int | None = None
+    group_by: list[str] = []
     while p.peek() is not None:
         t = p.next().upper()
-        if t == "ORDER":
+        if t == "GROUP":
+            p.expect("BY")
+            while p.peek() and p.peek().startswith("?"):
+                group_by.append(p.term().value)
+            if not group_by:
+                raise SparqlError("empty GROUP BY")
+        elif t == "ORDER":
             p.expect("BY")
             while p.peek() and p.peek().upper() not in ("LIMIT",):
                 nt = p.peek()
@@ -360,19 +414,50 @@ def parse_sparql(q: str) -> dict:
             raise SparqlError("UNION branches must bind the same variables")
         bound.extend(v for v in evars if v not in bound)
     all_vars = _pattern_vars(elements)
+    aliases = [a for _, _, _, a in aggs]
+    if form == "CONSTRUCT":
+        if aggs or group_by or star or distinct:
+            raise SparqlError("CONSTRUCT takes a plain WHERE block")
+        for tri in template:
+            for t in tri:
+                if t.kind == "var" and t.value not in all_vars:
+                    raise SparqlError(
+                        f"template variable ?{t.value} not bound in WHERE"
+                    )
     if star:
+        if aggs:
+            raise SparqlError("SELECT * cannot mix with aggregates")
         sel = all_vars
-    if not sel:
+    if form == "SELECT" and not sel:
         raise SparqlError("SELECT list is empty")
+    if aggs:
+        for v in sel:
+            if v not in aliases and v not in group_by:
+                raise SparqlError(
+                    f"?{v} must appear in GROUP BY or an aggregate"
+                )
+        for fn, _, arg, alias in aggs:
+            if arg is not None and arg not in all_vars:
+                raise SparqlError(f"aggregate over unbound ?{arg}")
+            if alias in all_vars or alias in group_by:
+                raise SparqlError(f"aggregate alias ?{alias} shadows "
+                                  "a bound variable")
+    elif group_by:
+        raise SparqlError("GROUP BY requires an aggregate in SELECT")
     filter_vars = [v for v, _, _ in filters] + [
         r.value for _, _, r in filters if r.kind == "var"
     ]
-    for v in sel + filter_vars + [v for v, _ in order]:
+    for v in group_by + filter_vars:
         if v not in all_vars:
             raise SparqlError(f"variable ?{v} not bound in WHERE")
+    for v in sel + [v for v, _ in order]:
+        if v not in all_vars and v not in aliases:
+            raise SparqlError(f"variable ?{v} not bound in WHERE")
     return {
+        "form": "construct" if form == "CONSTRUCT" else "select",
         "vars": sel, "distinct": distinct, "elements": elements,
         "filters": filters, "order": order, "limit": limit,
+        "aggs": aggs, "group_by": group_by, "template": template,
     }
 
 
@@ -525,6 +610,45 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
     assert plan is not None
     for flt in ast["filters"]:
         plan = _apply_filter(plan, flt)
+    if ast["form"] == "construct":
+        # instantiate each template triple over the solutions; an RDF
+        # graph is a SET of triples, so the union is distinct
+        parts = []
+        for s, pr, o in ast["template"]:
+            parts.append(
+                plan.select(
+                    *[
+                        (
+                            F.col(t.value) if t.kind == "var"
+                            else F.lit(t.value)
+                        ).alias(name)
+                        for name, t in (("s", s), ("p", pr), ("o", o))
+                    ]
+                )
+            )
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        out = out.distinct()
+        if ast["limit"] is not None:
+            out = out.limit(ast["limit"])
+        return out
+    if ast["aggs"]:
+        agg_fns = {
+            "COUNT": (F.count, F.count_distinct),
+            "MIN": (F.min, F.min),
+            "MAX": (F.max, F.max),
+        }
+        exprs = []
+        for fn, dis, arg, alias in ast["aggs"]:
+            if arg is None:  # COUNT(*)
+                exprs.append(F.count(F.lit(1)).alias(alias))
+            else:
+                exprs.append(agg_fns[fn][int(dis)](arg).alias(alias))
+        plan = (
+            plan.groupBy(*ast["group_by"]) if ast["group_by"]
+            else plan.groupBy()
+        ).agg(*exprs)
     plan = plan.select(*ast["vars"])
     if ast["distinct"]:
         plan = plan.distinct()

@@ -288,6 +288,94 @@ def test_path_grouped_alt_then_seq(spark):
     assert got == ["rex", "tom"]
 
 
+def test_group_by_count(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?y (COUNT(?x) AS ?n) WHERE { ?x e:likes ?y . }
+    GROUP BY ?y ORDER BY ?y
+    """
+    got = [(r.y, r.n) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/b", 2)]
+
+
+def test_global_aggregate_count_star_min_max(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT (COUNT(*) AS ?n) (MIN(?m) AS ?lo) (MAX(?m) AS ?hi)
+    WHERE { ?x e:name ?m . }
+    """
+    r = sparql_query(_triples(spark), q).collect()[0]
+    assert (r.n, r.lo, r.hi) == (2, "rex", "tom")
+
+
+def test_count_distinct(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT (COUNT(DISTINCT ?y) AS ?n) WHERE { ?x e:likes ?y . }
+    """
+    assert sparql_query(_triples(spark), q).collect()[0].n == 1
+
+
+def test_aggregate_scope_errors():
+    pre = "PREFIX e: <http://ex.org/> "
+    with pytest.raises(SparqlError, match="GROUP BY or an aggregate"):
+        parse_sparql(
+            pre + "SELECT ?x (COUNT(*) AS ?n) WHERE { ?x a e:D . }"
+        )
+    with pytest.raises(SparqlError, match="requires an aggregate"):
+        parse_sparql(
+            pre + "SELECT ?x WHERE { ?x a e:D . } GROUP BY ?x"
+        )
+    with pytest.raises(SparqlError, match="shadows"):
+        parse_sparql(
+            pre + "SELECT (COUNT(?x) AS ?x) WHERE { ?x a e:D . }"
+        )
+    with pytest.raises(SparqlError, match="unsupported aggregate"):
+        parse_sparql(
+            pre + "SELECT (SUM(?x) AS ?s) WHERE { ?x a e:D . }"
+        )
+
+
+def test_construct_emits_triple_set(spark):
+    # rewrite likes-edges as schema.org knows + a constant type triple;
+    # distinct collapses the duplicate type row for e:a/e:b subjects
+    q = """
+    PREFIX e: <http://ex.org/>
+    CONSTRUCT {
+      ?x <http://schema.org/knows> ?y .
+      ?x a <http://schema.org/Person> .
+    } WHERE { ?x e:likes ?y . }
+    """
+    out = sparql_query(_triples(spark), q)
+    assert out.columns == ["s", "p", "o"]
+    rows = {(r.s, r.p, r.o) for r in out.collect()}
+    assert rows == {
+        ("http://ex.org/a", "http://schema.org/knows", "http://ex.org/b"),
+        ("http://ex.org/b", "http://schema.org/knows", "http://ex.org/b"),
+        (
+            "http://ex.org/a",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://schema.org/Person",
+        ),
+        (
+            "http://ex.org/b",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://schema.org/Person",
+        ),
+    }
+    assert out.count() == 4  # the distinct graph, not a 2x2 bag
+
+
+def test_construct_errors():
+    pre = "PREFIX e: <http://ex.org/> "
+    with pytest.raises(SparqlError, match="template variable"):
+        parse_sparql(
+            pre + "CONSTRUCT { ?z a e:T . } WHERE { ?x a e:D . }"
+        )
+    with pytest.raises(SparqlError, match="empty CONSTRUCT"):
+        parse_sparql(pre + "CONSTRUCT { } WHERE { ?x a e:D . }")
+
+
 def test_order_desc(spark):
     q = """
     PREFIX e: <http://ex.org/>
