@@ -1829,6 +1829,45 @@ def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates (plans/sparql.py): GROUP BY predicate with
+    COUNT(*), COUNT(DISTINCT subject), and MIN/MAX object — parsed
+    from SPARQL text and compiled to groupBy().agg(). The oracle
+    replays the same aggregate in DuckDB, so aggregate scoping, the
+    exact distinct count, and string-ordered MIN/MAX (both engines
+    memcmp UTF-8 bytes) all sit under the hash."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?subj) AS ?n_subj)
+           (MIN(?o) AS ?lo) (MAX(?o) AS ?hi)
+    WHERE { ?subj ?p ?o . } GROUP BY ?p ORDER BY ?p
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (plans/sparql.py): rewrite review→author
+    chains as direct hasAuthor edges plus one type triple per author.
+    CONSTRUCT instantiates each template triple per solution and
+    distinct-unions them (an RDF graph is a SET — the type triple
+    would otherwise appear once per review), yielding a triple
+    DataFrame the NT/Turtle writers can serialize directly. Oracle:
+    the same two projections UNION'd (distinct) in DuckDB."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    CONSTRUCT {
+      ?page <http://ex.org/kg/hasAuthor> ?auth .
+      ?auth a <http://ex.org/kg/Author> .
+    } WHERE { ?page s:review ?rev . ?rev s:author ?auth . }
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
 # schema.org-subset ontology shared verbatim by q_rdfs_entail's Spark
 # side and its DuckDB mirror (axioms are public schema.org hierarchy)
 _SCHEMA_SUBCLASS = [
@@ -3657,6 +3696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql": q_sparql,
         "q_sparql_opt": q_sparql_opt,
         "q_sparql_path": q_sparql_path,
+        "q_sparql_agg": q_sparql_agg,
+        "q_sparql_construct": q_sparql_construct,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4419,6 +4460,46 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ra.auth, '') AS auth
             FROM c LEFT JOIN ra ON ra.x = c.x
             ORDER BY x, y LIMIT 600
+        """,
+        # SPARQL aggregates: the compiled groupBy().agg() replayed as
+        # a plain DuckDB aggregate (COUNT is BIGINT on both sides;
+        # MIN/MAX on strings memcmp UTF-8 bytes on both engines).
+        "q_sparql_agg": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            )
+            SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subj,
+                   MIN(o) AS lo, MAX(o) AS hi
+            FROM t GROUP BY p ORDER BY p
+        """,
+        # SPARQL CONSTRUCT: template instantiation replayed as two
+        # projections UNION'd with set semantics (an RDF graph is a
+        # set of triples).
+        "q_sparql_construct": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ),
+            ra AS (
+              SELECT r.s AS page, a.o AS auth
+              FROM t r JOIN t a ON a.s = r.o
+                   AND a.p = 'http://schema.org/author'
+              WHERE r.p = 'http://schema.org/review'
+            )
+            SELECT DISTINCT s, p, o FROM (
+              SELECT page AS s,
+                     'http://ex.org/kg/hasAuthor' AS p,
+                     auth AS o
+              FROM ra
+              UNION ALL
+              SELECT auth AS s,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS p,
+                     'http://ex.org/kg/Author' AS o
+              FROM ra
+            )
         """,
         # Compaction content certificate: the per-bucket aggregate of
         # the post-compaction table replayed from raw lineitem.
