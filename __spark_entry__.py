@@ -1868,6 +1868,98 @@ def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs canonicalization (operators/rdfs.py) as a
+    perturb-then-restore certificate: a deterministic md5-prefix rule
+    aliases ~1/3 of the graph's IRIs (a ~1/6 subset gets a TWO-hop
+    alias chain, so the component closure — not just single edges —
+    is exercised), every data triple is rewritten onto the aliases,
+    and the matching owl:sameAs chains are unioned in.
+    sameas_canonicalize must collapse each component to its
+    min-string-id member — the original IRI, a strict prefix of its
+    aliases — and drop the sameAs statements, restoring the original
+    canonical graph. Output: per-predicate counts, distinct subjects,
+    and an md5-derived integer content pin over the restored
+    (s, p, o) set. The oracle replays perturbation, closure
+    (recursive CTE min-label, the kg_linking idiom) and rewrite
+    independently in SQL. 100 TB shape: declared identities are
+    structured-data-sized, so components take the CC hybrid and the
+    rewrite is two broadcast joins — the corpus never shuffles until
+    the graph-projection distinct."""
+    from serd_spark.operators.rdfs import OWL_SAMEAS, sameas_canonicalize
+
+    _materialize_triples(spark, sf_dir)
+    t = _kg_triples(spark, sf_dir)
+
+    def sel(col, cut):  # md5-hex prefix rule, byte-identical in DuckDB
+        return F.substring(F.md5(col), 1, 4) < cut
+
+    def aliased(col, kind):
+        c = F.col(col)
+        return (
+            F.when((F.col(kind) == 0) & sel(c, "2aaa"),
+                   F.concat(c, F.lit("#sa2")))
+            .when((F.col(kind) == 0) & sel(c, "5555"),
+                  F.concat(c, F.lit("#sa1")))
+            .otherwise(c)
+        )
+
+    data = t.withColumn("s", aliased("s", "s_kind")).withColumn(
+        "o", aliased("o", "o_kind")
+    )
+    nodes = (
+        t.filter(F.col("s_kind") == 0).select(F.col("s").alias("x"))
+        .unionByName(
+            t.filter(F.col("o_kind") == 0).select(F.col("o").alias("x"))
+        )
+        .filter(sel(F.col("x"), "5555"))
+        .distinct()
+    )
+
+    def edge_rows(src, dst):
+        return nodes.filter(
+            F.lit(True) if src == "#sa1" else sel(F.col("x"), "2aaa")
+        ).select(
+            F.lit("synthetic:sameas").alias("url"),
+            F.lit(0).alias("island"),
+            F.lit(0).alias("stmt_ord"),
+            F.lit("x").alias("syntax"),
+            F.lit("").alias("g"),
+            F.concat(F.col("x"), F.lit(src)).alias("s"),
+            F.lit(0).cast("tinyint").alias("s_kind"),
+            F.lit(OWL_SAMEAS).alias("p"),
+            (
+                F.concat(F.col("x"), F.lit(dst)) if dst else F.col("x")
+            ).alias("o"),
+            F.lit(0).cast("tinyint").alias("o_kind"),
+            F.lit("").alias("o_dt"),
+            F.lit("").alias("o_lang"),
+        )
+
+    perturbed = (
+        data.select(
+            "url", "island", "stmt_ord", "syntax", "g", "s", "s_kind",
+            "p", "o", "o_kind", "o_dt", "o_lang"
+        )
+        .unionByName(edge_rows("#sa1", None))
+        .unionByName(edge_rows("#sa2", "#sa1"))
+    )
+    graph, _ = sameas_canonicalize(perturbed, project_graph=True)
+    pin = F.conv(
+        F.substring(F.md5(F.concat_ws("\u0001", "s", "p", "o")), 1, 10),
+        16, 10,
+    ).cast("long")
+    return (
+        graph.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("s").alias("n_subj"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("p")
+    )
+
+
 # schema.org-subset ontology shared verbatim by q_rdfs_entail's Spark
 # side and its DuckDB mirror (axioms are public schema.org hierarchy)
 _SCHEMA_SUBCLASS = [
@@ -3698,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_path": q_sparql_path,
         "q_sparql_agg": q_sparql_agg,
         "q_sparql_construct": q_sparql_construct,
+        "q_sameas": q_sameas,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4500,6 +4593,68 @@ def oracle_sql() -> dict[str, str]:
                      'http://ex.org/kg/Author' AS o
               FROM ra
             )
+        """,
+        # owl:sameAs canonicalization: perturbation (md5-prefix alias
+        # chains), component closure (recursive-CTE min label — the
+        # kg_linking idiom) and the kind-guarded rewrite all replayed
+        # independently; restoring the original graph is the operator
+        # contract, certified by counts + the md5-derived content pin.
+        "q_sameas": f"""
+            WITH RECURSIVE t AS (
+              SELECT * FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), d AS (
+              SELECT g,
+                CASE WHEN s_kind = 0 AND substr(md5(s),1,4) < '2aaa'
+                       THEN s || '#sa2'
+                     WHEN s_kind = 0 AND substr(md5(s),1,4) < '5555'
+                       THEN s || '#sa1'
+                     ELSE s END AS s,
+                s_kind, p,
+                CASE WHEN o_kind = 0 AND substr(md5(o),1,4) < '2aaa'
+                       THEN o || '#sa2'
+                     WHEN o_kind = 0 AND substr(md5(o),1,4) < '5555'
+                       THEN o || '#sa1'
+                     ELSE o END AS o,
+                o_kind, o_dt, o_lang
+              FROM t
+            ), nodes AS (
+              SELECT DISTINCT x FROM (
+                SELECT s AS x FROM t WHERE s_kind = 0
+                UNION
+                SELECT o AS x FROM t WHERE o_kind = 0
+              ) WHERE substr(md5(x),1,4) < '5555'
+            ), sa AS (
+              SELECT x || '#sa1' AS a, x AS b FROM nodes
+              UNION ALL
+              SELECT x || '#sa2' AS a, x || '#sa1' AS b FROM nodes
+              WHERE substr(md5(x),1,4) < '2aaa'
+            ), edges AS (
+              SELECT a, b FROM sa UNION SELECT b, a FROM sa
+            ), reach(entity, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e
+              JOIN reach ON reach.entity = e.b
+            ), labels AS (
+              SELECT entity, MIN(r) AS canon FROM reach GROUP BY entity
+            ), rew AS (
+              SELECT DISTINCT d.g,
+                CASE WHEN d.s_kind = 0 THEN COALESCE(ls.canon, d.s)
+                     ELSE d.s END AS s,
+                d.s_kind, d.p,
+                CASE WHEN d.o_kind = 0 THEN COALESCE(lo.canon, d.o)
+                     ELSE d.o END AS o,
+                d.o_kind, d.o_dt, d.o_lang
+              FROM d
+              LEFT JOIN labels ls ON ls.entity = d.s
+              LEFT JOIN labels lo ON lo.entity = d.o
+            )
+            SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subj,
+                   CAST(SUM(CAST('0x' || substr(md5(s || chr(1) || p || chr(1) || o), 1, 10)
+                                 AS BIGINT)) AS BIGINT) AS pin
+            FROM rew GROUP BY p ORDER BY p
         """,
         # Compaction content certificate: the per-bucket aggregate of
         # the post-compaction table replayed from raw lineitem.

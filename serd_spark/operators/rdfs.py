@@ -120,3 +120,59 @@ def rdfs_entail(
         "cls",
         F.coalesce(F.col("asserted"), F.lit(0)).cast("int").alias("asserted"),
     )
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def sameas_canonicalize(
+    triples: DataFrame,
+    driver_threshold: int = 2_000_000,
+    project_graph: bool = False,
+):
+    """owl:sameAs canonicalization — the DECLARED-identity complement
+    to minhash entity linking (linking.py INFERS identity from surface
+    similarity; sameAs ASSERTS it in the data — the one OWL rule every
+    real KG store materializes). Equivalence classes are the connected
+    components of the sameAs graph (sameAs is symmetric+transitive, so
+    its closure IS the component relation); each class collapses to
+    its min-string-id member — the same deterministic canon rule as
+    entity linking, so the two rewrites compose.
+
+    Returns ``(canonical_triples, entities)``: the triple table with
+    every IRI subject/object rewritten through the component map and
+    the sameAs triples themselves dropped (identity is now implicit),
+    plus the (entity, canon) assignment. ``project_graph=True``
+    additionally projects provenance columns away and dedups to the
+    canonical GRAPH — an RDF graph is a set, and merging aliases can
+    make previously-distinct triples equal.
+
+    100 TB shape: declared identities are structured-data-sized —
+    orders of magnitude smaller than the triple corpus — so the
+    component step reuses connected_components' hybrid (driver
+    union-find under the threshold, O(log d) pointer jumping above),
+    and the rewrite is apply_canonical's two BROADCAST joins: the
+    corpus never shuffles. The only wide operation is the optional
+    graph-projection distinct, keyed by the same subject the
+    materializer buckets on. Blank nodes and literals pass through
+    untouched (kind-guarded); sameAs statements whose subject or
+    object is not an IRI are invalid OWL and contribute no edge.
+    """
+    from serd_spark.operators.linking import (
+        apply_canonical,
+        connected_components,
+    )
+
+    edges = triples.filter(
+        (F.col("p") == OWL_SAMEAS)
+        & (F.col("s_kind") == 0)
+        & (F.col("o_kind") == 0)
+    ).select(F.col("s").alias("entity_a"), F.col("o").alias("entity_b"))
+    entities = connected_components(edges, driver_threshold=driver_threshold)
+    rest = triples.filter(F.col("p") != OWL_SAMEAS)
+    out = apply_canonical(rest, entities)
+    if project_graph:
+        out = out.select(
+            "g", "s", "s_kind", "p", "o", "o_kind", "o_dt", "o_lang"
+        ).distinct()
+    return out, entities

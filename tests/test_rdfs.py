@@ -92,3 +92,64 @@ def test_inferred_duplicate_of_asserted_keeps_flag(spark):
 def test_non_type_predicates_untouched_without_axioms(spark):
     t = _triples(spark, [("a", "likes", "b")])
     assert rdfs_entail(t, [("X", "Y")]).count() == 0
+
+
+# ------------------------------------------------- sameAs canonicalize
+
+from serd_spark.operators.rdfs import OWL_SAMEAS, sameas_canonicalize
+
+_FULL_SCHEMA = (
+    "url string, island int, stmt_ord int, syntax string, "
+    "g string, s string, s_kind tinyint, p string, "
+    "o string, o_kind tinyint, o_dt string, o_lang string"
+)
+
+
+def _row(s, s_kind, p, o, o_kind, url="u", ord_=0):
+    return (url, 0, ord_, "x", "", s, s_kind, p, o, o_kind, "", "")
+
+
+def _full(spark, rows):
+    return spark.createDataFrame(rows, _FULL_SCHEMA)
+
+
+def test_sameas_chain_collapses_to_min_id(spark):
+    t = _full(spark, [
+        _row("e:z", 0, OWL_SAMEAS, "e:a", 0),
+        _row("e:m", 0, OWL_SAMEAS, "e:z", 0),
+        _row("e:m", 0, "e:p", "v", 1, ord_=1),
+        _row("e:x", 0, "e:q", "e:z", 0, ord_=2),
+    ])
+    out, ents = sameas_canonicalize(t)
+    rows = {(r.s, r.p, r.o) for r in out.collect()}
+    # sameAs triples dropped; s and IRI-o both rewritten to e:a
+    assert rows == {("e:a", "e:p", "v"), ("e:x", "e:q", "e:a")}
+    canon = {r.entity: r.canon for r in ents.collect()}
+    assert canon["e:m"] == "e:a" and canon["e:z"] == "e:a"
+
+
+def test_sameas_ignores_non_iri_terms(spark):
+    t = _full(spark, [
+        # literal object: invalid OWL — no edge, but still dropped
+        _row("e:a", 0, OWL_SAMEAS, "lit", 1),
+        # blank-node subject in a data triple passes through untouched
+        _row("b0", 2, "e:p", "e:a", 0, ord_=1),
+        _row("e:a", 0, "e:p", "v", 1, ord_=2),
+    ])
+    out, _ = sameas_canonicalize(t)
+    rows = {(r.s, r.s_kind, r.p, r.o) for r in out.collect()}
+    assert rows == {("b0", 2, "e:p", "e:a"), ("e:a", 0, "e:p", "v")}
+
+
+def test_sameas_graph_projection_dedups_merged_rows(spark):
+    t = _full(spark, [
+        _row("e:b", 0, OWL_SAMEAS, "e:a", 0),
+        # same logical triple from two docs, one via the alias
+        _row("e:a", 0, "e:p", "v", 1, url="u1", ord_=1),
+        _row("e:b", 0, "e:p", "v", 1, url="u2", ord_=1),
+    ])
+    bag, _ = sameas_canonicalize(t)
+    assert bag.count() == 2  # provenance rows kept
+    graph, _ = sameas_canonicalize(t, project_graph=True)
+    got = [(r.s, r.p, r.o) for r in graph.collect()]
+    assert got == [("e:a", "e:p", "v")]  # the SET collapses them
