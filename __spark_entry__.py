@@ -1960,6 +1960,69 @@ def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filter (operators/robots.py, RFC 9309
+    subset). Per-host robots.txt bodies are synthesized in-plan — an
+    md5-prefix third of hosts carries a crawler-specific ``serd``
+    group that must FULLY override the ``*`` group (RFC group
+    selection), and the rules exercise prefix, mid-pattern ``*``
+    wildcard, ``$`` anchor, and longest-match/allow-wins precedence.
+    The parse layer (the one Python crossing, over the 97-row host
+    table) is pinned by unit tests and materialized as the rules
+    table; the oracle independently replays the URL-side match — the
+    at-scale path — as LIKE joins + the numeric precedence argmax
+    (pat_len*2+allow, lexicographic (len, allow) for allow∈{0,1}).
+    100 TB shape: rules BROADCAST, corpus side one regexp split + one
+    row-local HOF filter/argmax, zero shuffles before the final
+    bounded-key aggregate."""
+    from serd_spark.operators.robots import robots_filter, robots_rules
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta", lambda: _pages(spark, sf_dir).select("url", "html")
+    )
+    urls = pages.select("url").distinct()
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    hosts = urls.select(host.alias("host")).distinct()
+    base = (
+        "# synthetic politeness file\n"
+        "User-agent: other\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /page/1\n"
+        "Allow: /page/1*3$\n"
+        "Disallow: /page/*7$\n"
+    )
+    serd_extra = (
+        "\nUser-agent: serd\n"
+        "Disallow: /page/2\n"
+        "Allow: /page/22*\n"
+        "Disallow: /page/*9$\n"
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit(base),
+            F.when(
+                F.substring(F.md5("host"), 1, 4) < "5555",
+                F.lit(serd_extra),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(robots, agent="serd")
+    _materialize(sf_dir, "robots_rules", lambda: rules)
+    out = robots_filter(urls, rules)
+    pin = F.conv(F.substring(F.md5("url"), 1, 10), 16, 10).cast("long")
+    return (
+        out.groupBy("allowed")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("host").alias("n_hosts"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("allowed")
+    )
+
+
 # schema.org-subset ontology shared verbatim by q_rdfs_entail's Spark
 # side and its DuckDB mirror (axioms are public schema.org hierarchy)
 _SCHEMA_SUBCLASS = [
@@ -3791,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_agg": q_sparql_agg,
         "q_sparql_construct": q_sparql_construct,
         "q_sameas": q_sameas,
+        "q_robots": q_robots,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4655,6 +4719,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(s || chr(1) || p || chr(1) || o), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM rew GROUP BY p ORDER BY p
+        """,
+        # robots.txt compliance: the URL-side match replayed as a
+        # LIKE join (same escape discipline as the Spark patterns)
+        # + the numeric precedence argmax over the materialized rules
+        # table; the parse layer is pinned by unit tests.
+        "q_robots": f"""
+            WITH u AS (
+              SELECT DISTINCT url FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ), up AS (
+              SELECT url,
+                regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                CASE WHEN regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                     THEN '/'
+                     ELSE regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                END AS path
+              FROM u
+            ), r AS (
+              SELECT host, allow, like_pat, pat_len FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/robots_rules/*.parquet')
+            ), sel AS (
+              SELECT up.url, up.host, rr.pat_len * 2 + rr.allow AS k
+              FROM up LEFT JOIN r rr
+                ON rr.host = up.host
+               AND up.path LIKE rr.like_pat ESCAPE '\\'
+            ), best AS (
+              SELECT url, host, MAX(k) AS k FROM sel GROUP BY url, host
+            )
+            SELECT (k IS NULL OR k % 2 = 1) AS allowed,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(SUM(CAST('0x' || substr(md5(url), 1, 10)
+                                 AS BIGINT)) AS BIGINT) AS pin
+            FROM best GROUP BY 1 ORDER BY 1
         """,
         # Compaction content certificate: the per-bucket aggregate of
         # the post-compaction table replayed from raw lineitem.
