@@ -1868,6 +1868,30 @@ def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL filter surface (plans/sparql.py): VALUES inline data
+    (map-side IN), numeric comparison (bare-number literal → try_cast
+    double, SPARQL's type-error-drops-row ≡ failed-cast NULL), regex
+    FILTER (Java∩RE2 pattern), and ORDER BY + LIMIT + OFFSET
+    pagination. The oracle replays every predicate with DuckDB's own
+    IN / TRY_CAST / regexp_matches / LIMIT-OFFSET — two engines, one
+    row set."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?page ?name ?rating WHERE {
+      ?page s:name ?name .
+      ?page s:ratingValue ?rating .
+      VALUES ?rating { "2.0" "2.2" "2.4" "2.6" "2.8" "3.0" "3.2" "3.4" }
+      FILTER (?rating >= 2.2)
+      FILTER (regex(?name, "[24680]»$"))
+    } ORDER BY ?page ?rating LIMIT 200 OFFSET 10
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
 def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:sameAs canonicalization (operators/rdfs.py) as a
     perturb-then-restore certificate: a deterministic md5-prefix rule
@@ -3855,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_construct": q_sparql_construct,
         "q_sameas": q_sameas,
         "q_robots": q_robots,
+        "q_sparql_filter": q_sparql_filter,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4719,6 +4744,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(s || chr(1) || p || chr(1) || o), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM rew GROUP BY p ORDER BY p
+        """,
+        # SPARQL filter surface: VALUES/IN, numeric TRY_CAST compare,
+        # regexp_matches, LIMIT-OFFSET pagination — each predicate
+        # replayed with DuckDB's own machinery.
+        "q_sparql_filter": f"""
+            WITH t AS (
+              SELECT s, p, o FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            )
+            SELECT n.s AS page, n.o AS name, r.o AS rating
+            FROM t n JOIN t r ON r.s = n.s
+            WHERE n.p = 'http://schema.org/name'
+              AND r.p = 'http://schema.org/ratingValue'
+              AND r.o IN ('2.0','2.2','2.4','2.6','2.8','3.0','3.2','3.4')
+              AND TRY_CAST(r.o AS DOUBLE) >= 2.2
+              AND regexp_matches(n.o, '[24680]»$')
+            ORDER BY page, rating LIMIT 200 OFFSET 10
         """,
         # robots.txt compliance: the URL-side match replayed as a
         # LIKE join (same escape discipline as the Spark patterns)

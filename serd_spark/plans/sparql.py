@@ -11,8 +11,15 @@ instantiation per solution, distinct-unioned — an RDF graph is a set
 — yielding a triple DataFrame the Turtle/NT writers can serialize
 directly), a WHERE block of
 dot-separated triple patterns (terms: ?var, <iri>, prefixed:name,
-"literal"), FILTER (?v = term / ?v != term), OPTIONAL { patterns },
-{ patterns } UNION { patterns }, ORDER BY, LIMIT, and property paths
+"literal"), FILTER (?v op term) with op ∈ {=, !=, <, >, <=, >=}
+(a numeric right-hand side compiles to a double cast: SPARQL's
+type-error-drops-the-row and Spark's failed-cast-NULL agree) and
+FILTER (regex(?v, "pat")) (Java∩RE2 pattern subset), VALUES ?v
+{ consts } (single-variable inline data over a bound variable — a
+map-side IN filter), OPTIONAL { patterns }, { patterns } UNION
+{ patterns }, ORDER BY, LIMIT, OFFSET (ORDER BY required — a
+distributed engine has no stable unordered sequence), and property
+paths
 in the predicate position: sequence (p1/p2 → join chain),
 alternation (p1|p2 → bag union), inverse (^p → column swap),
 parenthesized grouping, and OneOrMorePath (p+ → transitive closure
@@ -76,7 +83,7 @@ _TOKEN = re.compile(
           |UNION|GROUP|ORDER|BY|LIMIT|ASC|DESC|COUNT|MIN|MAX|AS|A)\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>!=|[{}().=*/|^+])
+  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,])
     """,
     re.VERBOSE | re.IGNORECASE,
 )
@@ -198,16 +205,49 @@ class _Parser:
         raise SparqlError(f"cannot parse term {t!r}")
 
 
+_FILTER_OPS = ("=", "!=", "<", ">", "<=", ">=")
+_NUM_LIT = re.compile(r"-?[0-9]+(\.[0-9]+)?")
+
+
 def _parse_filter(p: "_Parser") -> tuple[str, str, _Term]:
+    """FILTER (?v op term) with op in =/!=/</>/<=/>=, or
+    FILTER (regex(?v, "pattern")). Numeric comparisons (a number on
+    the right) compile to a double cast — SPARQL's type-error-drops-
+    the-row semantics and Spark's failed-cast NULL agree; restrict
+    regex patterns to the Java∩RE2 subset so the DuckDB mirror
+    matches (the repo-wide regex discipline)."""
     p.next()  # FILTER
     p.expect("(")
+    nt = p.peek()
+    if nt is not None and nt.upper() == "REGEX":
+        p.next()
+        p.expect("(")
+        v = p.term()
+        if v.kind != "var":
+            raise SparqlError("regex() first argument must be a ?var")
+        p.expect(",")
+        pat = p.term()
+        if pat.kind != "const":
+            raise SparqlError("regex() pattern must be a literal")
+        p.expect(")")
+        p.expect(")")
+        return (v.value, "regex", pat)
     v = p.term()
     if v.kind != "var":
         raise SparqlError("FILTER must start with a variable")
     op = p.next()
-    if op not in ("=", "!="):
+    if op not in _FILTER_OPS:
         raise SparqlError(f"unsupported FILTER op {op!r}")
+    raw = p.peek()
     rhs = p.term()
+    if (
+        rhs.kind == "const"
+        and raw is not None
+        and not raw.startswith(('"', "<"))
+        and _NUM_LIT.fullmatch(raw)
+    ):
+        # a BARE number token is a numeric literal; "5" stays a string
+        rhs = _Term("num", rhs.value)
     p.expect(")")
     return (v.value, op, rhs)
 
@@ -223,6 +263,30 @@ def _parse_group(p: "_Parser", compound: bool) -> list[tuple]:
         nt = p.peek()
         if nt.upper() == "FILTER":
             elems.append(("filter", _parse_filter(p)))
+        elif nt.upper() == "VALUES":
+            # single-variable inline-data form: VALUES ?v { c1 c2 … }
+            # — compiles to a map-side IN filter over an already-bound
+            # variable (a join against inline data degenerates to
+            # exactly that when the variable is pattern-bound)
+            if not compound:
+                raise SparqlError(
+                    "VALUES inside OPTIONAL/UNION is not supported"
+                )
+            p.next()
+            v = p.term()
+            if v.kind != "var":
+                raise SparqlError("VALUES needs a ?var")
+            p.expect("{")
+            vals: list[str] = []
+            while p.peek() and p.peek() != "}":
+                c = p.term()
+                if c.kind != "const":
+                    raise SparqlError("VALUES entries must be constants")
+                vals.append(c.value)
+            p.expect("}")
+            if not vals:
+                raise SparqlError("empty VALUES block")
+            elems.append(("values", (v.value, vals)))
         elif nt.upper() == "OPTIONAL":
             if not compound:
                 raise SparqlError("nested OPTIONAL/UNION is not supported")
@@ -341,9 +405,11 @@ def parse_sparql(q: str) -> dict:
     p.expect("WHERE")
     elements = _parse_group(p, compound=True)
     filters = [e[1] for e in elements if e[0] == "filter"]
-    elements = [e for e in elements if e[0] != "filter"]
+    values = [e[1] for e in elements if e[0] == "values"]
+    elements = [e for e in elements if e[0] not in ("filter", "values")]
     order: list[tuple[str, bool]] = []
     limit: int | None = None
+    offset: int | None = None
     group_by: list[str] = []
     while p.peek() is not None:
         t = p.next().upper()
@@ -369,6 +435,8 @@ def parse_sparql(q: str) -> dict:
                     break
         elif t == "LIMIT":
             limit = int(p.next())
+        elif t == "OFFSET":
+            offset = int(p.next())
         else:
             raise SparqlError(f"unexpected trailing token {t!r}")
     if not elements:
@@ -447,16 +515,22 @@ def parse_sparql(q: str) -> dict:
     filter_vars = [v for v, _, _ in filters] + [
         r.value for _, _, r in filters if r.kind == "var"
     ]
-    for v in group_by + filter_vars:
+    for v in group_by + filter_vars + [v for v, _ in values]:
         if v not in all_vars:
             raise SparqlError(f"variable ?{v} not bound in WHERE")
     for v in sel + [v for v, _ in order]:
         if v not in all_vars and v not in aliases:
             raise SparqlError(f"variable ?{v} not bound in WHERE")
+    if offset is not None and (form == "CONSTRUCT" or not order):
+        # SPARQL allows OFFSET over an unordered solution sequence,
+        # but that is nondeterministic on a distributed engine —
+        # require ORDER BY so results are stable across runs/layouts
+        raise SparqlError("OFFSET requires ORDER BY (and SELECT form)")
     return {
         "form": "construct" if form == "CONSTRUCT" else "select",
         "vars": sel, "distinct": distinct, "elements": elements,
         "filters": filters, "order": order, "limit": limit,
+        "offset": offset, "values": values,
         "aggs": aggs, "group_by": group_by, "template": template,
     }
 
@@ -551,8 +625,22 @@ def _scan(triples: DataFrame, pat) -> DataFrame:
 
 def _apply_filter(plan: DataFrame, flt) -> DataFrame:
     var, op, rhs = flt
-    rv = F.lit(rhs.value) if rhs.kind == "const" else F.col(rhs.value)
-    return plan.filter(F.col(var) == rv if op == "=" else F.col(var) != rv)
+    if op == "regex":
+        return plan.filter(F.col(var).rlike(rhs.value))
+    lc = F.col(var)
+    rv = F.col(rhs.value) if rhs.kind == "var" else F.lit(rhs.value)
+    if rhs.kind == "num" and op in ("<", ">", "<=", ">="):
+        # numeric comparison: SPARQL raises a type error (row drops)
+        # on a non-numeric operand; try_cast yields NULL there (plain
+        # cast would THROW under Spark 4 ANSI mode), and the NULL
+        # comparison drops the row — identical outcomes
+        lc = lc.try_cast("double")
+        rv = F.lit(float(rhs.value))
+    cmp = {
+        "=": lc == rv, "!=": lc != rv, "<": lc < rv,
+        ">": lc > rv, "<=": lc <= rv, ">=": lc >= rv,
+    }[op]
+    return plan.filter(cmp)
 
 
 def _compile_bgp(triples: DataFrame, elems: list[tuple]) -> DataFrame:
@@ -610,6 +698,9 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
     assert plan is not None
     for flt in ast["filters"]:
         plan = _apply_filter(plan, flt)
+    for v, vals in ast["values"]:
+        # inline data over a bound variable = a map-side IN filter
+        plan = plan.filter(F.col(v).isin(vals))
     if ast["form"] == "construct":
         # instantiate each template triple over the solutions; an RDF
         # graph is a SET of triples, so the union is distinct
@@ -656,6 +747,8 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
         plan = plan.orderBy(
             *[F.col(v) if asc else F.desc(v) for v, asc in ast["order"]]
         )
+    if ast["offset"] is not None:
+        plan = plan.offset(ast["offset"])
     if ast["limit"] is not None:
         plan = plan.limit(ast["limit"])
     return plan

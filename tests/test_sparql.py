@@ -91,10 +91,10 @@ def test_parse_errors():
         parse_sparql("SELECT ?z WHERE { ?x <http://p> ?y }")
     with pytest.raises(SparqlError, match="empty WHERE"):
         parse_sparql("SELECT ?x WHERE { }")
-    with pytest.raises(SparqlError):  # '<' comparator: lexer rejects
-        parse_sparql(
-            'SELECT ?x WHERE { ?x <http://p> ?y . FILTER (?y < "3") }'
-        )
+    # '<' comparator is now supported — it must parse cleanly
+    parse_sparql(
+        'SELECT ?x WHERE { ?x <http://p> ?y . FILTER (?y < "3") }'
+    )
     with pytest.raises(SparqlError, match="unsupported FILTER"):
         parse_sparql(
             'SELECT ?x WHERE { ?x <http://p> ?y . FILTER (?y . "3") }'
@@ -384,3 +384,77 @@ def test_order_desc(spark):
     assert [r.n for r in sparql_query(_triples(spark), q).collect()] == [
         "tom", "rex",
     ]
+
+
+def test_filter_comparisons_string_and_numeric(spark):
+    tri = spark.createDataFrame(
+        [("e:a", "e:n", "5"), ("e:b", "e:n", "12"),
+         ("e:c", "e:n", "oops")],
+        "s string, p string, o string",
+    )
+    pre = "PREFIX e: <http://ex.org/> "
+    # numeric: "12" > 5 numerically (lexically it is not); the
+    # non-numeric row drops (SPARQL type error == failed-cast NULL)
+    q = pre.replace("http://ex.org/", "e:") if False else (
+        'PREFIX e: <e:> SELECT ?x WHERE { ?x <e:n> ?v . '
+        "FILTER (?v > 5) } ORDER BY ?x"
+    )
+    got = [r.x for r in sparql_query(tri, q).collect()]
+    assert got == ["e:b"]
+    q2 = 'SELECT ?x WHERE { ?x <e:n> ?v . FILTER (?v >= "5") } ORDER BY ?x'
+    # string compare: "5" >= "5", "oops" >= "5"; "12" < "5" lexically
+    got2 = [r.x for r in sparql_query(tri, q2).collect()]
+    assert got2 == ["e:a", "e:c"]
+
+
+def test_filter_regex(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x WHERE { ?x e:name ?n . FILTER (regex(?n, "^t.m$")) }
+    """
+    got = [r.x for r in sparql_query(_triples(spark), q).collect()]
+    assert got == ["http://ex.org/b"]
+
+
+def test_values_inline_data(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n WHERE {
+      ?x e:name ?n .
+      VALUES ?n { "rex" "nobody" }
+    }
+    """
+    got = [(r.x, r.n) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/a", "rex")]
+
+
+def test_values_errors():
+    pre = "PREFIX e: <http://ex.org/> "
+    with pytest.raises(SparqlError, match="not bound"):
+        parse_sparql(pre + 'SELECT ?x WHERE { ?x a e:Dog . '
+                           'VALUES ?z { "v" } }')
+    with pytest.raises(SparqlError, match="empty VALUES"):
+        parse_sparql(pre + "SELECT ?x WHERE { ?x a e:Dog . "
+                           "VALUES ?x { } }")
+    with pytest.raises(SparqlError, match="inside OPTIONAL"):
+        parse_sparql(pre + 'SELECT ?x WHERE { ?x a e:Dog . '
+                           'OPTIONAL { ?x e:name ?n . '
+                           'VALUES ?n { "v" } } }')
+
+
+def test_offset_pagination(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?n WHERE { ?x e:name ?n . } ORDER BY ?n LIMIT 1 OFFSET 1
+    """
+    assert [r.n for r in sparql_query(_triples(spark), q).collect()] == [
+        "tom"
+    ]
+
+
+def test_offset_requires_order():
+    with pytest.raises(SparqlError, match="OFFSET requires"):
+        parse_sparql(
+            "PREFIX e: <http://ex.org/> "
+            "SELECT ?x WHERE { ?x a e:Dog . } OFFSET 2"
+        )
