@@ -1868,6 +1868,61 @@ def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduler / URL frontier (operators/frontier.py): the
+    fetch log (with synthetic extra fetches and a deterministic
+    change signal, both pure md5 functions of (url, ts) since the
+    corpus's own recrawls are byte-stable) collapses to per-URL
+    revisit intervals — the integer Cho/Garcia-Molina estimator with
+    both clamps exercised — then each host's FIFO politeness queue is
+    scheduled EXACTLY via the running-max decomposition
+    t_i = delay*i + cummax(due_i - delay*i). The oracle replays the
+    fetch synthesis, the estimator arithmetic (truncating DIV), and
+    both window passes from the materialized (url, warc_ts) log; an
+    md5 quarter of hosts keeps the row-level output bounded."""
+    from serd_spark.operators.frontier import recrawl_schedule
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_crawl",
+        lambda: _pages(spark, sf_dir).select("url", "warc_ts"),
+    )
+    base = pages.select(
+        "url", F.col("warc_ts").cast("long").alias("ts0")
+    )
+    # 1 + (md5(url) % 4) fetches per log row, one hour apart
+    k_max = (
+        F.conv(F.substring(F.md5("url"), 3, 2), 16, 10).cast("long") % 4
+    )
+    ex = base.withColumn(
+        "k", F.explode(F.sequence(F.lit(0).cast("long"), k_max))
+    ).select("url", (F.col("ts0") + 3600 * F.col("k")).alias("ts"))
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    version = F.when(
+        F.substring(F.md5("url"), 1, 2) < "55",
+        F.substring(
+            F.md5(F.concat(F.col("url"), F.col("ts").cast("string"))), 1, 4
+        ),
+    ).otherwise(F.lit("v0"))
+    fetches = ex.select(
+        "url", host.alias("host"), "ts", version.alias("version")
+    )
+    out = recrawl_schedule(
+        fetches,
+        min_interval=86_400,
+        max_interval=86_400 * 2,
+        politeness_delay=5,
+    )
+    return (
+        out.filter(F.substring(F.md5("host"), 1, 2) < "40")
+        .select(
+            "host", "url", "n_fetches", "n_versions", "interval_s",
+            "next_due", "slot", "sched_ts",
+        )
+        .orderBy("host", "slot")
+    )
+
+
 def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL filter surface (plans/sparql.py): VALUES inline data
     (map-side IN), numeric comparison (bare-number literal → try_cast
@@ -3880,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sameas": q_sameas,
         "q_robots": q_robots,
         "q_sparql_filter": q_sparql_filter,
+        "q_frontier": q_frontier,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4744,6 +4800,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(s || chr(1) || p || chr(1) || o), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM rew GROUP BY p ORDER BY p
+        """,
+        # Recrawl scheduler: fetch synthesis, the integer interval
+        # estimator, and BOTH window passes (slot, then the
+        # running-max queue decomposition) replayed from the
+        # materialized fetch log.
+        "q_frontier": f"""
+            WITH raw AS (
+              SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts0
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_crawl/*.parquet')
+            ), ex AS (
+              SELECT url, ts0 + 3600 * k AS ts
+              FROM raw, LATERAL (
+                SELECT unnest(generate_series(0,
+                  CAST('0x' || substr(md5(url), 3, 2) AS BIGINT) % 4))
+                  AS k) s
+            ), f AS (
+              SELECT url,
+                regexp_extract(url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                ts,
+                CASE WHEN substr(md5(url), 1, 2) < '55'
+                     THEN substr(md5(url || CAST(ts AS VARCHAR)), 1, 4)
+                     ELSE 'v0' END AS version
+              FROM ex
+            ), pu AS (
+              SELECT host, url,
+                     CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                     CAST(COUNT(DISTINCT version) AS BIGINT)
+                       AS n_versions,
+                     MAX(ts) AS last_ts
+              FROM f GROUP BY host, url
+            ), iv AS (
+              SELECT host, url, n_fetches, n_versions,
+                CAST(CASE WHEN n_fetches = 1 THEN 86400
+                     ELSE least(172800, greatest(86400,
+                          CAST(86400 AS BIGINT) * (n_fetches - 1)
+                          // greatest(1, n_versions - 1)))
+                END AS BIGINT) AS interval_s,
+                last_ts
+              FROM pu
+            ), due AS (
+              SELECT *, last_ts + interval_s AS next_due FROM iv
+            ), q1 AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                  PARTITION BY host ORDER BY next_due, url)
+                - 1 AS BIGINT) AS slot
+              FROM due
+            ), q2 AS (
+              SELECT *, MAX(next_due - 5 * slot) OVER (
+                  PARTITION BY host ORDER BY next_due, url
+                  ROWS UNBOUNDED PRECEDING) AS mx
+              FROM q1
+            )
+            SELECT host, url, n_fetches, n_versions, interval_s,
+                   next_due, slot, 5 * slot + mx AS sched_ts
+            FROM q2
+            WHERE substr(md5(host), 1, 2) < '40'
+            ORDER BY host, slot
         """,
         # SPARQL filter surface: VALUES/IN, numeric TRY_CAST compare,
         # regexp_matches, LIMIT-OFFSET pagination — each predicate

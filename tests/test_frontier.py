@@ -1,0 +1,65 @@
+"""recrawl_schedule — adaptive intervals and the exact per-host
+politeness queue, checked against the sequential recurrence."""
+
+from serd_spark.operators.frontier import recrawl_schedule
+
+
+def _fetches(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, host string, ts long, version string"
+    )
+
+
+def test_interval_estimator_clamps(spark):
+    rows = [
+        # seen once → min_interval
+        ("u1", "h", 1000, "a"),
+        # 3 fetches, never changed → 2 gaps / 1 change floor → 2*min
+        ("u2", "h", 1000, "a"), ("u2", "h", 2000, "a"),
+        ("u2", "h", 3000, "a"),
+        # 3 fetches, changed every time → min
+        ("u3", "h", 1000, "a"), ("u3", "h", 2000, "b"),
+        ("u3", "h", 3000, "c"),
+    ]
+    out = {
+        r.url: (r.n_fetches, r.n_versions, r.interval_s, r.next_due)
+        for r in recrawl_schedule(
+            _fetches(spark, rows), min_interval=100, max_interval=150,
+        ).collect()
+    }
+    assert out["u1"] == (1, 1, 100, 1100)
+    # estimator 100*2//1 = 200, clamped to max 150
+    assert out["u2"] == (3, 1, 150, 3150)
+    assert out["u3"] == (3, 3, 100, 3100)
+
+
+def test_politeness_queue_matches_recurrence(spark):
+    # one host, due times chosen so the queue both waits on due times
+    # and backs up behind the delay
+    rows = [(f"u{i}", "h", t, "a") for i, t in
+            enumerate([0, 1, 2, 50, 51, 52])]
+    out = recrawl_schedule(
+        _fetches(spark, rows), min_interval=10, max_interval=10,
+        politeness_delay=7,
+    )
+    got = sorted((r.slot, r.next_due, r.sched_ts) for r in out.collect())
+    # replay the sequential recurrence t_i = max(due_i, t_{i-1}+delay)
+    dues = sorted(r.next_due for r in out.collect())
+    t, expect = None, []
+    for d in dues:
+        t = d if t is None else max(d, t + 7)
+        expect.append(t)
+    assert [s for _, _, s in got] == expect
+    # and the queue really backed up: 3rd fetch waits on the delay
+    assert expect[2] > dues[2]
+
+
+def test_queues_are_per_host(spark):
+    rows = [("a", "h1", 0, "x"), ("b", "h2", 0, "x")]
+    out = recrawl_schedule(
+        _fetches(spark, rows), min_interval=5, max_interval=5,
+        politeness_delay=60,
+    )
+    # different hosts do not serialize against each other
+    assert {r.sched_ts for r in out.collect()} == {5}
+    assert {r.slot for r in out.collect()} == {0}
