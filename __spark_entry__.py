@@ -1923,6 +1923,83 @@ def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (operators/sitemap.py): per-host <urlset>
+    XML is synthesized in-plan from the page URLs (entity-escaped
+    query strings, md5-derived lastmod, priority present on only an
+    md5 half of entries) plus <sitemapindex> pointers for an md5
+    quarter of hosts; parse_sitemaps recovers every entry with pure
+    JVM regex + entity decoding. The oracle rebuilds the identical
+    XML strings in SQL (string_agg ORDER BY = sort_array) and
+    re-extracts with the same (?s)/lazy/\\b patterns and the same
+    replace chain — two regex engines, one entry table."""
+    from serd_spark.operators.sitemap import parse_sitemaps
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta", lambda: _pages(spark, sf_dir).select("url", "html")
+    )
+    urls = pages.select("url").distinct()
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    digit = (
+        F.conv(F.substring(F.md5("url"), 5, 2), 16, 10).cast("long") % 10
+    ).cast("string")
+    loc_raw = F.concat(F.col("url"), F.lit("?ref=sitemap&id="), digit)
+    esc = F.replace(loc_raw, F.lit("&"), F.lit("&amp;"))
+    entry = F.concat(
+        F.lit("  <url>\n    <loc>"), esc,
+        F.lit("</loc>\n    <lastmod>2026-01-1"), digit,
+        F.lit("</lastmod>\n"),
+        F.when(
+            digit < "5",
+            F.concat(F.lit("    <priority>0."), digit,
+                     F.lit("</priority>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("  </url>"),
+    )
+    urlsets = (
+        urls.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/'
+                      'schemas/sitemap/0.9">\n'),
+                F.array_join(F.sort_array(F.collect_list("entry")), "\n"),
+                F.lit("\n</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(F.lit("https://"), "host",
+                     F.lit("/sitemap.xml")).alias("sitemap_url"),
+            "xml",
+        )
+    )
+    hosts = urls.select(host.alias("host")).distinct()
+    indexes = hosts.filter(F.substring(F.md5("host"), 1, 2) < "40").select(
+        F.concat(F.lit("https://"), "host",
+                 F.lit("/sitemap_index.xml")).alias("sitemap_url"),
+        F.concat(
+            F.lit("<sitemapindex>\n  <sitemap>\n    <loc>https://"),
+            "host",
+            F.lit("/sitemap.xml</loc>\n    <lastmod>2026-02-01"
+                  "</lastmod>\n  </sitemap>\n</sitemapindex>"),
+        ).alias("xml"),
+    )
+    parsed = parse_sitemaps(urlsets.unionByName(indexes))
+    pin = F.conv(F.substring(F.md5("loc"), 1, 10), 16, 10).cast("long")
+    return (
+        parsed.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("loc").alias("n_locs"),
+            F.count("lastmod").alias("n_lastmod"),
+            F.count("priority").alias("n_priority"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("kind")
+    )
+
+
 def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL filter surface (plans/sparql.py): VALUES inline data
     (map-side IN), numeric comparison (bare-number literal → try_cast
@@ -3936,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots": q_robots,
         "q_sparql_filter": q_sparql_filter,
         "q_frontier": q_frontier,
+        "q_sitemap": q_sitemap,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4858,6 +4936,85 @@ def oracle_sql() -> dict[str, str]:
             FROM q2
             WHERE substr(md5(host), 1, 2) < '40'
             ORDER BY host, slot
+        """,
+        # Sitemap ingestion: XML synthesis (string_agg ORDER BY ==
+        # sort_array), block regexes, field extraction and the entity
+        # replace chain all replayed in DuckDB/RE2.
+        "q_sitemap": f"""
+            WITH u AS (
+              SELECT DISTINCT url FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ), e AS (
+              SELECT regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                     CAST(CAST('0x' || substr(md5(url), 5, 2) AS BIGINT)
+                          % 10 AS VARCHAR) AS d,
+                     url
+              FROM u
+            ), entry AS (
+              SELECT host,
+                '  <url>' || chr(10) || '    <loc>' ||
+                replace(url || '?ref=sitemap&id=' || d, '&', '&amp;')
+                || '</loc>' || chr(10) || '    <lastmod>2026-01-1'
+                || d || '</lastmod>' || chr(10) ||
+                CASE WHEN d < '5'
+                     THEN '    <priority>0.' || d || '</priority>'
+                          || chr(10)
+                     ELSE '' END ||
+                '  </url>' AS entry
+              FROM e
+            ), xs AS (
+              SELECT 'https://' || host || '/sitemap.xml'
+                       AS sitemap_url,
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                || chr(10) || string_agg(entry, chr(10) ORDER BY entry)
+                || chr(10) || '</urlset>' AS xml
+              FROM entry GROUP BY host
+            ), xi AS (
+              SELECT 'https://' || host || '/sitemap_index.xml'
+                       AS sitemap_url,
+                '<sitemapindex>' || chr(10) || '  <sitemap>' || chr(10)
+                || '    <loc>https://' || host || '/sitemap.xml</loc>'
+                || chr(10) || '    <lastmod>2026-02-01</lastmod>'
+                || chr(10) || '  </sitemap>' || chr(10)
+                || '</sitemapindex>' AS xml
+              FROM (SELECT DISTINCT host FROM e)
+              WHERE substr(md5(host), 1, 2) < '40'
+            ), blocks AS (
+              SELECT 'url' AS kind, b
+              FROM xs, LATERAL (SELECT unnest(regexp_extract_all(
+                xml, '(?s)<url\\b[^>]*>(.*?)</url>', 1)) AS b) s
+              UNION ALL
+              SELECT 'sitemap' AS kind, b
+              FROM xi, LATERAL (SELECT unnest(regexp_extract_all(
+                xml, '(?s)<sitemap\\b[^>]*>(.*?)</sitemap>', 1)) AS b) s
+            ), fields AS (
+              SELECT kind,
+                NULLIF(regexp_extract(b,
+                  '(?s)<loc\\b[^>]*>\\s*(.*?)\\s*</loc>', 1), '')
+                  AS loc0,
+                NULLIF(regexp_extract(b,
+                  '(?s)<lastmod\\b[^>]*>\\s*(.*?)\\s*</lastmod>', 1), '')
+                  AS lastmod,
+                NULLIF(regexp_extract(b,
+                  '(?s)<priority\\b[^>]*>\\s*(.*?)\\s*</priority>', 1),
+                  '') AS priority
+              FROM blocks
+            ), fin AS (
+              SELECT kind,
+                replace(replace(replace(replace(replace(loc0,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&apos;', ''''), '&amp;', '&') AS loc,
+                lastmod, priority
+              FROM fields WHERE loc0 IS NOT NULL
+            )
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT loc) AS BIGINT) AS n_locs,
+                   CAST(COUNT(lastmod) AS BIGINT) AS n_lastmod,
+                   CAST(COUNT(priority) AS BIGINT) AS n_priority,
+                   CAST(SUM(CAST('0x' || substr(md5(loc), 1, 10)
+                                 AS BIGINT)) AS BIGINT) AS pin
+            FROM fin GROUP BY kind ORDER BY kind
         """,
         # SPARQL filter surface: VALUES/IN, numeric TRY_CAST compare,
         # regexp_matches, LIMIT-OFFSET pagination — each predicate
