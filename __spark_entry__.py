@@ -1868,6 +1868,35 @@ def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph (quad) semantics: TriG islands put their triples
+    in per-document named graphs while every other syntax lands in
+    the default graph — the g column is part of the canonical
+    encoding end to end (extraction, dedup, NQ writer). Output: per
+    graph-kind row counts, distinct graphs/subjects, and an
+    md5-derived content pin over the full (g, s, p, o) quad — so a
+    graph label lost or leaked between islands breaks the hash. The
+    oracle replays the same aggregate over the materialized quads."""
+    _materialize_triples(spark, sf_dir)
+    t = _kg_triples(spark, sf_dir)
+    pin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\u0001", "g", "s", "p", "o")), 1, 10
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        t.groupBy((F.col("g") != "").alias("is_named"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("g").alias("n_graphs"),
+            F.count_distinct("s").alias("n_subj"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("is_named")
+    )
+
+
 def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl scheduler / URL frontier (operators/frontier.py): the
     fetch log (with synthetic extra fetches and a deterministic
@@ -4014,6 +4043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_filter": q_sparql_filter,
         "q_frontier": q_frontier,
         "q_sitemap": q_sitemap,
+        "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
@@ -4878,6 +4908,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(s || chr(1) || p || chr(1) || o), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM rew GROUP BY p ORDER BY p
+        """,
+        # Named-graph semantics: the quad aggregate replayed over the
+        # materialized triples (g participates in the content pin).
+        "q_graphs": f"""
+            SELECT (g <> '') AS is_named,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_graphs,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subj,
+                   CAST(SUM(CAST('0x' || substr(md5(
+                     g || chr(1) || s || chr(1) || p || chr(1) || o),
+                     1, 10) AS BIGINT)) AS BIGINT) AS pin
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            GROUP BY 1 ORDER BY 1
         """,
         # Recrawl scheduler: fetch synthesis, the integer interval
         # estimator, and BOTH window passes (slot, then the
