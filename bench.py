@@ -145,6 +145,17 @@ def main() -> None:
         "q_profile": entrymod.q_profile,
         "q_crawl_delta": entrymod.q_crawl_delta,
         "q_sql_q5": entrymod.q_sql_q5,
+        # round-4 session-7/8 additions
+        "q_pca": entrymod.q_pca,
+        "q_rdfs_entail": entrymod.q_rdfs_entail,
+        "q_sparql": entrymod.q_sparql,
+        "q_sparql_path": entrymod.q_sparql_path,
+        "q_sparql_agg": entrymod.q_sparql_agg,
+        "q_sameas": entrymod.q_sameas,
+        "q_robots": entrymod.q_robots,
+        "q_frontier": entrymod.q_frontier,
+        "q_sitemap": entrymod.q_sitemap,
+        "q_graphs": entrymod.q_graphs,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

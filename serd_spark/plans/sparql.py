@@ -400,9 +400,16 @@ def parse_sparql(q: str) -> dict:
                 sel.append(alias[1:])
             else:
                 raise SparqlError(f"bad SELECT item {t!r}")
+    elif form == "ASK":
+        pass  # no projection; WHERE (optional keyword) follows
     else:
-        raise SparqlError(f"expected SELECT or CONSTRUCT, got {form!r}")
-    p.expect("WHERE")
+        raise SparqlError(
+            f"expected SELECT, CONSTRUCT or ASK, got {form!r}"
+        )
+    if form == "ASK" and p.peek() == "{":
+        pass  # SPARQL allows ASK {…} without the WHERE keyword
+    else:
+        p.expect("WHERE")
     elements = _parse_group(p, compound=True)
     filters = [e[1] for e in elements if e[0] == "filter"]
     values = [e[1] for e in elements if e[0] == "values"]
@@ -483,6 +490,11 @@ def parse_sparql(q: str) -> dict:
         bound.extend(v for v in evars if v not in bound)
     all_vars = _pattern_vars(elements)
     aliases = [a for _, _, _, a in aggs]
+    if form == "ASK" and (
+        aggs or group_by or star or distinct or order
+        or limit is not None or offset is not None
+    ):
+        raise SparqlError("ASK takes a plain group pattern")
     if form == "CONSTRUCT":
         if aggs or group_by or star or distinct:
             raise SparqlError("CONSTRUCT takes a plain WHERE block")
@@ -527,7 +539,7 @@ def parse_sparql(q: str) -> dict:
         # require ORDER BY so results are stable across runs/layouts
         raise SparqlError("OFFSET requires ORDER BY (and SELECT form)")
     return {
-        "form": "construct" if form == "CONSTRUCT" else "select",
+        "form": form.lower(),
         "vars": sel, "distinct": distinct, "elements": elements,
         "filters": filters, "order": order, "limit": limit,
         "offset": offset, "values": values,
@@ -701,6 +713,12 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
     for v, vals in ast["values"]:
         # inline data over a bound variable = a map-side IN filter
         plan = plan.filter(F.col(v).isin(vals))
+    if ast["form"] == "ask":
+        # EXISTS over the solution set: limit(1) short-circuits the
+        # scan once any solution is found; one boolean row out
+        return plan.limit(1).agg(
+            (F.count(F.lit(1)) > 0).alias("ask")
+        )
     if ast["form"] == "construct":
         # instantiate each template triple over the solutions; an RDF
         # graph is a SET of triples, so the union is distinct

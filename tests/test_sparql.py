@@ -458,3 +458,16 @@ def test_offset_requires_order():
             "PREFIX e: <http://ex.org/> "
             "SELECT ?x WHERE { ?x a e:Dog . } OFFSET 2"
         )
+
+
+def test_ask_form(spark):
+    tri = _triples(spark)
+    pre = "PREFIX e: <http://ex.org/> "
+    assert sparql_query(tri, pre + "ASK { ?x e:likes ?x . }").collect()[
+        0
+    ].ask is True  # the self-loop
+    assert sparql_query(
+        tri, pre + 'ASK WHERE { ?x e:name "nobody" . }'
+    ).collect()[0].ask is False
+    with pytest.raises(SparqlError, match="plain group"):
+        parse_sparql(pre + "ASK { ?x a e:Dog . } LIMIT 3")
