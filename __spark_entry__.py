@@ -2053,6 +2053,25 @@ def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (plans/sparql.py): pages with a name but no
+    review — compiled to a LEFT ANTI join on the shared variable
+    (exact under the static scope rules: ≥1 shared hard-bound var,
+    no OPTIONAL-introduced vars). The oracle replays it as NOT
+    EXISTS — two different anti-join formulations, one row set."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?page ?name WHERE {
+      ?page s:name ?name .
+      MINUS { ?page s:review ?rev . }
+    } ORDER BY ?page LIMIT 400
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
 def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:sameAs canonicalization (operators/rdfs.py) as a
     perturb-then-restore certificate: a deterministic md5-prefix rule
@@ -4041,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sameas": q_sameas,
         "q_robots": q_robots,
         "q_sparql_filter": q_sparql_filter,
+        "q_sparql_minus": q_sparql_minus,
         "q_frontier": q_frontier,
         "q_sitemap": q_sitemap,
         "q_graphs": q_graphs,
@@ -5075,6 +5095,21 @@ def oracle_sql() -> dict[str, str]:
               AND TRY_CAST(r.o AS DOUBLE) >= 2.2
               AND regexp_matches(n.o, '[24680]»$')
             ORDER BY page, rating LIMIT 200 OFFSET 10
+        """,
+        # SPARQL MINUS: the anti join replayed as NOT EXISTS.
+        "q_sparql_minus": f"""
+            WITH t AS (
+              SELECT s, p, o FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            )
+            SELECT n.s AS page, n.o AS name
+            FROM t n
+            WHERE n.p = 'http://schema.org/name'
+              AND NOT EXISTS (
+                SELECT 1 FROM t r
+                WHERE r.p = 'http://schema.org/review' AND r.s = n.s
+              )
+            ORDER BY page LIMIT 400
         """,
         # robots.txt compliance: the URL-side match replayed as a
         # LIKE join (same escape discipline as the Spark patterns)

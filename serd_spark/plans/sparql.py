@@ -17,7 +17,11 @@ type-error-drops-the-row and Spark's failed-cast-NULL agree) and
 FILTER (regex(?v, "pat")) (Java∩RE2 pattern subset), VALUES ?v
 { consts } (single-variable inline data over a bound variable — a
 map-side IN filter), OPTIONAL { patterns }, { patterns } UNION
-{ patterns }, ORDER BY, LIMIT, OFFSET (ORDER BY required — a
+{ patterns }, MINUS { patterns } (→ LEFT ANTI join on the shared
+variables, exact under the same static scope rules as OPTIONAL: at
+least one shared hard-bound variable required, OPTIONAL-introduced
+variables rejected), ASK (→ limit(1) + count>0, a short-circuiting
+EXISTS), ORDER BY, LIMIT, OFFSET (ORDER BY required — a
 distributed engine has no stable unordered sequence), and property
 paths
 in the predicate position: sequence (p1/p2 → join chain),
@@ -292,6 +296,12 @@ def _parse_group(p: "_Parser", compound: bool) -> list[tuple]:
                 raise SparqlError("nested OPTIONAL/UNION is not supported")
             p.next()
             elems.append(("optional", _parse_group(p, compound=False)))
+        elif nt.upper() == "MINUS":
+            if not compound:
+                raise SparqlError("nested OPTIONAL/UNION/MINUS "
+                                  "is not supported")
+            p.next()
+            elems.append(("minus", _parse_group(p, compound=False)))
         elif nt == "{":
             if not compound:
                 raise SparqlError("nested OPTIONAL/UNION is not supported")
@@ -459,7 +469,29 @@ def parse_sparql(q: str) -> dict:
                 f"variable ?{reused[0]} bound in OPTIONAL cannot be "
                 "mentioned by a later pattern"
             )
-        for branch in e[1:] if e[0] in ("optional", "union") else ():
+        if e[0] == "minus":
+            # MINUS compiles to a LEFT ANTI join on the shared
+            # variables — exact when (a) at least one variable is
+            # shared (SPARQL's disjoint-domain MINUS removes NOTHING,
+            # a silent no-op we reject instead) and (b) no shared
+            # variable is nullable (OPTIONAL-introduced vars are
+            # rejected: NULL never equi-matches, which would silently
+            # KEEP rows SPARQL removes)
+            mvars = _pattern_vars(e[1])
+            if not bound:
+                raise SparqlError("MINUS cannot be the first pattern")
+            if not [v for v in mvars if v in bound]:
+                raise SparqlError(
+                    "MINUS block shares no variable with the "
+                    "preceding patterns"
+                )
+            bad = [v for v in mvars if v in opt_introduced]
+            if bad:
+                raise SparqlError(
+                    f"variable ?{bad[0]} bound in OPTIONAL cannot be "
+                    "mentioned by a later pattern"
+                )
+        for branch in e[1:] if e[0] in ("optional", "union", "minus") else ():
             bvars = _pattern_vars(branch)
             for be in branch:
                 if be[0] != "filter":
@@ -694,6 +726,13 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
             scan = _compile_bgp(triples, e[1]).unionByName(
                 _compile_bgp(triples, e[2])
             )
+        elif e[0] == "minus":
+            # anti join on the shared vars (scope rules make it exact)
+            mplan = _compile_bgp(triples, e[1])
+            assert plan is not None  # parse enforces a preceding pattern
+            shared = [c for c in mplan.columns if c in plan.columns]
+            plan = plan.join(mplan, shared, "left_anti")
+            continue
         else:  # optional — left-join on the shared (already-bound) vars
             opt = _compile_bgp(triples, e[1])
             assert plan is not None  # parse enforces a preceding pattern

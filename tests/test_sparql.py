@@ -471,3 +471,47 @@ def test_ask_form(spark):
     ).collect()[0].ask is False
     with pytest.raises(SparqlError, match="plain group"):
         parse_sparql(pre + "ASK { ?x a e:Dog . } LIMIT 3")
+
+
+def test_minus_anti_join(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n WHERE {
+      ?x e:name ?n .
+      MINUS { ?x a e:Cat . }
+    } ORDER BY ?x
+    """
+    got = [(r.x, r.n) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/a", "rex")]  # the cat is removed
+
+
+def test_minus_block_vars_stay_internal(spark):
+    # ?t exists only inside MINUS: usable there, not projectable
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x WHERE {
+      ?x e:name ?n .
+      MINUS { ?x a ?t . FILTER (?t = e:Cat) }
+    } ORDER BY ?x
+    """
+    got = [r.x for r in sparql_query(_triples(spark), q).collect()]
+    assert got == ["http://ex.org/a"]
+    with pytest.raises(SparqlError, match="not bound"):
+        parse_sparql(
+            "PREFIX e: <http://ex.org/> SELECT ?t WHERE { "
+            "?x e:name ?n . MINUS { ?x a ?t . } }"
+        )
+
+
+def test_minus_scope_errors():
+    pre = "PREFIX e: <http://ex.org/> "
+    with pytest.raises(SparqlError, match="first pattern"):
+        parse_sparql(pre + "SELECT ?x WHERE { MINUS { ?x a e:C . } "
+                           "?x e:name ?n . }")
+    with pytest.raises(SparqlError, match="shares no variable"):
+        parse_sparql(pre + "SELECT ?x WHERE { ?x e:name ?n . "
+                           "MINUS { ?y a e:C . } }")
+    with pytest.raises(SparqlError, match="bound in OPTIONAL"):
+        parse_sparql(pre + "SELECT ?x WHERE { ?x e:name ?n . "
+                           "OPTIONAL { ?x a ?t . } "
+                           "MINUS { ?z a ?t . ?x e:likes ?z . } }")
