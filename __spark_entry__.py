@@ -2072,6 +2072,36 @@ def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_skolem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skolemization (operators/serialize.py::skolemize — RDF 1.1
+    §3.5): every blank node becomes a well-known genid IRI in one
+    row-local SELECT (no shuffle). Output: counts by (s_kind, o_kind)
+    plus an md5 content pin over the rewritten (s, o), so a label
+    mangled, double-prefixed or left un-skolemized breaks the hash.
+    The oracle replays the kind-guarded prefix concat from the
+    materialized triples."""
+    from serd_spark.operators.serialize import skolemize
+
+    _materialize_triples(spark, sf_dir)
+    out = skolemize(_kg_triples(spark, sf_dir))
+    pin = F.conv(
+        F.substring(F.md5(F.concat_ws("\u0001", "s", "o")), 1, 10),
+        16, 10,
+    ).cast("long")
+    return (
+        out.groupBy(
+            F.col("s_kind").cast("int").alias("sk"),
+            F.col("o_kind").cast("int").alias("ok"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("s").alias("n_subj"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("sk", "ok")
+    )
+
+
 def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:sameAs canonicalization (operators/rdfs.py) as a
     perturb-then-restore certificate: a deterministic md5-prefix rule
@@ -4061,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots": q_robots,
         "q_sparql_filter": q_sparql_filter,
         "q_sparql_minus": q_sparql_minus,
+        "q_skolem": q_skolem,
         "q_frontier": q_frontier,
         "q_sitemap": q_sitemap,
         "q_graphs": q_graphs,
@@ -5095,6 +5126,33 @@ def oracle_sql() -> dict[str, str]:
               AND TRY_CAST(r.o AS DOUBLE) >= 2.2
               AND regexp_matches(n.o, '[24680]»$')
             ORDER BY page, rating LIMIT 200 OFFSET 10
+        """,
+        # Skolemization: the kind-guarded genid prefix concat
+        # replayed over the materialized triples.
+        "q_skolem": f"""
+            WITH t AS (
+              SELECT * FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), sk AS (
+              SELECT
+                CASE WHEN s_kind = 2 THEN
+                  'https://serd-spark.invalid/.well-known/genid/' || s
+                ELSE s END AS s,
+                CAST(CASE WHEN s_kind = 2 THEN 0 ELSE s_kind END
+                     AS INTEGER) AS sk,
+                CASE WHEN o_kind = 2 THEN
+                  'https://serd-spark.invalid/.well-known/genid/' || o
+                ELSE o END AS o,
+                CAST(CASE WHEN o_kind = 2 THEN 0 ELSE o_kind END
+                     AS INTEGER) AS ok
+              FROM t
+            )
+            SELECT sk, ok, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subj,
+                   CAST(SUM(CAST('0x' || substr(md5(
+                     s || chr(1) || o), 1, 10) AS BIGINT)) AS BIGINT)
+                     AS pin
+            FROM sk GROUP BY sk, ok ORDER BY sk, ok
         """,
         # SPARQL MINUS: the anti join replayed as NOT EXISTS.
         "q_sparql_minus": f"""

@@ -235,3 +235,35 @@ def serialize_turtle_documents(
     return triples.groupBy("url").applyInPandas(
         to_doc, schema=TURTLE_DOC_SCHEMA
     )
+
+
+SKOLEM_BASE = "https://serd-spark.invalid/.well-known/genid/"
+
+
+def skolemize(triples: DataFrame, base: str = SKOLEM_BASE) -> DataFrame:
+    """Replace every blank node with a Skolem IRI (RDF 1.1 §3.5
+    well-known genid scheme): ``base + label``. Extraction labels are
+    already globally unique and a pure function of (url, island,
+    ordinal) — see extract.py::_blank — so skolemization is one
+    row-local SELECT: no joins, no shuffle, retry/layout-invariant,
+    and reversible by prefix-stripping. After this the graph has no
+    blank nodes, which makes cross-system exchange and SPARQL-over-
+    federation safe (blank labels are file-scoped in RDF; Skolem
+    IRIs are global)."""
+    def sk(term: str, kind: str):
+        return (
+            F.when(
+                F.col(kind) == 2, F.concat(F.lit(base), F.col(term))
+            ).otherwise(F.col(term)),
+            F.when(F.col(kind) == 2, F.lit(0).cast("tinyint")).otherwise(
+                F.col(kind)
+            ),
+        )
+
+    s, s_kind = sk("s", "s_kind")
+    o, o_kind = sk("o", "o_kind")
+    out = triples
+    for name, col in (("s", s), ("s_kind", s_kind),
+                      ("o", o), ("o_kind", o_kind)):
+        out = out.withColumn(name, col)
+    return out

@@ -154,3 +154,24 @@ def test_strict_mode_fails_task_on_malformed_island(spark):
     pages = spark.createDataFrame(rows, "url string, html binary")
     with pytest.raises(Exception, match="ParseError|bad|expected"):
         extract_triples(pages, lax=False).count()
+
+
+def test_skolemize_replaces_blanks(spark):
+    from serd_spark.operators.serialize import SKOLEM_BASE, skolemize
+
+    rows = [
+        ("u", 0, 0, "x", "", "e:a", 0, "e:p", "b0.1", 2, "", ""),
+        ("u", 0, 1, "x", "", "b0.1", 2, "e:q", "lit", 1, "", ""),
+    ]
+    t = spark.createDataFrame(rows, (
+        "url string, island int, stmt_ord int, syntax string, "
+        "g string, s string, s_kind tinyint, p string, "
+        "o string, o_kind tinyint, o_dt string, o_lang string"
+    ))
+    got = {r.stmt_ord: r for r in skolemize(t).collect()}
+    assert got[0].o == SKOLEM_BASE + "b0.1" and got[0].o_kind == 0
+    assert got[0].s == "e:a" and got[0].s_kind == 0  # IRIs untouched
+    assert got[1].s == SKOLEM_BASE + "b0.1" and got[1].s_kind == 0
+    assert got[1].o == "lit" and got[1].o_kind == 1  # literals untouched
+    # reversible by prefix strip: both mentions map to the SAME iri
+    assert got[0].o == got[1].s
