@@ -2102,6 +2102,22 @@ def q_skolem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_void(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID dataset description (operators/void_stats.py): the
+    self-describing statistics graph of the extracted KG — dataset
+    totals, class count, and one propertyPartition per predicate,
+    all as canonical RDF the writers/SPARQL layer can consume. The
+    oracle rebuilds every statistic and partition triple from the
+    materialized triple table with its own aggregates."""
+    from serd_spark.operators.void_stats import void_describe
+
+    _materialize_triples(spark, sf_dir)
+    g = void_describe(
+        _kg_triples(spark, sf_dir), "https://serd-spark.invalid/kg"
+    )
+    return g.orderBy("s", "p", "o")
+
+
 def q_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:sameAs canonicalization (operators/rdfs.py) as a
     perturb-then-restore certificate: a deterministic md5-prefix rule
@@ -4092,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_filter": q_sparql_filter,
         "q_sparql_minus": q_sparql_minus,
         "q_skolem": q_skolem,
+        "q_void": q_void,
         "q_frontier": q_frontier,
         "q_sitemap": q_sitemap,
         "q_graphs": q_graphs,
@@ -5153,6 +5170,57 @@ def oracle_sql() -> dict[str, str]:
                      s || chr(1) || o), 1, 10) AS BIGINT)) AS BIGINT)
                      AS pin
             FROM sk GROUP BY sk, ok ORDER BY sk, ok
+        """,
+        # VoID description: every statistic and partition triple
+        # rebuilt from the materialized triples with DuckDB's own
+        # aggregates.
+        "q_void": f"""
+            WITH t AS (
+              SELECT s, p, o FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), ds AS (SELECT 'https://serd-spark.invalid/kg' AS d)
+            SELECT s, p, o FROM (
+              SELECT d AS s,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                'http://rdfs.org/ns/void#Dataset' AS o
+              FROM ds WHERE EXISTS (SELECT 1 FROM t)
+              UNION ALL
+              SELECT d, 'http://rdfs.org/ns/void#triples',
+                     CAST(COUNT(*) AS VARCHAR) FROM t, ds GROUP BY d
+              UNION ALL
+              SELECT d, 'http://rdfs.org/ns/void#distinctSubjects',
+                     CAST(COUNT(DISTINCT s) AS VARCHAR)
+              FROM t, ds GROUP BY d
+              UNION ALL
+              SELECT d, 'http://rdfs.org/ns/void#distinctObjects',
+                     CAST(COUNT(DISTINCT o) AS VARCHAR)
+              FROM t, ds GROUP BY d
+              UNION ALL
+              SELECT d, 'http://rdfs.org/ns/void#properties',
+                     CAST(COUNT(DISTINCT p) AS VARCHAR)
+              FROM t, ds GROUP BY d
+              UNION ALL
+              SELECT d, 'http://rdfs.org/ns/void#classes',
+                     CAST(COUNT(DISTINCT o) AS VARCHAR)
+              FROM t, ds
+              WHERE p =
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              GROUP BY d
+              UNION ALL
+              SELECT d, 'http://rdfs.org/ns/void#propertyPartition',
+                     d || '/prop/' || md5(p)
+              FROM t, ds GROUP BY d, p
+              UNION ALL
+              SELECT d || '/prop/' || md5(p),
+                     'http://rdfs.org/ns/void#property', p
+              FROM t, ds GROUP BY d, p
+              UNION ALL
+              SELECT d || '/prop/' || md5(p),
+                     'http://rdfs.org/ns/void#triples',
+                     CAST(COUNT(*) AS VARCHAR)
+              FROM t, ds GROUP BY d, p
+            )
+            ORDER BY s, p, o
         """,
         # SPARQL MINUS: the anti join replayed as NOT EXISTS.
         "q_sparql_minus": f"""

@@ -153,3 +153,45 @@ def test_sameas_graph_projection_dedups_merged_rows(spark):
     graph, _ = sameas_canonicalize(t, project_graph=True)
     got = [(r.s, r.p, r.o) for r in graph.collect()]
     assert got == [("e:a", "e:p", "v")]  # the SET collapses them
+
+
+# ---------------------------------------------------------- VoID stats
+
+def test_void_describe(spark):
+    from serd_spark.operators.void_stats import RDF_TYPE, VOID, void_describe
+
+    t = spark.createDataFrame(
+        [
+            ("e:a", RDF_TYPE, "e:Dog"),
+            ("e:b", RDF_TYPE, "e:Dog"),
+            ("e:a", "e:name", "rex"),
+        ],
+        "s string, p string, o string",
+    )
+    g = {(r.s, r.p, r.o) for r in void_describe(t, "e:ds").collect()}
+    assert ("e:ds", RDF_TYPE, VOID + "Dataset") in g
+    assert ("e:ds", VOID + "triples", "3") in g
+    assert ("e:ds", VOID + "distinctSubjects", "2") in g
+    assert ("e:ds", VOID + "distinctObjects", "2") in g
+    assert ("e:ds", VOID + "properties", "2") in g
+    assert ("e:ds", VOID + "classes", "1") in g
+    # two property partitions, each with its predicate + count
+    import hashlib
+    h = hashlib.md5(RDF_TYPE.encode()).hexdigest()
+    part = "e:ds/prop/" + h
+    assert ("e:ds", VOID + "propertyPartition", part) in g
+    assert (part, VOID + "property", RDF_TYPE) in g
+    assert (part, VOID + "triples", "2") in g
+    assert len(g) == 6 + 2 * 3
+
+
+def test_void_empty_graph_has_no_type_row(spark):
+    from serd_spark.operators.void_stats import void_describe
+
+    t = spark.createDataFrame([], "s string, p string, o string")
+    rows = void_describe(t, "e:ds").collect()
+    # totals still aggregate (zeros), but no Dataset type row and no
+    # partitions for an empty graph
+    assert all(r.p.endswith(("triples", "distinctSubjects",
+                             "distinctObjects", "properties",
+                             "classes")) for r in rows)
