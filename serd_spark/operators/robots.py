@@ -98,6 +98,47 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
             for r in rules]
 
 
+def parse_sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` directives (RFC 9309 §2.3 allows them anywhere in
+    the file, outside any group; first-seen order, deduped)."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        # the value is itself a URL containing ':', so only the FIRST
+        # colon splits; re-join is unnecessary because partition
+        # keeps the remainder intact in ``val``
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in out:
+                out.append(val)
+    return out
+
+
+def robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """(host, robots_txt) → (host, ord, sitemap_url): the discovery
+    bridge from the compliance file into sitemap.py's parser. Same
+    single-Python-crossing shape as robots_rules — host table only."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, ords, urls = [], [], []
+            for host, txt in zip(pdf["host"].values,
+                                 pdf["robots_txt"].values):
+                for i, u in enumerate(parse_sitemap_urls(txt or "")):
+                    hosts.append(host)
+                    ords.append(i)
+                    urls.append(u)
+            yield pd.DataFrame(
+                {"host": hosts, "ord": ords, "sitemap_url": urls}
+            )
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        run, "host string, ord int, sitemap_url string"
+    )
+
+
 def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
     """(host, robots_txt) → flat rules table (RULES_SCHEMA) for
     ``agent``. One vectorized Python crossing over the HOST table —

@@ -136,3 +136,31 @@ def test_robots_filter_star_group_wildcards(spark):
         "https://h.example/page/123": True,
         "https://h.example/page/2": True,
     }
+
+
+def test_sitemap_directive_discovery(spark):
+    from serd_spark.operators.robots import (
+        parse_sitemap_urls,
+        robots_sitemaps,
+    )
+
+    assert parse_sitemap_urls(ROBOTS) == ["https://x.example/sitemap.xml"]
+    txt = (
+        "Sitemap: https://h.example/a.xml\n"
+        "User-agent: *\nDisallow: /\n"
+        "sitemap: https://h.example/b.xml  # case-insensitive key\n"
+        "Sitemap: https://h.example/a.xml\n"   # dedup
+        "Sitemap:\n"                            # empty value ignored
+    )
+    assert parse_sitemap_urls(txt) == [
+        "https://h.example/a.xml", "https://h.example/b.xml"
+    ]
+    df = spark.createDataFrame(
+        [("h.example", txt)], "host string, robots_txt string"
+    )
+    got = [(r.host, r.ord, r.sitemap_url)
+           for r in robots_sitemaps(df).orderBy("ord").collect()]
+    assert got == [
+        ("h.example", 0, "https://h.example/a.xml"),
+        ("h.example", 1, "https://h.example/b.xml"),
+    ]
