@@ -227,3 +227,43 @@ def test_sketch_ops_plan_shapes(spark, sf):
     assert "SortMergeJoin" not in p
     p = plan_of(em.q_bloom_decon(spark, sf))
     assert "Python" not in p and "Arrow" not in p
+
+
+def test_sparql_star_join_over_bucketed_store_is_shuffle_free(
+    spark, tmp_path
+):
+    """The SPARQL compiler's s-s star joins over the subject-bucketed
+    catalog table must plan with ZERO Exchange — the 100 TB claim in
+    plans/sparql.py's module docstring, proven end to end: SPARQL
+    text → BGP compile → bucketed-scan join, no shuffle."""
+    from serd_spark.operators.materialize import write_bucketed_table
+    from serd_spark.plans.sparql import sparql_query
+
+    rows = [
+        (f"e:s{i}", p, f"v{i}-{p[-1]}")
+        for i in range(200)
+        for p in ("e:name", "e:rating")
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    write_bucketed_table(
+        t, "tp_bt_triples", "s", 4, path=str(tmp_path / "triples")
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        q = """
+        PREFIX e: <e:>
+        SELECT ?x ?n ?r WHERE {
+          ?x <e:name> ?n .
+          ?x <e:rating> ?r .
+        }
+        """
+        out = sparql_query(spark.table("tp_bt_triples"), q)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert out.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
