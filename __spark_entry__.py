@@ -2102,6 +2102,53 @@ def q_skolem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c14n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF dataset canonicalization (RDFC-1.0, rdf/c14n.py) as a
+    perturb-and-restore certificate: each document's statements are
+    canonicalized twice — as parsed, and as an isomorphic copy with
+    every blank label md5-renamed and statement order reversed — and
+    the canonical N-Quads line sets must be byte-identical. Spark
+    emits per-document line counts, both run hashes, and the
+    isomorphism verdict; the oracle recomputes all of it from the
+    materialized lines (ASCII-escaped, so both engines' orderings
+    agree byte-for-byte). One fused Python crossing, no shuffle
+    before the per-url aggregation — blank scope is the document,
+    the exact 100 TB shape."""
+    from serd_spark.operators.serialize import c14n_lines
+    from serd_spark.sources.pages import latest_crawl
+
+    lines = c14n_lines(latest_crawl(_pages(spark, sf_dir)))
+    _materialize(sf_dir, "c14n_lines", lambda: lines)
+
+    def run_hash(tag: str):
+        return F.md5(
+            # "\n" separator: canonical lines are ASCII-escaped (a raw
+            # newline cannot occur inside one), so the join is
+            # unambiguous; DuckDB mirrors with chr(10)
+            F.concat_ws(
+                "\n",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("run") == tag, F.col("line"))
+                    )
+                ),
+            )
+        )
+
+    g = lines.groupBy("url").agg(
+        F.sum(F.when(F.col("run") == "o", 1).otherwise(0))
+        .cast("long").alias("n_o"),
+        F.sum(F.when(F.col("run") == "p", 1).otherwise(0))
+        .cast("long").alias("n_p"),
+        run_hash("o").alias("h_o"),
+        run_hash("p").alias("h_p"),
+    )
+    return g.select(
+        "url", "n_o", "n_p", "h_o", "h_p",
+        (F.col("h_o") == F.col("h_p")).cast("int").alias("iso"),
+    ).orderBy("url")
+
+
 def q_void(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VoID dataset description (operators/void_stats.py): the
     self-describing statistics graph of the extracted KG — dataset
@@ -4108,6 +4155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_filter": q_sparql_filter,
         "q_sparql_minus": q_sparql_minus,
         "q_skolem": q_skolem,
+        "q_c14n": q_c14n,
         "q_void": q_void,
         "q_frontier": q_frontier,
         "q_sitemap": q_sitemap,
@@ -5170,6 +5218,29 @@ def oracle_sql() -> dict[str, str]:
                      s || chr(1) || o), 1, 10) AS BIGINT)) AS BIGINT)
                      AS pin
             FROM sk GROUP BY sk, ok ORDER BY sk, ok
+        """,
+        # RDFC-1.0 certificate: per-document run hashes and the
+        # isomorphism verdict recomputed from the materialized
+        # canonical lines (ASCII-only, so binary UTF-8 ORDER BY here
+        # equals Spark's array_sort ordering byte-for-byte).
+        "q_c14n": f"""
+            WITH l AS (
+              SELECT * FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/c14n_lines/*.parquet')
+            ), g AS (
+              SELECT url,
+                CAST(COUNT(*) FILTER (WHERE run = 'o') AS BIGINT) AS n_o,
+                CAST(COUNT(*) FILTER (WHERE run = 'p') AS BIGINT) AS n_p,
+                md5(COALESCE(string_agg(line, chr(10) ORDER BY line)
+                    FILTER (WHERE run = 'o'), '')) AS h_o,
+                md5(COALESCE(string_agg(line, chr(10) ORDER BY line)
+                    FILTER (WHERE run = 'p'), '')) AS h_p
+              FROM l GROUP BY url
+            )
+            SELECT url, n_o, n_p, h_o, h_p,
+                   CAST(CASE WHEN h_o = h_p THEN 1 ELSE 0 END
+                        AS INTEGER) AS iso
+            FROM g ORDER BY url
         """,
         # VoID description: every statistic and partition triple
         # rebuilt from the materialized triples with DuckDB's own

@@ -156,6 +156,8 @@ def main() -> None:
         "q_frontier": entrymod.q_frontier,
         "q_sitemap": entrymod.q_sitemap,
         "q_graphs": entrymod.q_graphs,
+        # round-4 session-9 additions
+        "q_c14n": entrymod.q_c14n,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -267,3 +267,84 @@ def skolemize(triples: DataFrame, base: str = SKOLEM_BASE) -> DataFrame:
                       ("o", o), ("o_kind", o_kind)):
         out = out.withColumn(name, col)
     return out
+
+
+C14N_SCHEMA = "url string, run string, line string"
+
+
+def c14n_lines(pages: DataFrame) -> DataFrame:
+    """RDFC-1.0 canonicalization per document, emitted as a
+    perturb-and-restore certificate (rdf/c14n.py).
+
+    For each page: extract its embedded RDF, canonicalize twice —
+    run 'o' on the statements as parsed, run 'p' on a deliberately
+    perturbed isomorphic copy (every blank label renamed to
+    md5(url + label), statement order reversed) — and emit one row
+    per canonical N-Quads line per run. RDFC-1.0's defining property
+    is that both runs produce byte-identical line sets; the oracle
+    re-derives the per-document hashes and the equality verdict from
+    the materialized lines independently.
+
+    Shape: extraction + both canonicalizations fused into ONE
+    mapInPandas crossing, no shuffle — blank-node scope is the
+    document, so per-document c14n is embarrassingly parallel and
+    this is exactly the 100 TB plan. A document that trips the
+    adversarial work bounds (C14nLimitError) emits a single run 'e'
+    marker row instead of pinning an executor.
+    """
+    from collections.abc import Iterator
+
+    from serd_spark.operators.extract import _jsonld_loader
+    from serd_spark.rdf.c14n import C14nLimitError, canonical_nquads
+    from serd_spark.rdf.html_islands import extract_document
+    from serd_spark.rdf.model import Statement, blank
+
+    def _relabel(stmts: list[Statement], url: str) -> list[Statement]:
+        import hashlib
+
+        def m(t):
+            if t is None or t.kind != BLANK:
+                return t
+            return blank(
+                hashlib.md5((url + t.value).encode()).hexdigest()
+            )
+
+        return [
+            Statement(m(s.subject), s.predicate, m(s.object), m(s.graph))
+            for s in stmts
+        ][::-1]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        loader = _jsonld_loader()
+        for pdf in batches:
+            urls: list[str] = []
+            runs: list[str] = []
+            lines: list[str] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (
+                    html.decode("utf-8", errors="replace")
+                    if isinstance(html, (bytes, bytearray))
+                    else str(html)
+                )
+                triples, _errs = extract_document(
+                    text, url, lax=True, jsonld_context_loader=loader
+                )
+                stmts = [st for _, _, st in triples]
+                if not stmts:
+                    continue
+                try:
+                    for tag, batch in (
+                        ("o", canonical_nquads(stmts)),
+                        ("p", canonical_nquads(_relabel(stmts, url))),
+                    ):
+                        for line in batch:
+                            urls.append(url)
+                            runs.append(tag)
+                            lines.append(line)
+                except C14nLimitError as e:
+                    urls.append(url)
+                    runs.append("e")
+                    lines.append(str(e))
+            yield pd.DataFrame({"url": urls, "run": runs, "line": lines})
+
+    return pages.select("url", "html").mapInPandas(run, schema=C14N_SCHEMA)
