@@ -2072,6 +2072,53 @@ def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND (plans/sparql.py): computed columns at their
+    written position — a string pipeline (CONCAT/UCASE over the
+    name) and an arithmetic rescale of the rating (try_cast double,
+    so a non-numeric rating unbinds rather than erroring, matching
+    SPARQL). Both BIND targets feed the SELECT list and the rescale
+    feeds a later FILTER, proving bind→filter written-order scope.
+    Floats cross engines as round(x, 6) per the repo float
+    discipline; the oracle replays the expressions in SQL."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?page ?shout ?score WHERE {
+      ?page s:name ?name .
+      ?page s:ratingValue ?rating .
+      BIND (CONCAT(UCASE(?name), "!") AS ?shout)
+      BIND (?rating * 10 - 5 AS ?score)
+      FILTER (?score >= 20)
+    } ORDER BY ?page LIMIT 300
+    """
+    out = sparql_query(_kg_triples(spark, sf_dir), q)
+    return out.withColumn("score", F.round("score", 6))
+
+
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (plans/sparql.py): the concise subject
+    description of every page rated ≥ 4.5 — the solution projection
+    is a distinct page set joined back as subject against the whole
+    triple table (broadcast-sized build side). The oracle replays it
+    as a semi-join; ordering pinned in both engines."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    DESCRIBE ?page WHERE {
+      ?page s:ratingValue ?r .
+      FILTER (?r >= 4.5)
+    }
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q).orderBy(
+        "s", "p", "o"
+    )
+
+
 def q_skolem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skolemization (operators/serialize.py::skolemize — RDF 1.1
     §3.5): every blank node becomes a well-known genid IRI in one
@@ -4154,6 +4201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots": q_robots,
         "q_sparql_filter": q_sparql_filter,
         "q_sparql_minus": q_sparql_minus,
+        "q_sparql_bind": q_sparql_bind,
+        "q_sparql_describe": q_sparql_describe,
         "q_skolem": q_skolem,
         "q_c14n": q_c14n,
         "q_void": q_void,
@@ -5191,6 +5240,40 @@ def oracle_sql() -> dict[str, str]:
               AND TRY_CAST(r.o AS DOUBLE) >= 2.2
               AND regexp_matches(n.o, '[24680]»$')
             ORDER BY page, rating LIMIT 200 OFFSET 10
+        """,
+        # SPARQL BIND: the computed columns (string pipeline +
+        # arithmetic rescale) and the bind-fed filter replayed in
+        # SQL. Floats cross as round(x, 6); the filter applies to
+        # the UNROUNDED value on both engines.
+        "q_sparql_bind": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            )
+            SELECT n.s AS page,
+                   upper(n.o) || '!' AS shout,
+                   ROUND(TRY_CAST(v.o AS DOUBLE) * 10 - 5, 6) AS score
+            FROM t n
+            JOIN t v ON v.s = n.s
+            WHERE n.p = 'http://schema.org/name'
+              AND v.p = 'http://schema.org/ratingValue'
+              AND (TRY_CAST(v.o AS DOUBLE) * 10 - 5) >= 20
+            ORDER BY page LIMIT 300
+        """,
+        # SPARQL DESCRIBE: the distinct described-resource set
+        # joined back as subject, replayed as a semi-join.
+        "q_sparql_describe": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            )
+            SELECT s, p, o FROM t
+            WHERE s IN (
+              SELECT DISTINCT s FROM t
+              WHERE p = 'http://schema.org/ratingValue'
+                AND TRY_CAST(o AS DOUBLE) >= 4.5
+            )
+            ORDER BY s, p, o
         """,
         # Skolemization: the kind-guarded genid prefix concat
         # replayed over the materialized triples.

@@ -20,8 +20,16 @@ map-side IN filter), OPTIONAL { patterns }, { patterns } UNION
 { patterns }, MINUS { patterns } (→ LEFT ANTI join on the shared
 variables, exact under the same static scope rules as OPTIONAL: at
 least one shared hard-bound variable required, OPTIONAL-introduced
-variables rejected), ASK (→ limit(1) + count>0, a short-circuiting
-EXISTS), ORDER BY, LIMIT, OFFSET (ORDER BY required — a
+variables rejected), BIND (expr AS ?v) (→ withColumn at its written
+position: arithmetic +,-,*,/ over try_cast('double') operands — so
+SPARQL's type-error-unbinds and Spark's failed-cast NULL agree — and
+CONCAT/STR/STRLEN/UCASE/LCASE over the lexical encodings; the target
+must be fresh and expression variables bound by written order), ASK
+(→ limit(1) + count>0, a short-circuiting
+EXISTS), DESCRIBE ?v WHERE {…} / DESCRIBE <iri> (→ distinct solution
+projection joined back as SUBJECT against the triple table — the
+concise subject-description form), ORDER BY, LIMIT, OFFSET (ORDER BY
+required — a
 distributed engine has no stable unordered sequence), and property
 paths
 in the predicate position: sequence (p1/p2 → join chain),
@@ -87,7 +95,7 @@ _TOKEN = re.compile(
           |UNION|GROUP|ORDER|BY|LIMIT|ASC|DESC|COUNT|MIN|MAX|AS|A)\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,])
+  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,-])
     """,
     re.VERBOSE | re.IGNORECASE,
 )
@@ -212,6 +220,118 @@ class _Parser:
 _FILTER_OPS = ("=", "!=", "<", ">", "<=", ">=")
 _NUM_LIT = re.compile(r"-?[0-9]+(\.[0-9]+)?")
 
+# BIND expression functions: name → arity (None = variadic, 2+)
+_EXPR_FNS = {"CONCAT": None, "STR": 1, "STRLEN": 1, "UCASE": 1,
+             "LCASE": 1}
+
+
+def _parse_expr(p: "_Parser"):
+    """BIND expression grammar: additive over multiplicative over
+    primary (var | number | "literal" | fn(...) | parenthesized).
+    AST nodes: ('var', name) | ('num', text) | ('str', text) |
+    ('op', op, lhs, rhs) | ('fn', NAME, [args]).
+
+    Binary minus: the tokenizer folds '-' into a following numeric
+    literal (the sign belongs to the number token), so ``?x - 2``
+    arrives as ``?x``, ``-2`` — the additive loop accepts a leading-
+    minus numeric literal as an implicit '+ (-n)' step."""
+    node = _parse_mul(p)
+    while True:
+        nt = p.peek()
+        if nt in ("+", "-"):
+            op = p.next()
+            node = ("op", op, node, _parse_mul(p))
+        elif (
+            nt is not None
+            and nt.startswith("-")
+            and _NUM_LIT.fullmatch(nt)
+        ):
+            node = ("op", "+", node, _parse_mul(p))
+        else:
+            return node
+
+
+def _parse_mul(p: "_Parser"):
+    node = _parse_primary(p)
+    while p.peek() in ("*", "/"):
+        op = p.next()
+        node = ("op", op, node, _parse_primary(p))
+    return node
+
+
+def _parse_primary(p: "_Parser"):
+    t = p.peek()
+    if t is None:
+        raise SparqlError("unterminated BIND expression")
+    if t == "(":
+        p.next()
+        node = _parse_expr(p)
+        p.expect(")")
+        return node
+    if t.upper() in _EXPR_FNS:
+        name = p.next().upper()
+        p.expect("(")
+        args = [_parse_expr(p)]
+        while p.peek() == ",":
+            p.next()
+            args.append(_parse_expr(p))
+        p.expect(")")
+        arity = _EXPR_FNS[name]
+        if arity is not None and len(args) != arity:
+            raise SparqlError(f"{name}() takes {arity} argument(s)")
+        if name == "CONCAT" and len(args) < 2:
+            raise SparqlError("CONCAT() takes 2+ arguments")
+        return ("fn", name, args)
+    if t.startswith("?"):
+        return ("var", p.next()[1:])
+    if t.startswith('"'):
+        return ("str", p.term().value)
+    if _NUM_LIT.fullmatch(t):
+        return ("num", p.next())
+    raise SparqlError(f"cannot parse expression token {t!r}")
+
+
+def _expr_vars(e) -> list[str]:
+    k = e[0]
+    if k == "var":
+        return [e[1]]
+    if k == "op":
+        return _expr_vars(e[2]) + _expr_vars(e[3])
+    if k == "fn":
+        return [v for a in e[2] for v in _expr_vars(a)]
+    return []
+
+
+def _compile_expr(e):
+    """Expression AST → Column. Arithmetic coerces operands with
+    try_cast('double') — SPARQL's type-error-makes-the-var-unbound
+    and Spark's failed-cast NULL agree (the FILTER discipline);
+    string functions operate on the canonical lexical encodings
+    directly, so STR() is the identity on this table."""
+    k = e[0]
+    if k == "var":
+        return F.col(e[1])
+    if k == "num":
+        return F.lit(float(e[1]))
+    if k == "str":
+        return F.lit(e[1])
+    if k == "op":
+        lc = _compile_expr(e[2]).try_cast("double")
+        rc = _compile_expr(e[3]).try_cast("double")
+        return {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+        }[e[1]]
+    name, args = e[1], [_compile_expr(a) for a in e[2]]
+    if name == "CONCAT":
+        return F.concat(*[a.cast("string") for a in args])
+    if name == "STR":
+        return args[0].cast("string")
+    if name == "STRLEN":
+        return F.length(args[0].cast("string")).cast("long")
+    if name == "UCASE":
+        return F.upper(args[0].cast("string"))
+    return F.lower(args[0].cast("string"))
+
 
 def _parse_filter(p: "_Parser") -> tuple[str, str, _Term]:
     """FILTER (?v op term) with op in =/!=/</>/<=/>=, or
@@ -291,6 +411,24 @@ def _parse_group(p: "_Parser", compound: bool) -> list[tuple]:
             if not vals:
                 raise SparqlError("empty VALUES block")
             elems.append(("values", (v.value, vals)))
+        elif nt.upper() == "BIND":
+            # BIND(expr AS ?v): a computed column at this position in
+            # the written pattern order. Top level only — inside an
+            # OPTIONAL/UNION branch the null/compatibility story
+            # changes and we reject rather than approximate.
+            if not compound:
+                raise SparqlError(
+                    "BIND inside OPTIONAL/UNION is not supported"
+                )
+            p.next()
+            p.expect("(")
+            expr = _parse_expr(p)
+            p.expect("AS")
+            v = p.term()
+            if v.kind != "var":
+                raise SparqlError("BIND target must be a ?var")
+            p.expect(")")
+            elems.append(("bind", (v.value, expr)))
         elif nt.upper() == "OPTIONAL":
             if not compound:
                 raise SparqlError("nested OPTIONAL/UNION is not supported")
@@ -332,6 +470,9 @@ def _pattern_vars(elems: list[tuple]) -> list[str]:
                         and t.value not in out
                     ):
                         out.append(t.value)
+            elif e[0] == "bind":
+                if e[1][0] not in out:
+                    out.append(e[1][0])
             elif e[0] == "optional":
                 walk(e[1])
             elif e[0] == "union":
@@ -412,15 +553,24 @@ def parse_sparql(q: str) -> dict:
                 raise SparqlError(f"bad SELECT item {t!r}")
     elif form == "ASK":
         pass  # no projection; WHERE (optional keyword) follows
+    elif form == "DESCRIBE":
+        describe = p.term()
+        if describe.kind not in ("var", "const"):
+            raise SparqlError("DESCRIBE takes a ?var or an <iri>")
     else:
         raise SparqlError(
-            f"expected SELECT, CONSTRUCT or ASK, got {form!r}"
+            f"expected SELECT, CONSTRUCT, DESCRIBE or ASK, got {form!r}"
         )
-    if form == "ASK" and p.peek() == "{":
-        pass  # SPARQL allows ASK {…} without the WHERE keyword
+    if form != "DESCRIBE":
+        describe = None
+    if form == "DESCRIBE" and describe.kind == "const" and p.peek() is None:
+        elements = []  # bare DESCRIBE <iri> — no pattern needed
     else:
-        p.expect("WHERE")
-    elements = _parse_group(p, compound=True)
+        if p.peek() == "{" and form in ("ASK", "DESCRIBE"):
+            pass  # SPARQL allows ASK/DESCRIBE {…} without WHERE
+        else:
+            p.expect("WHERE")
+        elements = _parse_group(p, compound=True)
     filters = [e[1] for e in elements if e[0] == "filter"]
     values = [e[1] for e in elements if e[0] == "values"]
     elements = [e for e in elements if e[0] not in ("filter", "values")]
@@ -456,12 +606,35 @@ def parse_sparql(q: str) -> dict:
             offset = int(p.next())
         else:
             raise SparqlError(f"unexpected trailing token {t!r}")
-    if not elements:
+    if not elements and not (
+        form == "DESCRIBE" and describe is not None
+        and describe.kind == "const"
+    ):
         raise SparqlError("empty WHERE block")
     # scope rules that keep left-join/union compilation exact
     bound: list[str] = []
     opt_introduced: set[str] = set()
     for e in elements:
+        if e[0] == "bind":
+            # target must be fresh; expression variables must already
+            # be bound by WRITTEN order (OPTIONAL-introduced ones are
+            # fine: SPARQL's type-error-on-unbound makes the target
+            # unbound, and Spark's NULL propagation agrees)
+            bv, bexpr = e[1]
+            if not bound:
+                raise SparqlError("BIND cannot be the first pattern")
+            if bv in bound or bv in opt_introduced:
+                raise SparqlError(f"BIND target ?{bv} is already bound")
+            missing = [
+                v for v in _expr_vars(bexpr)
+                if v not in bound and v not in opt_introduced
+            ]
+            if missing:
+                raise SparqlError(
+                    f"BIND expression uses unbound ?{missing[0]}"
+                )
+            bound.append(bv)
+            continue
         evars = _pattern_vars([e])
         reused = [v for v in evars if v in opt_introduced]
         if reused:
@@ -527,6 +700,16 @@ def parse_sparql(q: str) -> dict:
         or limit is not None or offset is not None
     ):
         raise SparqlError("ASK takes a plain group pattern")
+    if form == "DESCRIBE":
+        if (
+            aggs or group_by or star or distinct or order
+            or limit is not None or offset is not None
+        ):
+            raise SparqlError("DESCRIBE takes a plain group pattern")
+        if describe.kind == "var" and describe.value not in all_vars:
+            raise SparqlError(
+                f"DESCRIBE variable ?{describe.value} not bound in WHERE"
+            )
     if form == "CONSTRUCT":
         if aggs or group_by or star or distinct:
             raise SparqlError("CONSTRUCT takes a plain WHERE block")
@@ -576,6 +759,7 @@ def parse_sparql(q: str) -> dict:
         "filters": filters, "order": order, "limit": limit,
         "offset": offset, "values": values,
         "aggs": aggs, "group_by": group_by, "template": template,
+        "describe": describe,
     }
 
 
@@ -733,6 +917,11 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
             shared = [c for c in mplan.columns if c in plan.columns]
             plan = plan.join(mplan, shared, "left_anti")
             continue
+        elif e[0] == "bind":
+            # computed column at this position; row-local, no shuffle
+            assert plan is not None  # parse enforces a preceding pattern
+            plan = plan.withColumn(e[1][0], _compile_expr(e[1][1]))
+            continue
         else:  # optional — left-join on the shared (already-bound) vars
             opt = _compile_bgp(triples, e[1])
             assert plan is not None  # parse enforces a preceding pattern
@@ -746,6 +935,24 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
             plan = (
                 plan.join(scan, shared) if shared else plan.crossJoin(scan)
             )
+    if ast["form"] == "describe":
+        # concise description: all triples whose SUBJECT is a
+        # described resource (the common implementation choice; the
+        # spec leaves the result form to the service). The resource
+        # set is a distinct projection of the solutions — small, so
+        # AQE broadcasts it against the triple table.
+        d = ast["describe"]
+        if d.kind == "const":
+            base = triples.filter(F.col("s") == d.value)
+        else:
+            assert plan is not None
+            for flt in ast["filters"]:
+                plan = _apply_filter(plan, flt)
+            for v, vals in ast["values"]:
+                plan = plan.filter(F.col(v).isin(vals))
+            res = plan.select(F.col(d.value).alias("s")).distinct()
+            base = triples.join(res, "s")
+        return base.select("s", "p", "o")
     assert plan is not None
     for flt in ast["filters"]:
         plan = _apply_filter(plan, flt)

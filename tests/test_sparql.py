@@ -515,3 +515,117 @@ def test_minus_scope_errors():
         parse_sparql(pre + "SELECT ?x WHERE { ?x e:name ?n . "
                            "OPTIONAL { ?x a ?t . } "
                            "MINUS { ?z a ?t . ?x e:likes ?z . } }")
+
+
+def test_bind_arithmetic(spark):
+    # numeric table: rating strings; x2 + 1 computed per row
+    rows = [("e1", "e:r", "2.5"), ("e2", "e:r", "4.0"), ("e3", "e:r", "x")]
+    t = spark.createDataFrame(
+        [(s, "http://ex.org/r", o) for s, _, o in rows],
+        "s string, p string, o string",
+    )
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?twice WHERE {
+      ?x e:r ?r .
+      BIND (?r * 2 + 1 AS ?twice)
+    } ORDER BY ?x
+    """
+    got = [(r.x, r.twice) for r in sparql_query(t, q).collect()]
+    # non-numeric 'x' -> type error -> unbound (NULL), row kept
+    assert got == [("e1", 6.0), ("e2", 9.0), ("e3", None)]
+
+
+def test_bind_minus_and_division(spark):
+    t = spark.createDataFrame(
+        [("e1", "http://ex.org/r", "10")], "s string, p string, o string"
+    )
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?v WHERE { ?x e:r ?r . BIND (?r / 4 - 2 AS ?v) }
+    """
+    assert [r.v for r in sparql_query(t, q).collect()] == [0.5]
+
+
+def test_bind_strings(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?label ?len WHERE {
+      ?x e:name ?n .
+      BIND (CONCAT(UCASE(?n), "!") AS ?label)
+      BIND (STRLEN(?n) AS ?len)
+    } ORDER BY ?label
+    """
+    got = [(r.label, r.len) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("REX!", 3), ("TOM!", 3)]
+
+
+def test_bind_used_by_later_filter_and_order(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?u WHERE {
+      ?x e:name ?n .
+      BIND (UCASE(?n) AS ?u)
+      FILTER (?u = "REX")
+    }
+    """
+    got = [(r.x, r.u) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/a", "REX")]
+
+
+def test_bind_scope_errors():
+    base = "PREFIX e: <http://ex.org/> SELECT ?x WHERE { %s }"
+    with pytest.raises(SparqlError, match="first pattern"):
+        parse_sparql(base % 'BIND (1 + 1 AS ?x)')
+    with pytest.raises(SparqlError, match="already bound"):
+        parse_sparql(base % '?x e:name ?n . BIND (2 AS ?n)')
+    with pytest.raises(SparqlError, match="unbound"):
+        parse_sparql(base % '?x e:name ?n . BIND (?zz * 2 AS ?y)')
+    with pytest.raises(SparqlError, match="target must be"):
+        parse_sparql(base % '?x e:name ?n . BIND (2 AS "lit")')
+
+
+def test_describe_var(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    DESCRIBE ?x WHERE { ?x e:name "rex" }
+    """
+    got = sorted(
+        (r.s, r.p, r.o) for r in sparql_query(_triples(spark), q).collect()
+    )
+    assert got == [
+        ("http://ex.org/a", "http://ex.org/likes", "http://ex.org/b"),
+        ("http://ex.org/a", "http://ex.org/name", "rex"),
+        (
+            "http://ex.org/a",
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://ex.org/Dog",
+        ),
+    ]
+
+
+def test_describe_bare_iri(spark):
+    q = "DESCRIBE <http://ex.org/b>"
+    got = sorted(
+        (r.p, r.o) for r in sparql_query(_triples(spark), q).collect()
+    )
+    assert got == [
+        ("http://ex.org/likes", "http://ex.org/b"),
+        ("http://ex.org/name", "tom"),
+        (
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://ex.org/Cat",
+        ),
+    ]
+
+
+def test_describe_errors():
+    with pytest.raises(SparqlError, match="not bound"):
+        parse_sparql(
+            "PREFIX e: <http://ex.org/> DESCRIBE ?z WHERE { ?x e:name ?n }"
+        )
+    with pytest.raises(SparqlError, match="plain group pattern"):
+        parse_sparql(
+            "PREFIX e: <http://ex.org/> DESCRIBE ?x WHERE "
+            "{ ?x e:name ?n } LIMIT 5"
+        )
