@@ -1589,6 +1589,48 @@ def q_mm_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (operators/exif_codec.py): real APP1
+    segments (TIFF IFD0 + Exif sub-IFD, alternating II/MM byte
+    order) spliced into real JPEGs, parsed back byte-level by the
+    bounded IFD walker, aggregated per tag with a per-row
+    (media_id, value) content pin. Every tag value is closed-form in
+    the media id, so the oracle regenerates ALL expected rows from
+    generate_series without touching a payload byte — a full
+    encode→parse certificate. Map-side only until the bounded-key
+    tag aggregation."""
+    from serd_spark.operators.multimodal import (
+        exif_tags,
+        synthesize_media_exif,
+    )
+
+    media = synthesize_media_exif(
+        spark, max(64, _n_pages(sf_dir) // 64)
+    )
+    tags = exif_tags(media)
+    pin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\u0001",
+                    F.col("media_id").cast("string"), "value"
+                )
+            ),
+            1, 10,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        tags.groupBy("ifd", "name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("value").alias("n_vals"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("ifd", "name")
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters without a full-vocabulary shuffle
     (stats.py::heavy_hitters): a count-min pass finds candidate
@@ -4183,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_dhash": q_mm_dhash,
         "q_mm_vp8": q_mm_vp8,
         "q_mm_audio": q_mm_audio,
+        "q_mm_exif": q_mm_exif,
         "q_heavy_hitters": q_heavy_hitters,
         "q_pair_mining": q_pair_mining,
         "q_crawl": q_crawl,
@@ -5240,6 +5283,50 @@ def oracle_sql() -> dict[str, str]:
               AND TRY_CAST(r.o AS DOUBLE) >= 2.2
               AND regexp_matches(n.o, '[24680]»$')
             ORDER BY page, rating LIMIT 200 OFFSET 10
+        """,
+        # EXIF certificate: every expected (media_id, ifd, name,
+        # value) row regenerated from the generator's closed-form
+        # formulas over generate_series — no payload byte read — and
+        # aggregated identically (per-row md5 pin over
+        # media_id||chr(1)||value).
+        "q_mm_exif": f"""
+            WITH ids AS (
+              SELECT unnest(generate_series(
+                0, {max(64, int(200_000 * 0.01) // 64) - 1})) AS i
+            ), rows_ AS (
+              SELECT i AS media_id, 'ifd0' AS ifd, 'Make' AS name,
+                     'Cam' || CAST(i % 7 AS VARCHAR) AS value FROM ids
+              UNION ALL
+              SELECT i, 'ifd0', 'Model',
+                     'M' || CAST(i % 13 AS VARCHAR) FROM ids
+              UNION ALL
+              SELECT i, 'ifd0', 'Orientation',
+                     CAST(1 + i % 8 AS VARCHAR) FROM ids
+              UNION ALL
+              SELECT i, 'ifd0', 'XResolution',
+                     CAST(72 + (i % 4) * 24 AS VARCHAR) || '/1' FROM ids
+              UNION ALL
+              SELECT i, 'ifd0', 'DateTime',
+                     '2020:01:' ||
+                     lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0') ||
+                     ' 12:' || lpad(CAST(i % 60 AS VARCHAR), 2, '0') ||
+                     ':00' FROM ids
+              UNION ALL
+              SELECT i, 'exif', 'ExposureTime',
+                     '1/' || CAST(30 + i % 30 AS VARCHAR) FROM ids
+              UNION ALL
+              SELECT i, 'exif', 'ISOSpeedRatings',
+                     CAST(100 + (i % 8) * 50 AS VARCHAR) FROM ids
+              UNION ALL
+              SELECT i, 'exif', 'PixelXDimension',
+                     CAST(8 + (i * 37) % 24 AS VARCHAR) FROM ids
+            )
+            SELECT ifd, name, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT value) AS BIGINT) AS n_vals,
+                   CAST(SUM(CAST('0x' || substr(md5(
+                     CAST(media_id AS VARCHAR) || chr(1) || value),
+                     1, 10) AS BIGINT)) AS BIGINT) AS pin
+            FROM rows_ GROUP BY ifd, name ORDER BY ifd, name
         """,
         # SPARQL BIND: the computed columns (string pipeline +
         # arithmetic rescale) and the bind-fed filter replayed in

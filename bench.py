@@ -158,6 +158,7 @@ def main() -> None:
         "q_graphs": entrymod.q_graphs,
         # round-4 session-9 additions
         "q_c14n": entrymod.q_c14n,
+        "q_mm_exif": entrymod.q_mm_exif,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

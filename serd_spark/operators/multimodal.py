@@ -1933,3 +1933,99 @@ def audio_energy(
     return src.mapInPandas(
         run, schema=f"{id_col} long, win long, n_samples long, energy long"
     )
+
+
+def synthesize_media_exif(
+    spark, n_rows: int, seed: int = 42, partitions: int = 8
+) -> DataFrame:
+    """Deterministic JPEG+EXIF table for the metadata-extraction
+    contract: per row ``i`` a real baseline JPEG (pixels a pure
+    function of (seed, i)) with a real APP1 Exif segment spliced in
+    after SOI — IFD0 (Make/Model/Orientation/XResolution/DateTime)
+    plus an Exif sub-IFD (ExposureTime/ISO/PixelXDimension), all
+    values closed-form in ``i`` so the oracle can regenerate every
+    expected tag without touching a payload byte. Byte order
+    alternates II/MM per row, so both endiannesses are parsed."""
+    base = spark.range(0, n_rows, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serd_spark.operators.exif_codec import (
+            encode_exif_app1,
+            inject_app1,
+        )
+        from serd_spark.operators.jpeg_codec import encode_jpeg
+
+        for pdf in batches:
+            c_id, c_payload = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 8 + (i * 37) % 24, 8 + (i * 53) % 16
+                digest = hashlib.blake2b(
+                    f"{seed}:exif:{i}".encode(), digest_size=32
+                ).digest()
+                need, out, c = w * h * 3, b"", 0
+                while len(out) < need:
+                    out += hashlib.blake2b(
+                        digest + c.to_bytes(4, "big"), digest_size=32
+                    ).digest()
+                    c += 1
+                px = np.frombuffer(out[:need], dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                app1 = encode_exif_app1(
+                    [
+                        (0x010F, 2, f"Cam{i % 7}"),
+                        (0x0110, 2, f"M{i % 13}"),
+                        (0x0112, 3, 1 + i % 8),
+                        (0x011A, 5, (72 + (i % 4) * 24, 1)),
+                        (0x0132, 2,
+                         f"2020:01:{1 + i % 28:02d} 12:{i % 60:02d}:00"),
+                    ],
+                    [
+                        (0x829A, 5, (1, 30 + i % 30)),
+                        (0x8827, 3, 100 + (i % 8) * 50),
+                        (0xA002, 4, w),
+                    ],
+                    little_endian=(i % 2 == 0),
+                )
+                c_id.append(i)
+                c_payload.append(
+                    inject_app1(
+                        encode_jpeg(px, quality=90, subsample=True), app1
+                    )
+                )
+            yield pd.DataFrame({"media_id": c_id, "payload": c_payload})
+
+    return base.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+EXIF_TAGS_SCHEMA = "media_id long, ifd string, tag int, name string, value string"
+
+
+def exif_tags(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Parse the Exif APP1 of every JPEG payload → one row per tag
+    (bounded walk, exif_codec.parse_exif). Pure map-side: metadata
+    extraction at corpus scale never shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serd_spark.operators.exif_codec import parse_exif
+
+        for pdf in batches:
+            c_id, c_ifd, c_tag, c_name, c_val = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                for ifd, tag, name, value in parse_exif(bytes(payload)):
+                    c_id.append(int(mid))
+                    c_ifd.append(ifd)
+                    c_tag.append(tag)
+                    c_name.append(name)
+                    c_val.append(value)
+            yield pd.DataFrame(
+                {
+                    "media_id": c_id, "ifd": c_ifd, "tag": c_tag,
+                    "name": c_name, "value": c_val,
+                }
+            )
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, schema=EXIF_TAGS_SCHEMA
+    )
