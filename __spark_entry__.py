@@ -2660,6 +2660,38 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (operators/corpus.py::anchor_text):
+    what other pages call a URL — per-target anchor phrase counts
+    with a deterministic top-3 rank (WindowGroupLimit map-side cap).
+    The link corpus is synthesized in-plan from doc ids (the
+    q_url_canon precedent): 5 anchors per doc with Mixed-Case text,
+    every value closed-form in (id, k) so the oracle regenerates the
+    whole pair set in SQL. Extraction is pure JVM regex; only
+    (dst, anchor, count) rows cross a shuffle."""
+    from serd_spark.operators.corpus import anchor_text
+
+    n = max(200, _n_pages(sf_dir))
+    base = spark.range(0, n, 1, 32)
+    parts = []
+    for k in range(5):
+        j = F.col("id") * 5 + F.lit(k)
+        parts.append(
+            F.format_string(
+                '<a class="x" href="http://site%d.example/page/%d">'
+                "Term%d W%d</a>",
+                j % 23, j % 51, j % 11, j % 13,
+            )
+        )
+    docs = base.select(
+        "id",
+        F.concat(F.lit("<html>"), *parts, F.lit("</html>")).alias("html"),
+    )
+    return anchor_text(docs, html_col="html", top_k=3).orderBy(
+        "dst", "rank"
+    )
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level web link graph (corpus.py::host_graph): anchor
     hrefs extracted with one codegen'd regexp_extract_all over the
@@ -4196,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_line_dedup": q_line_dedup,
         "q_host_graph": q_host_graph,
+        "q_anchor_text": q_anchor_text,
         "q_host_rank": q_host_rank,
         "q_hits": q_hits,
         "q_domain_cap": q_domain_cap,
@@ -5283,6 +5316,36 @@ def oracle_sql() -> dict[str, str]:
               AND TRY_CAST(r.o AS DOUBLE) >= 2.2
               AND regexp_matches(n.o, '[24680]»$')
             ORDER BY page, rating LIMIT 200 OFFSET 10
+        """,
+        # Anchor text: the synthesized (dst, anchor) pair set
+        # regenerated from the (id, k) formulas, counted, and
+        # top-3-ranked with the same (n DESC, anchor) tie-break.
+        "q_anchor_text": f"""
+            WITH ids AS (
+              SELECT unnest(generate_series(
+                0, {max(200, int(200_000 * 0.01)) - 1})) AS i
+            ), ks AS (
+              SELECT unnest(generate_series(0, 4)) AS k
+            ), pairs AS (
+              SELECT
+                'http://site' || CAST((i*5+k) % 23 AS VARCHAR) ||
+                '.example/page/' || CAST((i*5+k) % 51 AS VARCHAR)
+                  AS dst,
+                'term' || CAST((i*5+k) % 11 AS VARCHAR) ||
+                ' w' || CAST((i*5+k) % 13 AS VARCHAR) AS anchor
+              FROM ids, ks
+            ), counts AS (
+              SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pairs GROUP BY dst, anchor
+            ), ranked AS (
+              SELECT dst, anchor, n,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY dst ORDER BY n DESC, anchor
+                     ) AS rank
+              FROM counts
+            )
+            SELECT dst, anchor, n, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY dst, rank
         """,
         # EXIF certificate: every expected (media_id, ifd, name,
         # value) row regenerated from the generator's closed-form

@@ -159,6 +159,7 @@ def main() -> None:
         # round-4 session-9 additions
         "q_c14n": entrymod.q_c14n,
         "q_mm_exif": entrymod.q_mm_exif,
+        "q_anchor_text": entrymod.q_anchor_text,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

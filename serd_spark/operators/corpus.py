@@ -1886,3 +1886,51 @@ def crawl_delta(
         .otherwise(F.lit("changed"))
     )
     return j.select("url", status.alias("status"), "old_hash", "new_hash")
+
+
+def anchor_text(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    top_k: int = 3,
+    max_text: int = 200,
+) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web
+    relevance signal (what OTHER pages call a URL describes it better
+    than the URL itself; search engines and crawl prioritizers both
+    key on it).
+
+    Extraction is one codegen'd ``regexp_extract_all`` over the page
+    bytes (whole ``<a …href…>text</a>`` snippets), then per-snippet
+    href/text captures — all JVM regex, zero Python. Anchor text is
+    trimmed, lowercased, and length-capped at extraction.
+
+    Scale shape (100 TB): two shuffles, both small — the
+    (dst, anchor) count aggregate (map-side combine collapses
+    repeated boilerplate anchors, by far the common case), then the
+    per-dst top-``top_k`` rank, which Catalyst compiles to
+    WindowGroupLimit (map-side top-cap before the exchange — the
+    ``cap_per_domain`` plan finding). No full-text column crosses
+    either shuffle: only (dst, anchor≤``max_text`` chars, count).
+
+    Returns (dst, anchor, n, rank) with rank ≤ ``top_k`` per dst,
+    ties broken by anchor text for determinism."""
+    from pyspark.sql import Window
+
+    pat = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]{1,%d})</a>' % max_text
+    snips = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(pat), 0
+    )
+    ex = pages.select(F.explode(snips).alias("snip"))
+    pairs = ex.select(
+        F.regexp_extract("snip", pat, 1).alias("dst"),
+        F.lower(F.trim(F.regexp_extract("snip", pat, 2))).alias("anchor"),
+    ).filter((F.col("dst") != "") & (F.col("anchor") != ""))
+    counts = pairs.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), "anchor")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

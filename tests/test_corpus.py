@@ -979,3 +979,42 @@ def test_crawl_delta_classifies_all_four(spark):
     assert got["u3"].status == "removed" and got["u3"].new_hash is None
     assert got["u4"].status == "added" and got["u4"].old_hash is None
     assert len(got) == 4
+
+
+def test_anchor_text(spark):
+    from serd_spark.operators.corpus import anchor_text
+
+    rows = [
+        ("u1", '<html><a href="http://t/a">Buy Now</a>'
+               '<a class="z" href="http://t/a">buy now </a>'
+               '<a href="http://t/a">Docs</a>'
+               '<a href="http://t/b">Other</a>'
+               '<a href="">empty dst</a>'
+               '<a href="http://t/c"></a></html>'),
+        ("u2", '<html><a href="http://t/a">docs</a>'
+               '<a href="http://t/a">API docs</a></html>'),
+    ]
+    docs = spark.createDataFrame(rows, "url string, html string")
+    got = [
+        (r.dst, r.anchor, r.n, r.rank)
+        for r in anchor_text(docs, top_k=2)
+        .orderBy("dst", "rank").collect()
+    ]
+    # "Buy Now" and "buy now " fold together (trim+lower); top-2 per
+    # dst with (n desc, anchor) tie-break; empty dst/text dropped
+    assert got == [
+        ("http://t/a", "buy now", 2, 1),
+        ("http://t/a", "docs", 2, 2),
+        ("http://t/b", "other", 1, 1),
+    ]
+
+
+def test_anchor_text_plan_window_cap(spark):
+    from serd_spark.operators.corpus import anchor_text
+
+    docs = spark.createDataFrame(
+        [("u", '<a href="http://t/a">x</a>')], "url string, html string"
+    )
+    plan = anchor_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side top-k cap
+    assert "CartesianProduct" not in plan
