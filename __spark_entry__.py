@@ -2660,6 +2660,65 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.py::nfc_normalize,
+    UAX #15): decomposed letter+combining-mark pairs and Hangul jamo
+    sequences fold to precomposed forms. Two INDEPENDENT Unicode
+    implementations under one hash: Spark normalizes with Python's
+    unicodedata, the oracle rebuilds the same synthetic corpus with
+    chr() formulas and normalizes with DuckDB's own nfc_normalize —
+    lengths, changed-flags, and a per-row pin over the normalized
+    text must all agree. Inputs are closed-form in the doc id; the
+    i%3==0 rows compose to nothing new (never-composing q+cedilla
+    only), so the changed flag is exercised both ways."""
+    import pandas as pd
+
+    from serd_spark.operators.text import nfc_normalize
+
+    n = max(200, _n_pages(sf_dir))
+    base = spark.range(0, n, 1, 32)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            texts = []
+            for i in ids:
+                mark = chr(0x300 + i % 5) if i % 3 else ""
+                mid = (
+                    f"{chr(0x1100 + i % 19)}{chr(0x1161 + i % 21)}"
+                    if i % 3 else "xy"
+                )
+                texts.append(
+                    f"w{chr(97 + i % 26)}{mark} {mid} q"
+                    + chr(0x327) * (i % 2)
+                )
+            yield pd.DataFrame({"id": ids, "text": texts})
+
+    docs = base.mapInPandas(gen, "id long, text string")
+    out = nfc_normalize(docs)
+    pin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\u0001",
+                    F.col("id").cast("string"), "text_nfc",
+                )
+            ),
+            1, 10,
+        ),
+        16, 10,
+    ).cast("long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("text") != F.col("text_nfc")).cast("int")
+        ).cast("long").alias("n_changed"),
+        F.sum(F.length("text")).cast("long").alias("len_before"),
+        F.sum(F.length("text_nfc")).cast("long").alias("len_after"),
+        F.sum(pin).alias("pin"),
+    )
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation (operators/corpus.py::anchor_text):
     what other pages call a URL — per-target anchor phrase counts
@@ -4229,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_host_graph": q_host_graph,
         "q_anchor_text": q_anchor_text,
+        "q_nfc": q_nfc,
         "q_host_rank": q_host_rank,
         "q_hits": q_hits,
         "q_domain_cap": q_domain_cap,
@@ -5316,6 +5376,39 @@ def oracle_sql() -> dict[str, str]:
               AND TRY_CAST(r.o AS DOUBLE) >= 2.2
               AND regexp_matches(n.o, '[24680]»$')
             ORDER BY page, rating LIMIT 200 OFFSET 10
+        """,
+        # NFC: the same synthetic decomposed corpus rebuilt with
+        # chr() formulas and normalized by DuckDB's OWN
+        # nfc_normalize — two independent UAX #15 implementations
+        # must produce identical lengths, flags, and text pins.
+        "q_nfc": f"""
+            WITH ids AS (
+              SELECT unnest(generate_series(
+                0, {max(200, int(200_000 * 0.01)) - 1})) AS i
+            ), t AS (
+              SELECT i,
+                'w' || chr(CAST(97 + i % 26 AS INTEGER)) ||
+                CASE WHEN i % 3 > 0
+                     THEN chr(CAST(768 + i % 5 AS INTEGER))
+                     ELSE '' END || ' ' ||
+                CASE WHEN i % 3 > 0
+                     THEN chr(CAST(4352 + i % 19 AS INTEGER)) ||
+                          chr(CAST(4449 + i % 21 AS INTEGER))
+                     ELSE 'xy' END || ' q' ||
+                CASE WHEN i % 2 = 1 THEN chr(807) ELSE '' END AS text
+              FROM ids
+            ), nn AS (
+              SELECT i, text, nfc_normalize(text) AS nfc FROM t
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN text <> nfc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_changed,
+                   CAST(SUM(length(text)) AS BIGINT) AS len_before,
+                   CAST(SUM(length(nfc)) AS BIGINT) AS len_after,
+                   CAST(SUM(CAST('0x' || substr(md5(
+                     CAST(i AS VARCHAR) || chr(1) || nfc), 1, 10)
+                     AS BIGINT)) AS BIGINT) AS pin
+            FROM nn
         """,
         # Anchor text: the synthesized (dst, anchor) pair set
         # regenerated from the (id, k) formulas, counted, and

@@ -160,6 +160,7 @@ def main() -> None:
         "q_c14n": entrymod.q_c14n,
         "q_mm_exif": entrymod.q_mm_exif,
         "q_anchor_text": entrymod.q_anchor_text,
+        "q_nfc": entrymod.q_nfc,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

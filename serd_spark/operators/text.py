@@ -13,6 +13,8 @@ oracle (see ``__spark_entry__.py``).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -313,3 +315,32 @@ def encoding_features(docs: DataFrame, text_col: str = "text",
             "non_ascii_chars"),
         (mojibake_hits(c) > 0).cast("int").alias("flagged"),
     )
+
+
+def nfc_normalize(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization (UAX #15 canonical composition) —
+    the text-hygiene step next to mojibake repair: decomposed
+    sequences (e + combining acute, Hangul jamo pairs) fold to their
+    precomposed forms so downstream dedup/fingerprint/token keys
+    treat canonically-equal text as equal bytes.
+
+    One Arrow-batched pandas_udf crossing (Python's unicodedata is
+    the reference UAX #15 implementation; Spark has no built-in);
+    row-local, no shuffle, the 100 TB shape of any per-document text
+    map. The q_nfc oracle cross-checks against DuckDB's independent
+    ``nfc_normalize`` implementation — two engines, one Unicode
+    answer."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else unicodedata.normalize("NFC", v)
+             for v in s]
+        )
+
+    return docs.withColumn(out_col, _nfc(F.col(text_col)))

@@ -1283,3 +1283,20 @@ def test_mojibake_pattern_alternatives_disjoint():
         for b in alts:
             if a is not b:
                 assert not b.startswith(a)
+
+
+def test_nfc_normalize(spark):
+    from serd_spark.operators.text import nfc_normalize
+
+    rows = [
+        ("a", "e" + chr(0x301)),          # e + combining acute -> é
+        ("b", chr(0x1100) + chr(0x1161)), # Hangul jamo -> syllable
+        ("c", "plain ascii"),             # already NFC
+        ("d", None),                      # null survives
+    ]
+    docs = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r.text_nfc for r in nfc_normalize(docs).collect()}
+    assert got["a"] == "é"
+    assert got["b"] == "가"
+    assert got["c"] == "plain ascii"
+    assert got["d"] is None
