@@ -2751,6 +2751,50 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.py::scc — trim
+    + forward-min coloring + backward closure, all caps documented).
+    The graph is synthesized in-plan from closed-form edges: Gn
+    8-cycles (one SCC each), a 3-group condensation chain (exercises
+    multiple outer rounds), a star of back-edges into group 0 (many
+    roots extracted in ONE round), and a 5-node DAG tail (trim
+    food). The oracle computes mutual reachability with a recursive
+    CTE — a completely different SCC formulation — and must produce
+    identical (scc, size, max member) rows."""
+    from serd_spark.operators.graph import scc
+
+    gn = max(8, _n_pages(sf_dir) // 128)
+    n_core = gn * 8
+    ids = spark.range(0, n_core, 1, 16)
+    cycles = ids.select(
+        F.col("id").alias("src"),
+        (
+            (F.col("id") - F.col("id") % 8)
+            + ((F.col("id") % 8 + 1) % 8)
+        ).alias("dst"),
+    )
+    star = spark.range(3, gn).select(
+        (F.col("id") * 8).alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    chain = spark.createDataFrame(
+        [(0, 8), (8, 16), (16, n_core)], "src long, dst long"
+    )
+    path = spark.range(0, 4).select(
+        (F.col("id") + n_core).alias("src"),
+        (F.col("id") + n_core + 1).alias("dst"),
+    )
+    edges = cycles.unionByName(star).unionByName(chain).unionByName(path)
+    comp = scc(edges)
+    return (
+        comp.groupBy("scc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("scc")
+    )
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level web link graph (corpus.py::host_graph): anchor
     hrefs extracted with one codegen'd regexp_extract_all over the
@@ -4287,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_line_dedup": q_line_dedup,
         "q_host_graph": q_host_graph,
+        "q_scc": q_scc,
         "q_anchor_text": q_anchor_text,
         "q_nfc": q_nfc,
         "q_host_rank": q_host_rank,
@@ -7206,6 +7251,53 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WHERE src_host <> '' AND dst_host <> ''
             GROUP BY src_host, dst_host
+        """,
+        # SCC by a COMPLETELY different formulation: full transitive
+        # closure via recursive CTE, then scc(v) = min over v and all
+        # u mutually reachable with v. The Spark side runs trim +
+        # forward-min coloring + backward closure — any membership
+        # error in any phase diverges. Edge set regenerated closed-form
+        # (same arithmetic as q_scc's in-plan synthesis at sf0.01).
+        "q_scc": f"""
+            WITH RECURSIVE ids AS (
+              SELECT unnest(range(0, {max(8, _n_pages("sf0.01") // 128) * 8}))
+                     AS id
+            ), e AS (
+              SELECT id AS src,
+                     (id - id % 8) + ((id % 8 + 1) % 8) AS dst
+              FROM ids
+              UNION
+              SELECT g * 8 AS src, 0 AS dst
+              FROM (SELECT unnest(range(3,
+                     {max(8, _n_pages("sf0.01") // 128)})) AS g)
+              UNION
+              SELECT src, dst FROM (VALUES
+                (0, 8), (8, 16),
+                (16, {max(8, _n_pages("sf0.01") // 128) * 8})) t(src, dst)
+              UNION
+              SELECT {max(8, _n_pages("sf0.01") // 128) * 8} + i AS src,
+                     {max(8, _n_pages("sf0.01") // 128) * 8} + i + 1 AS dst
+              FROM (SELECT unnest(range(0, 4)) AS i)
+            ), nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), reach AS (
+              SELECT src AS a, dst AS b FROM e
+              UNION
+              SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+            ), mutual AS (
+              SELECT r1.a AS u, r1.b AS v
+              FROM reach r1 JOIN reach r2
+                ON r1.a = r2.b AND r1.b = r2.a
+            ), comp AS (
+              SELECT n.node,
+                     least(n.node, coalesce(min(m.u), n.node)) AS scc
+              FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+              GROUP BY n.node
+            )
+            SELECT CAST(scc AS BIGINT) AS scc,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(node) AS BIGINT) AS max_node
+            FROM comp GROUP BY scc ORDER BY scc
         """,
         "q_domain_stats": f"""
             WITH p AS (

@@ -690,3 +690,189 @@ def link_predict(
         )
         .limit(top_k)
     )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 12,
+    trim_rounds: int = 10,
+    max_prop: int = 64,
+) -> DataFrame:
+    """Strongly connected components of a directed graph — the
+    web-graph structure primitive CC cannot give (mutual
+    reachability: link rings, citation cycles, the SCC "bow-tie" core
+    of the web).
+
+    Algorithm: iterative trim + forward-min-label coloring + backward
+    closure (the classic distributed SCC shape, cf. Orzan's coloring
+    / FW-BW):
+
+    1. TRIM — nodes with no in-edge or no out-edge inside the active
+       subgraph are singleton SCCs (they cannot sit on a cycle);
+       repeated, this eats DAG tendrils endpoint-inward.
+    2. COLOR — propagate min(node id) along edge direction to
+       fixpoint: color(v) = min id that reaches v within the active
+       subgraph.
+    3. ROOTS — nodes with color(v) == v. The SCC of root r is exactly
+       the set of v with color(v) == r that can REACH r, so a
+       frontier-only backward walk over reversed edges, constrained
+       to same-colored nodes, collects every root's SCC
+       simultaneously (colors keep regions disjoint).
+    4. Assign, remove, repeat on the remainder.
+
+    Determinism: min-label and set algebra only — no randomized
+    pivots; output is a pure function of the edge set.
+
+    Scale + bounds (stated honestly): every step is joins/aggregates
+    over (node, color) tables — nothing wider crosses a shuffle, and
+    the backward walk is frontier-only (each edge contributes once
+    per collected member, the bfs_distance discipline). But SCC has
+    no polylog-round distributed algorithm in the general case: each
+    outer round peels the condensation-DAG frontier, so a long chain
+    of SCCs needs as many outer rounds and a deep color region as
+    many propagation rounds as its diameter. The caps (``max_outer``,
+    ``max_prop``) bound cluster time; hitting one raises ValueError
+    rather than silently mislabeling — real web graphs resolve in a
+    handful of rounds (shallow condensation + giant core). Lineage is
+    cut via localCheckpoint every materialization (every inner round
+    performs an action anyway, the fixpoint test).
+
+    Returns (node, scc) with scc = min node id of the component.
+    """
+    e_all = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e_all.select(F.col("src").alias("node"))
+        .unionByName(e_all.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # self-loops never change membership; drop from the walk graph
+    active_e = e_all.filter(F.col("src") != F.col("dst")).localCheckpoint(
+        eager=False
+    )
+    remaining = nodes.localCheckpoint(eager=False)
+    assigned: DataFrame | None = None
+
+    def _accumulate(acc, part):
+        return part if acc is None else acc.unionByName(part)
+
+    for _outer in range(max_outer):
+        if remaining.isEmpty():
+            break
+        # -- 1. trim ---------------------------------------------------
+        for _t in range(trim_rounds):
+            srcs = active_e.select(F.col("src").alias("node")).distinct()
+            dsts = active_e.select(F.col("dst").alias("node")).distinct()
+            both = srcs.join(dsts, "node").localCheckpoint(eager=False)
+            trimmed = remaining.join(both, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned = _accumulate(
+                assigned, trimmed.select("node", F.col("node").alias("scc"))
+            )
+            remaining = remaining.join(both, "node").localCheckpoint(
+                eager=False
+            )
+            active_e = (
+                active_e.join(
+                    remaining.withColumnRenamed("node", "src"), "src"
+                )
+                .join(remaining.withColumnRenamed("node", "dst"), "dst")
+                .localCheckpoint(eager=False)
+            )
+        if remaining.isEmpty():
+            break
+        # -- 2. forward min-label coloring to fixpoint -------------------
+        colors = remaining.withColumn("color", F.col("node"))
+        for _p in range(max_prop):
+            msgs = (
+                active_e.join(
+                    colors.select(
+                        F.col("node").alias("src"),
+                        F.col("color").alias("c_src"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("c_src").alias("cand"))
+            )
+            new = (
+                colors.join(msgs, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "color", F.coalesce("cand", "color")
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                new.alias("n")
+                .join(colors.alias("o"), "node")
+                .filter(F.col("n.color") != F.col("o.color"))
+            )
+            stable = changed.isEmpty()
+            colors = new
+            if stable:
+                break
+        else:
+            raise ValueError(
+                f"scc: color propagation exceeded {max_prop} rounds "
+                "(color-region diameter too deep)"
+            )
+        # -- 3. backward closure from roots, within color ----------------
+        in_scc = colors.filter(F.col("color") == F.col("node")).select(
+            "node", "color"
+        ).localCheckpoint(eager=False)
+        frontier = in_scc
+        for _p in range(max_prop):
+            cand = (
+                active_e.join(
+                    frontier.select(
+                        F.col("node").alias("dst"),
+                        F.col("color").alias("c"),
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("node"), F.col("c"))
+                .distinct()
+            )
+            grown = (
+                cand.join(colors, "node")
+                .filter(F.col("color") == F.col("c"))
+                .select("node", "color")
+                .join(in_scc.select("node"), "node", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if grown.isEmpty():
+                break
+            in_scc = in_scc.unionByName(grown).localCheckpoint(eager=False)
+            frontier = grown
+        else:
+            raise ValueError(
+                f"scc: backward walk exceeded {max_prop} rounds"
+            )
+        assigned = _accumulate(
+            assigned, in_scc.select("node", F.col("color").alias("scc"))
+        )
+        remaining = remaining.join(
+            in_scc.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        active_e = (
+            active_e.join(remaining.withColumnRenamed("node", "src"), "src")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        if not remaining.isEmpty():
+            raise ValueError(
+                f"scc: condensation depth exceeded {max_outer} rounds"
+            )
+    if assigned is None:
+        return nodes.select("node", F.col("node").alias("scc")).limit(0)
+    return assigned
