@@ -1889,6 +1889,52 @@ def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sparql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL arithmetic aggregates + HAVING (plans/sparql.py): per
+    review-author rating stats — COUNT, micros-quantized exact-integer
+    SUM/AVG, and lexicographically-sorted GROUP_CONCAT — with HAVING
+    pruning singleton groups post-aggregate. The oracle replays the
+    join, the floor(x*1e6) quantization, the floor-divided mean, and
+    the ORDER BY-pinned string_agg in DuckDB, so the whole
+    determinism discipline (integer sums + one final division) sits
+    under the hash."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?auth (COUNT(*) AS ?n) (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+           (GROUP_CONCAT(?v; SEPARATOR="|") AS ?vals)
+    WHERE {
+      ?page s:review ?rev .
+      ?rev s:author ?auth .
+      ?page s:ratingValue ?v .
+    }
+    GROUP BY ?auth HAVING (?n >= 2) ORDER BY ?auth
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
+def q_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS / NOT EXISTS (plans/sparql.py): named
+    things that carry a relatedLink but no review — a semi join plus
+    an anti join at their written positions. The oracle uses DuckDB's
+    own correlated EXISTS subqueries, a different anti/semi
+    formulation that must select the identical rows."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?subj ?name WHERE {
+      ?subj s:name ?name .
+      FILTER EXISTS { ?subj s:relatedLink ?l . }
+      FILTER NOT EXISTS { ?subj s:review ?r . }
+    } ORDER BY ?subj ?name
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
 def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT (plans/sparql.py): rewrite review→author
     chains as direct hasAuthor edges plus one type triple per author.
@@ -4377,6 +4423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql_opt": q_sparql_opt,
         "q_sparql_path": q_sparql_path,
         "q_sparql_agg": q_sparql_agg,
+        "q_sparql_having": q_sparql_having,
+        "q_sparql_exists": q_sparql_exists,
         "q_sparql_construct": q_sparql_construct,
         "q_sameas": q_sameas,
         "q_robots": q_robots,
@@ -5165,6 +5213,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subj,
                    MIN(o) AS lo, MAX(o) AS hi
             FROM t GROUP BY p ORDER BY p
+        """,
+        # SPARQL HAVING + arithmetic aggregates: the micros
+        # quantization floor(try_cast(v)*1e6), the exact integer SUM
+        # (CAST AS BIGINT guards DuckDB's HUGEINT promotion), the
+        # floor-divided mean, and the ORDER BY-pinned string_agg all
+        # replayed; one final /1e6 division of identical integers
+        # makes the doubles bit-equal across engines.
+        "q_sparql_having": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), r AS (
+              SELECT a.o AS auth, v.o AS lex,
+                     CAST(floor(try_cast(v.o AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+              FROM t rv
+              JOIN t a ON a.s = rv.o
+                   AND a.p = 'http://schema.org/author'
+              JOIN t v ON v.s = rv.s
+                   AND v.p = 'http://schema.org/ratingValue'
+              WHERE rv.p = 'http://schema.org/review'
+            ), g AS (
+              SELECT auth,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(q) AS BIGINT) AS sq,
+                     CAST(COUNT(q) AS BIGINT) AS cq,
+                     string_agg(lex, '|' ORDER BY lex) AS vals
+              FROM r GROUP BY auth
+            )
+            SELECT auth, n,
+                   sq / 1000000.0 AS total,
+                   CAST(floor(sq / cq) AS BIGINT) / 1000000.0 AS mean,
+                   vals
+            FROM g WHERE n >= 2 ORDER BY auth
+        """,
+        # SPARQL FILTER EXISTS / NOT EXISTS: DuckDB's correlated
+        # EXISTS subqueries — a different semi/anti formulation that
+        # must pick the identical rows.
+        "q_sparql_exists": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            )
+            SELECT n.s AS subj, n.o AS name
+            FROM t n
+            WHERE n.p = 'http://schema.org/name'
+              AND EXISTS (
+                SELECT 1 FROM t l
+                WHERE l.s = n.s
+                  AND l.p = 'http://schema.org/relatedLink'
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM t r
+                WHERE r.s = n.s AND r.p = 'http://schema.org/review'
+              )
+            ORDER BY subj, name
         """,
         # SPARQL CONSTRUCT: template instantiation replayed as two
         # projections UNION'd with set semantics (an RDF graph is a

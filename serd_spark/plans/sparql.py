@@ -5,8 +5,20 @@ here the store IS the Spark triple table).
 
 Supported subset (grammar below): PREFIX declarations, SELECT
 [DISTINCT] with an explicit variable list, *, or aggregate items
-(COUNT/COUNT DISTINCT/COUNT(*)/MIN/MAX ... AS ?alias) paired with
-GROUP BY (→ groupBy().agg()), CONSTRUCT { template } WHERE (template
+(COUNT/COUNT DISTINCT/COUNT(*)/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT
+... AS ?alias) paired with GROUP BY (→ groupBy().agg()) and HAVING
+(constraints over aliases/keys, applied post-aggregate). Numeric
+aggregates follow the repo's cross-engine determinism discipline:
+SUM/AVG operands are quantized to INTEGER MICROS row-side
+(floor(try_cast(v as double) * 1e6) — non-numeric values become NULL
+and are skipped, the lax-engine behavior, documented divergence from
+SPARQL's whole-aggregate type error), summed exactly as integers, and
+scaled back by one final division; AVG floor-divides the micros sum
+by the non-null count before scaling, so both engines emit identical
+doubles. GROUP_CONCAT(?v; SEPARATOR="…") sorts values
+lexicographically before joining (SPARQL leaves concatenation order
+undefined — a distributed engine must pin it; documented) and SAMPLE
+is the deterministic MIN. CONSTRUCT { template } WHERE (template
 instantiation per solution, distinct-unioned — an RDF graph is a set
 — yielding a triple DataFrame the Turtle/NT writers can serialize
 directly), a WHERE block of
@@ -20,7 +32,13 @@ map-side IN filter), OPTIONAL { patterns }, { patterns } UNION
 { patterns }, MINUS { patterns } (→ LEFT ANTI join on the shared
 variables, exact under the same static scope rules as OPTIONAL: at
 least one shared hard-bound variable required, OPTIONAL-introduced
-variables rejected), BIND (expr AS ?v) (→ withColumn at its written
+variables rejected), FILTER EXISTS { patterns } / FILTER NOT EXISTS
+{ patterns } (→ LEFT SEMI / LEFT ANTI join at the written position,
+under the same scope rules as MINUS — ≥1 shared hard-bound variable,
+no OPTIONAL-introduced variables — so Spark's equi-join and SPARQL's
+compatible-mapping test coincide; under these rules NOT EXISTS and
+MINUS agree, as they do in SPARQL whenever domains overlap on
+non-null bindings), BIND (expr AS ?v) (→ withColumn at its written
 position: arithmetic +,-,*,/ over try_cast('double') operands — so
 SPARQL's type-error-unbinds and Spark's failed-cast NULL agree — and
 CONCAT/STR/STRLEN/UCASE/LCASE over the lexical encodings; the target
@@ -95,7 +113,7 @@ _TOKEN = re.compile(
           |UNION|GROUP|ORDER|BY|LIMIT|ASC|DESC|COUNT|MIN|MAX|AS|A)\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,-])
+  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,;-])
     """,
     re.VERBOSE | re.IGNORECASE,
 )
@@ -341,6 +359,12 @@ def _parse_filter(p: "_Parser") -> tuple[str, str, _Term]:
     regex patterns to the Java∩RE2 subset so the DuckDB mirror
     matches (the repo-wide regex discipline)."""
     p.next()  # FILTER
+    return _parse_constraint(p)
+
+
+def _parse_constraint(p: "_Parser") -> tuple[str, str, _Term]:
+    """A parenthesized comparison/regex constraint — the shared body
+    of FILTER (…) and HAVING (…)."""
     p.expect("(")
     nt = p.peek()
     if nt is not None and nt.upper() == "REGEX":
@@ -386,7 +410,30 @@ def _parse_group(p: "_Parser", compound: bool) -> list[tuple]:
     while p.peek() and p.peek() != "}":
         nt = p.peek()
         if nt.upper() == "FILTER":
-            elems.append(("filter", _parse_filter(p)))
+            nxt = (
+                p.toks[p.i + 1].upper() if p.i + 1 < len(p.toks) else ""
+            )
+            if nxt in ("EXISTS", "NOT"):
+                # FILTER [NOT] EXISTS { patterns } — a correlated
+                # semi/anti join at the written position (top level
+                # only; inside OPTIONAL/UNION the null story changes
+                # and we reject rather than approximate)
+                if not compound:
+                    raise SparqlError(
+                        "FILTER EXISTS inside OPTIONAL/UNION "
+                        "is not supported"
+                    )
+                p.next()  # FILTER
+                positive = True
+                if p.peek() and p.peek().upper() == "NOT":
+                    p.next()
+                    positive = False
+                p.expect("EXISTS")
+                elems.append(
+                    ("exists", _parse_group(p, compound=False), positive)
+                )
+            else:
+                elems.append(("filter", _parse_filter(p)))
         elif nt.upper() == "VALUES":
             # single-variable inline-data form: VALUES ?v { c1 c2 … }
             # — compiles to a map-side IN filter over an already-bound
@@ -501,7 +548,7 @@ def parse_sparql(q: str) -> dict:
     sel: list[str] = []
     star = False
     distinct = False
-    aggs: list[tuple[str, bool, str | None, str]] = []
+    aggs: list[tuple[str, bool, str | None, str, str]] = []
     template: list[tuple[_Term, _Term, _Term]] = []
     if form == "CONSTRUCT":
         p.expect("{")
@@ -523,9 +570,14 @@ def parse_sparql(q: str) -> dict:
             elif t.startswith("?"):
                 sel.append(t[1:])
             elif t == "(":
-                # ( COUNT|MIN|MAX ( [DISTINCT] ?v | * ) AS ?alias )
+                # ( FN ( [DISTINCT] ?v | * ) [; SEPARATOR = "s"]
+                #   AS ?alias )  with FN one of COUNT MIN MAX SUM AVG
+                #   SAMPLE GROUP_CONCAT
                 fn = p.next().upper()
-                if fn not in ("COUNT", "MIN", "MAX"):
+                if fn not in (
+                    "COUNT", "MIN", "MAX", "SUM", "AVG", "SAMPLE",
+                    "GROUP_CONCAT",
+                ):
                     raise SparqlError(f"unsupported aggregate {fn!r}")
                 p.expect("(")
                 agg_distinct = False
@@ -541,13 +593,26 @@ def parse_sparql(q: str) -> dict:
                     arg = at[1:]
                 else:
                     raise SparqlError(f"bad aggregate argument {at!r}")
+                sep = " "  # the SPARQL default separator
+                if p.peek() == ";":
+                    if fn != "GROUP_CONCAT":
+                        raise SparqlError(
+                            "only GROUP_CONCAT takes a SEPARATOR"
+                        )
+                    p.next()
+                    p.expect("SEPARATOR")
+                    p.expect("=")
+                    st = p.next()
+                    if not st.startswith('"'):
+                        raise SparqlError("SEPARATOR must be a literal")
+                    sep = st[1:-1]
                 p.expect(")")
                 p.expect("AS")
                 alias = p.next()
                 if not alias.startswith("?"):
                     raise SparqlError("aggregate alias must be a ?var")
                 p.expect(")")
-                aggs.append((fn, agg_distinct, arg, alias[1:]))
+                aggs.append((fn, agg_distinct, arg, alias[1:], sep))
                 sel.append(alias[1:])
             else:
                 raise SparqlError(f"bad SELECT item {t!r}")
@@ -578,6 +643,7 @@ def parse_sparql(q: str) -> dict:
     limit: int | None = None
     offset: int | None = None
     group_by: list[str] = []
+    having: list[tuple[str, str, _Term]] = []
     while p.peek() is not None:
         t = p.next().upper()
         if t == "GROUP":
@@ -586,6 +652,13 @@ def parse_sparql(q: str) -> dict:
                 group_by.append(p.term().value)
             if not group_by:
                 raise SparqlError("empty GROUP BY")
+        elif t == "HAVING":
+            # one or more parenthesized constraints over aggregate
+            # aliases / grouping keys, applied post-aggregate
+            while p.peek() == "(":
+                having.append(_parse_constraint(p))
+            if not having:
+                raise SparqlError("empty HAVING")
         elif t == "ORDER":
             p.expect("BY")
             while p.peek() and p.peek().upper() not in ("LIMIT",):
@@ -664,7 +737,33 @@ def parse_sparql(q: str) -> dict:
                     f"variable ?{bad[0]} bound in OPTIONAL cannot be "
                     "mentioned by a later pattern"
                 )
-        for branch in e[1:] if e[0] in ("optional", "union", "minus") else ():
+        if e[0] == "exists":
+            # same static scope rules as MINUS (semi/anti join on the
+            # shared vars is exact only when ≥1 shared var is bound
+            # and none is OPTIONAL-nullable)
+            xvars = _pattern_vars(e[1])
+            if not bound:
+                raise SparqlError(
+                    "FILTER EXISTS cannot be the first pattern"
+                )
+            bad = [v for v in xvars if v in opt_introduced]
+            if bad:
+                raise SparqlError(
+                    f"variable ?{bad[0]} bound in OPTIONAL cannot be "
+                    "mentioned by a later pattern"
+                )
+            if not [v for v in xvars if v in bound]:
+                raise SparqlError(
+                    "FILTER EXISTS block shares no variable with the "
+                    "preceding patterns"
+                )
+        if e[0] in ("optional", "union", "minus"):
+            branches = e[1:]
+        elif e[0] == "exists":
+            branches = (e[1],)
+        else:
+            branches = ()
+        for branch in branches:
             bvars = _pattern_vars(branch)
             for be in branch:
                 if be[0] != "filter":
@@ -694,15 +793,15 @@ def parse_sparql(q: str) -> dict:
             raise SparqlError("UNION branches must bind the same variables")
         bound.extend(v for v in evars if v not in bound)
     all_vars = _pattern_vars(elements)
-    aliases = [a for _, _, _, a in aggs]
+    aliases = [a[3] for a in aggs]
     if form == "ASK" and (
-        aggs or group_by or star or distinct or order
+        aggs or group_by or having or star or distinct or order
         or limit is not None or offset is not None
     ):
         raise SparqlError("ASK takes a plain group pattern")
     if form == "DESCRIBE":
         if (
-            aggs or group_by or star or distinct or order
+            aggs or group_by or having or star or distinct or order
             or limit is not None or offset is not None
         ):
             raise SparqlError("DESCRIBE takes a plain group pattern")
@@ -711,7 +810,7 @@ def parse_sparql(q: str) -> dict:
                 f"DESCRIBE variable ?{describe.value} not bound in WHERE"
             )
     if form == "CONSTRUCT":
-        if aggs or group_by or star or distinct:
+        if aggs or group_by or having or star or distinct:
             raise SparqlError("CONSTRUCT takes a plain WHERE block")
         for tri in template:
             for t in tri:
@@ -731,7 +830,7 @@ def parse_sparql(q: str) -> dict:
                 raise SparqlError(
                     f"?{v} must appear in GROUP BY or an aggregate"
                 )
-        for fn, _, arg, alias in aggs:
+        for fn, _, arg, alias, _sep in aggs:
             if arg is not None and arg not in all_vars:
                 raise SparqlError(f"aggregate over unbound ?{arg}")
             if alias in all_vars or alias in group_by:
@@ -739,6 +838,15 @@ def parse_sparql(q: str) -> dict:
                                   "a bound variable")
     elif group_by:
         raise SparqlError("GROUP BY requires an aggregate in SELECT")
+    if having and not aggs:
+        raise SparqlError("HAVING requires aggregates in SELECT")
+    for hv, _, hrhs in having:
+        for v in [hv] + ([hrhs.value] if hrhs.kind == "var" else []):
+            if v not in aliases and v not in group_by:
+                raise SparqlError(
+                    f"HAVING variable ?{v} must be an aggregate alias "
+                    "or a GROUP BY key"
+                )
     filter_vars = [v for v, _, _ in filters] + [
         r.value for _, _, r in filters if r.kind == "var"
     ]
@@ -758,8 +866,8 @@ def parse_sparql(q: str) -> dict:
         "vars": sel, "distinct": distinct, "elements": elements,
         "filters": filters, "order": order, "limit": limit,
         "offset": offset, "values": values,
-        "aggs": aggs, "group_by": group_by, "template": template,
-        "describe": describe,
+        "aggs": aggs, "group_by": group_by, "having": having,
+        "template": template, "describe": describe,
     }
 
 
@@ -922,6 +1030,18 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
             assert plan is not None  # parse enforces a preceding pattern
             plan = plan.withColumn(e[1][0], _compile_expr(e[1][1]))
             continue
+        elif e[0] == "exists":
+            # FILTER [NOT] EXISTS — a correlated semi/anti join on the
+            # shared vars (the scope rules make the equi-join exact).
+            # The pattern side is usually a constant-constrained scan,
+            # i.e. the small build side AQE broadcasts.
+            xplan = _compile_bgp(triples, e[1])
+            assert plan is not None  # parse enforces a preceding pattern
+            shared = [c for c in xplan.columns if c in plan.columns]
+            plan = plan.join(
+                xplan, shared, "left_semi" if e[2] else "left_anti"
+            )
+            continue
         else:  # optional — left-join on the shared (already-bound) vars
             opt = _compile_bgp(triples, e[1])
             assert plan is not None  # parse enforces a preceding pattern
@@ -993,17 +1113,42 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
             "COUNT": (F.count, F.count_distinct),
             "MIN": (F.min, F.min),
             "MAX": (F.max, F.max),
+            # deterministic SAMPLE: the minimum (documented)
+            "SAMPLE": (F.min, F.min),
         }
         exprs = []
-        for fn, dis, arg, alias in ast["aggs"]:
+        for fn, dis, arg, alias, sep in ast["aggs"]:
             if arg is None:  # COUNT(*)
                 exprs.append(F.count(F.lit(1)).alias(alias))
+            elif fn in ("SUM", "AVG"):
+                # integer-micros quantization row-side, exact integer
+                # sum, one final division — both engines emit the
+                # identical double (module docstring)
+                q = F.floor(
+                    F.col(arg).try_cast("double") * 1_000_000
+                ).cast("long")
+                s = F.sum_distinct(q) if dis else F.sum(q)
+                if fn == "AVG":
+                    c = (
+                        F.count_distinct(q) if dis else F.count(q)
+                    )
+                    s = F.floor(F.try_divide(s, c)).cast("long")
+                exprs.append((s / F.lit(1_000_000.0)).alias(alias))
+            elif fn == "GROUP_CONCAT":
+                vals = (
+                    F.collect_set(arg) if dis else F.collect_list(arg)
+                )
+                exprs.append(
+                    F.array_join(F.array_sort(vals), sep).alias(alias)
+                )
             else:
                 exprs.append(agg_fns[fn][int(dis)](arg).alias(alias))
         plan = (
             plan.groupBy(*ast["group_by"]) if ast["group_by"]
             else plan.groupBy()
         ).agg(*exprs)
+        for flt in ast["having"]:
+            plan = _apply_filter(plan, flt)
     plan = plan.select(*ast["vars"])
     if ast["distinct"]:
         plan = plan.distinct()

@@ -332,7 +332,7 @@ def test_aggregate_scope_errors():
         )
     with pytest.raises(SparqlError, match="unsupported aggregate"):
         parse_sparql(
-            pre + "SELECT (SUM(?x) AS ?s) WHERE { ?x a e:D . }"
+            pre + "SELECT (MEDIAN(?x) AS ?s) WHERE { ?x a e:D . }"
         )
 
 
@@ -628,4 +628,202 @@ def test_describe_errors():
         parse_sparql(
             "PREFIX e: <http://ex.org/> DESCRIBE ?x WHERE "
             "{ ?x e:name ?n } LIMIT 5"
+        )
+
+
+# ---- round-4 session-10 additions: SUM/AVG/SAMPLE/GROUP_CONCAT,
+# ---- HAVING, FILTER (NOT) EXISTS
+
+N = [  # numeric objects for the arithmetic aggregates
+    ("e:r1", "e:score", "2"),
+    ("e:r1", "e:score", "3.5"),
+    ("e:r1", "e:score", "3.5"),
+    ("e:r2", "e:score", "4"),
+    ("e:r2", "e:score", "oops"),  # non-numeric: skipped (documented)
+]
+
+
+def _ntriples(spark):
+    rows = [
+        tuple(x.replace("e:", "http://ex.org/") for x in t) for t in N
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_sum_avg_micros(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+    WHERE { ?s e:score ?v } GROUP BY ?s ORDER BY ?s
+    """
+    got = [
+        (r.s.split("/")[-1], r.total, r.mean)
+        for r in sparql_query(_ntriples(spark), q).collect()
+    ]
+    # r1: 2 + 3.5 + 3.5 = 9.0; mean floor(9e6/3)/1e6 = 3.0
+    # r2: 'oops' skipped → total 4.0 over ONE non-null value
+    assert got == [("r1", 9.0, 3.0), ("r2", 4.0, 4.0)]
+
+
+def test_sum_distinct(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s (SUM(DISTINCT ?v) AS ?total)
+    WHERE { ?s e:score ?v } GROUP BY ?s ORDER BY ?s
+    """
+    got = [r.total for r in sparql_query(_ntriples(spark), q).collect()]
+    assert got == [5.5, 4.0]  # r1 dedups the double 3.5
+
+
+def test_avg_inexact_division_floors(spark):
+    rows = [("a", "p", "1"), ("a", "p", "2")]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    q = "SELECT (AVG(?v) AS ?m) WHERE { ?s <p> ?v }"
+    # floor(3e6 / 2) = 1_500_000 → 1.5
+    assert sparql_query(df, q).collect()[0].m == 1.5
+
+
+def test_group_concat_sorted_and_separator(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s (GROUP_CONCAT(?v; SEPARATOR="|") AS ?vals)
+    WHERE { ?s e:score ?v } GROUP BY ?s ORDER BY ?s
+    """
+    got = [r.vals for r in sparql_query(_ntriples(spark), q).collect()]
+    # lexicographic sort of the lexical forms, deterministic
+    assert got == ["2|3.5|3.5", "4|oops"]
+
+
+def test_group_concat_distinct_default_sep(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s (GROUP_CONCAT(DISTINCT ?v) AS ?vals)
+    WHERE { ?s e:score ?v } GROUP BY ?s ORDER BY ?s
+    """
+    got = [r.vals for r in sparql_query(_ntriples(spark), q).collect()]
+    assert got == ["2 3.5", "4 oops"]
+
+
+def test_sample_is_min(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s (SAMPLE(?v) AS ?one)
+    WHERE { ?s e:score ?v } GROUP BY ?s ORDER BY ?s
+    """
+    got = [r.one for r in sparql_query(_ntriples(spark), q).collect()]
+    assert got == ["2", "4"]
+
+
+def test_having_filters_groups(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s (COUNT(*) AS ?n)
+    WHERE { ?s e:score ?v } GROUP BY ?s HAVING (?n >= 2) ORDER BY ?s
+    """
+    got = [
+        (r.s.split("/")[-1], r.n)
+        for r in sparql_query(_ntriples(spark), q).collect()
+    ]
+    assert got == [("r1", 3), ("r2", 2)]
+    q2 = q.replace("?n >= 2", "?n >= 3")
+    got2 = [
+        (r.s.split("/")[-1], r.n)
+        for r in sparql_query(_ntriples(spark), q2).collect()
+    ]
+    assert got2 == [("r1", 3)]
+
+
+def test_having_requires_alias_or_key(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s (COUNT(*) AS ?n)
+    WHERE { ?s e:score ?v } GROUP BY ?s HAVING (?v > 1)
+    """
+    with pytest.raises(SparqlError, match="HAVING variable"):
+        parse_sparql(q)
+
+
+def test_having_without_aggregates_rejected(spark):
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?s WHERE { ?s e:score ?v } HAVING (?s > 1)
+    """
+    with pytest.raises(SparqlError, match="HAVING requires"):
+        parse_sparql(q)
+
+
+def test_filter_exists(spark):
+    # subjects with a name that also like something
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n WHERE {
+      ?x e:name ?n .
+      FILTER EXISTS { ?x e:likes ?y . }
+    } ORDER BY ?x
+    """
+    got = [r.n for r in sparql_query(_triples(spark), q).collect()]
+    assert got == ["rex", "tom"]
+    # constrain the EXISTS side: only self-likers
+    q2 = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x ?n WHERE {
+      ?x e:name ?n .
+      FILTER EXISTS { ?x e:likes e:b . }
+    } ORDER BY ?x
+    """
+    got2 = [r.n for r in sparql_query(_triples(spark), q2).collect()]
+    assert got2 == ["rex", "tom"]
+
+
+def test_filter_not_exists(spark):
+    # typed subjects nobody likes: e:a (only e:b is liked)
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x WHERE {
+      ?x a ?t .
+      FILTER NOT EXISTS { ?y e:likes ?x . }
+    } ORDER BY ?x
+    """
+    got = [r.x for r in sparql_query(_triples(spark), q).collect()]
+    assert got == ["http://ex.org/a"]
+
+
+def test_exists_semi_join_no_duplication(spark):
+    # e:b is liked TWICE — EXISTS must not duplicate the outer row
+    q = """
+    PREFIX e: <http://ex.org/>
+    SELECT ?x WHERE {
+      ?x e:name ?n .
+      FILTER EXISTS { ?y e:likes ?x . }
+    }
+    """
+    got = [r.x for r in sparql_query(_triples(spark), q).collect()]
+    assert got == ["http://ex.org/b"]
+
+
+def test_exists_scope_rejections(spark):
+    with pytest.raises(SparqlError, match="cannot be the first"):
+        parse_sparql(
+            "PREFIX e: <http://ex.org/> SELECT ?x WHERE "
+            "{ FILTER EXISTS { ?x e:likes ?y . } ?x e:name ?n . }"
+        )
+    with pytest.raises(SparqlError, match="shares no variable"):
+        parse_sparql(
+            "PREFIX e: <http://ex.org/> SELECT ?x WHERE "
+            "{ ?x e:name ?n . FILTER NOT EXISTS { ?a e:likes ?b . } }"
+        )
+    with pytest.raises(SparqlError, match="bound in OPTIONAL"):
+        parse_sparql(
+            "PREFIX e: <http://ex.org/> SELECT ?x WHERE "
+            "{ ?x e:name ?n . OPTIONAL { ?x e:likes ?y . } "
+            "FILTER EXISTS { ?y e:name ?m . } }"
+        )
+
+
+def test_separator_on_non_group_concat_rejected(spark):
+    with pytest.raises(SparqlError, match="SEPARATOR"):
+        parse_sparql(
+            'PREFIX e: <http://ex.org/> '
+            'SELECT (SUM(?v; SEPARATOR="|") AS ?t) '
+            "WHERE { ?s e:score ?v }"
         )
