@@ -3627,6 +3627,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=5)
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank / TrustRank (operators/graph.py::
+    personalized_pagerank): teleport restricted to a seed set over
+    the hash-folded DIRECTED trade graph (keys mod 9973 so nodes act
+    as both source and target — multi-hop trust paths exist). Seeds
+    are the closed-form node % 50 == 0 slice; seeds outside the graph
+    are dropped by the operator. Integer micros throughout — the
+    oracle replays every iteration (seeded base term, floor-divided
+    contributions) as chained CTEs, bit-exact."""
+    from serd_spark.operators.graph import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") % 9973).alias("src"),
+        (F.col("l_suppkey") % 9973).alias("dst"),
+    )
+    seeds = spark.range(0, 9973, 50).select(F.col("id").alias("node"))
+    return personalized_pagerank(edges, seeds, n_iter=5)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (operators/graph.py triangle_count) over
     a hash-folded trade graph (customer/supplier keys folded into one
@@ -4363,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_asof_join": q_asof_join,
         "q_pagerank": q_pagerank,
+        "q_trustrank": q_trustrank,
         "q_triangles": q_triangles,
         "q_pca": q_pca,
         "q_kcore": q_kcore,
@@ -4527,6 +4549,68 @@ def _pagerank_oracle_sql(
           ) infl ON infl.node = nd.node
         )""")
     return head + "".join(iters) + f"\n        SELECT node, rank_micros FROM r{n_iter}"
+
+
+def _ppr_oracle_sql(
+    n_iter: int,
+    seed_where: str,
+    dir_edges_sql: str,
+    damping_pct: int = 85,
+) -> str:
+    """Replays operators/graph.py's personalized_pagerank as chained
+    CTEs — directed edges, seeds = nodes matching ``seed_where``,
+    seeded base/init terms, identical floor-division arithmetic —
+    bit-exact (integer sums are order-independent)."""
+    head = f"""
+        WITH dir_edges AS ({dir_edges_sql}
+        ), edges AS (
+          SELECT DISTINCT src, dst FROM dir_edges
+          WHERE src IS NOT NULL AND dst IS NOT NULL
+        ), deg AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT src AS node FROM edges
+          UNION
+          SELECT dst AS node FROM edges
+        ), seeds AS (
+          SELECT node FROM nodes WHERE {seed_where}
+        ), params AS (
+          SELECT CAST((1000000 * {100 - damping_pct})
+                      // (100 * COUNT(*)) AS BIGINT) AS base,
+                 CAST(1000000 // COUNT(*) AS BIGINT) AS r0
+          FROM seeds
+        ), r0 AS (
+          SELECT n.node,
+                 CASE WHEN s.node IS NOT NULL
+                      THEN (SELECT r0 FROM params)
+                      ELSE CAST(0 AS BIGINT) END AS rank_micros
+          FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        )"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f""", r{i} AS (
+          SELECT nd.node,
+                 CAST(CASE WHEN sd.node IS NOT NULL
+                           THEN (SELECT base FROM params)
+                           ELSE 0 END
+                      + ({damping_pct} * COALESCE(infl.s, 0)) // 100
+                      AS BIGINT) AS rank_micros
+          FROM nodes nd
+          LEFT JOIN seeds sd ON sd.node = nd.node
+          LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(r.rank_micros // d.deg) AS BIGINT) AS s
+            FROM r{i - 1} r
+            JOIN edges e ON e.src = r.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) infl ON infl.node = nd.node
+        )""")
+    return (
+        head + "".join(iters)
+        + f"\n        SELECT node, rank_micros FROM r{n_iter}"
+    )
 
 
 def _hits_oracle_sql(n_iter: int, dir_edges_sql: str) -> str:
@@ -7849,6 +7933,13 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE rn = 1
         """,
         "q_pagerank": _pagerank_oracle_sql(n_iter=5),
+        "q_trustrank": _ppr_oracle_sql(
+            n_iter=5,
+            seed_where="node % 50 = 0",
+            dir_edges_sql="""
+          SELECT o_custkey % 9973 AS src, l_suppkey % 9973 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+        ),
         # Host centrality: edges re-derived from raw page bytes, all
         # rank iterations replayed — both pipeline stages certified.
         "q_host_rank": _pagerank_oracle_sql(

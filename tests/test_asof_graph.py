@@ -1,6 +1,7 @@
 """as-of join (operators/asof.py) and integer PageRank
 (operators/graph.py)."""
 
+import pytest
 from datetime import datetime
 
 from serd_spark.operators.asof import asof_join
@@ -288,3 +289,75 @@ def test_negative_samples_deterministic_and_flagged(spark):
     # identical call → identical rows (pure function of the edge set)
     again = negative_samples(edges, n_neg=2, n_buckets=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---- personalized PageRank / TrustRank ------------------------------
+
+
+def _ppr_py(edges, seeds, n_iter=5, damping_pct=85):
+    """Independent integer replay of graph.py::personalized_pagerank
+    (directed, seeded teleport)."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    seeds = sorted(set(seeds) & set(nodes))
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    base = (1_000_000 * (100 - damping_pct)) // (100 * len(seeds))
+    r = {v: (1_000_000 // len(seeds) if v in seeds else 0) for v in nodes}
+    for _ in range(n_iter):
+        inflow = {v: 0 for v in nodes}
+        for s, d in e:
+            inflow[d] += r[s] // deg[s]
+        r = {
+            v: (base if v in seeds else 0)
+            + (damping_pct * inflow[v]) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_ppr_matches_independent_integer_replay(spark):
+    from serd_spark.operators.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)]
+    seeds = [1, 6]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in personalized_pagerank(e, s, n_iter=5).collect()
+    }
+    assert got == _ppr_py(edges, seeds, n_iter=5)
+
+
+def test_ppr_trust_decays_with_distance_and_spam_scores_zero(spark):
+    from serd_spark.operators.graph import personalized_pagerank
+
+    # chain from the seed + a disconnected 2-cycle "link farm"
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in personalized_pagerank(e, s, n_iter=6).collect()
+    }
+    assert got[0] > got[1] > got[2] > got[3]
+    # unreachable from any seed: exactly zero trust, however cyclic
+    assert got[10] == 0 and got[11] == 0
+
+
+def test_ppr_seed_outside_graph_dropped_and_empty_seeds_raise(spark):
+    from serd_spark.operators.graph import personalized_pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in personalized_pagerank(e, s, n_iter=2).collect()
+    }
+    # 99 is not a graph node: teleport mass goes wholly to node 1
+    assert set(got) == {1, 2} and got[1] > 0
+    s_bad = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(e, s_bad, n_iter=1)
