@@ -1589,6 +1589,29 @@ def q_mm_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (operators/pdf_codec.py): real classic
+    PDFs synthesized per row — page tree, xref, Flate streams, and
+    the three text-show encodings (literal-with-escapes / hex / TJ
+    kerning array) rotating by id — decoded back strict through the
+    bounded parser. Page text is closed-form in (id, page), so the
+    oracle regenerates every document's full text, page count, char
+    count and md5 from range() without reading a payload byte: a
+    complete encode→parse certificate over the object scanner, page
+    walk, bounded inflate, string escapes and the TJ space rule.
+    One mapInPandas crossing each way, row-local, no shuffle."""
+    from serd_spark.operators.pdf_codec import pdf_text, synthesize_pdfs
+
+    media = synthesize_pdfs(spark, max(64, _n_pages(sf_dir) // 8))
+    out = pdf_text(media, strict=True)
+    return out.select(
+        "media_id",
+        "n_pages",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF metadata extraction (operators/exif_codec.py): real APP1
     segments (TIFF IFD0 + Exif sub-IFD, alternating II/MM byte
@@ -4432,6 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_vp8": q_mm_vp8,
         "q_mm_audio": q_mm_audio,
         "q_mm_exif": q_mm_exif,
+        "q_pdf_text": q_pdf_text,
         "q_heavy_hitters": q_heavy_hitters,
         "q_pair_mining": q_pair_mining,
         "q_crawl": q_crawl,
@@ -5676,6 +5700,32 @@ def oracle_sql() -> dict[str, str]:
         # EXIF certificate: every expected (media_id, ifd, name,
         # value) row regenerated from the generator's closed-form
         # formulas over generate_series — no payload byte read — and
+        # PDF text extraction: every document's pages regenerated
+        # closed-form from the row id (the writer/parser pair is the
+        # unit under test — encode→decode must land exactly on this
+        # formula), full text re-joined with chr(10), md5-pinned.
+        "q_pdf_text": f"""
+            WITH ids AS (
+              SELECT unnest(range(0,
+                {max(64, int(200_000 * 0.01) // 8)})) AS id
+            ), pg AS (
+              SELECT id, pp.p AS p,
+                     'Doc ' || CAST(id AS VARCHAR) || ' page '
+                     || CAST(pp.p AS VARCHAR) || ': '
+                     || repeat('word ', CAST(1 + (id + pp.p) % 4 AS INT))
+                     || '(' || chr(233) || ')\\.' AS t
+              FROM ids, LATERAL (
+                SELECT unnest(range(0, 1 + id % 3)) AS p) pp
+            ), doc AS (
+              SELECT id, CAST(COUNT(*) AS INT) AS n_pages,
+                     string_agg(t, chr(10) ORDER BY p) AS full_text
+              FROM pg GROUP BY id
+            )
+            SELECT CAST(id AS BIGINT) AS media_id, n_pages,
+                   CAST(length(full_text) AS INT) AS n_chars,
+                   md5(full_text) AS text_md5
+            FROM doc
+        """,
         # aggregated identically (per-row md5 pin over
         # media_id||chr(1)||value).
         "q_mm_exif": f"""
