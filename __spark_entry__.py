@@ -3671,6 +3671,27 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(edges, seeds, n_iter=5)
 
 
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / HyperANF neighborhood function (operators/graph.py::
+    neighborhood_function): reachable-pairs-within-t-hops over the
+    hash-folded undirected trade graph — per-node 16-register HLL
+    sketches max-merged along edges each round, exact-integer
+    harmonic denominators, pre-floored linear-counting lookup (no
+    runtime transcendentals). The oracle replays the register tables
+    round by round and every per-node estimate as chained CTEs —
+    bit-exact, the determinism certificate for the distance-
+    distribution estimator."""
+    from serd_spark.operators.graph import neighborhood_function
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") % 9973).alias("src"),
+        (F.col("l_suppkey") % 9973).alias("dst"),
+    )
+    return neighborhood_function(edges, n_rounds=3)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count (operators/graph.py triangle_count) over
     a hash-folded trade graph (customer/supplier keys folded into one
@@ -4408,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_pagerank": q_pagerank,
         "q_trustrank": q_trustrank,
+        "q_anf": q_anf,
         "q_triangles": q_triangles,
         "q_pca": q_pca,
         "q_kcore": q_kcore,
@@ -4635,6 +4657,67 @@ def _ppr_oracle_sql(
         head + "".join(iters)
         + f"\n        SELECT node, rank_micros FROM r{n_iter}"
     )
+
+
+def _anf_oracle_sql(n_rounds: int, dir_edges_sql: str) -> str:
+    """Replays operators/graph.py's neighborhood_function (undirected
+    form) as chained CTEs: md5→bucket/rho register init, one
+    max-merge register CTE per round, per-node exact-integer
+    denominators, and the shared _anf_est_expr() estimate text —
+    bit-exact."""
+    from serd_spark.operators.graph import _anf_est_expr
+
+    head = f"""
+        WITH dir_edges AS ({dir_edges_sql}
+        ), edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM dir_edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM dir_edges
+          ) m
+          WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), hh AS (
+          SELECT node,
+                 CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM nodes
+        ), r0 AS (
+          SELECT node, h >> 56 AS bucket,
+                 CASE WHEN (h & ((1::BIGINT << 56) - 1)) = 0 THEN 57
+                      ELSE 57 - length(bin(h & ((1::BIGINT << 56) - 1)))
+                 END AS rho
+          FROM hh
+        )"""
+    parts = []
+    for t in range(1, n_rounds + 1):
+        parts.append(f""", r{t} AS (
+          SELECT node, bucket, MAX(rho) AS rho FROM (
+            SELECT node, bucket, rho FROM r{t - 1}
+            UNION ALL
+            SELECT e.src AS node, r.bucket, r.rho
+            FROM r{t - 1} r JOIN edges e ON e.dst = r.node
+          ) u GROUP BY node, bucket
+        )""")
+    for t in range(n_rounds + 1):
+        parts.append(f""", est{t} AS (
+          SELECT CAST({t} AS INT) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(COALESCE(SUM({_anf_est_expr()}), 0) AS BIGINT)
+                   AS pairs_est
+          FROM (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_regs,
+                   CAST(SUM(1::BIGINT << CAST(57 - rho AS INTEGER))
+                        + (16 - COUNT(*)) * (1::BIGINT << 57)
+                        AS BIGINT) AS denom
+            FROM r{t} GROUP BY node
+          ) d
+        )""")
+    union = "\n          UNION ALL ".join(
+        f"SELECT * FROM est{t}" for t in range(n_rounds + 1)
+    )
+    return head + "".join(parts) + f"\n        {union}"
 
 
 def _hits_oracle_sql(n_iter: int, dir_edges_sql: str) -> str:
@@ -7986,6 +8069,12 @@ def oracle_sql() -> dict[str, str]:
         "q_trustrank": _ppr_oracle_sql(
             n_iter=5,
             seed_where="node % 50 = 0",
+            dir_edges_sql="""
+          SELECT o_custkey % 9973 AS src, l_suppkey % 9973 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+        ),
+        "q_anf": _anf_oracle_sql(
+            n_rounds=3,
             dir_edges_sql="""
           SELECT o_custkey % 9973 AS src, l_suppkey % 9973 AS dst
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",

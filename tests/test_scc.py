@@ -132,3 +132,113 @@ def test_round_cap_raises(spark):
             edges.append((a - 2, a))
     with pytest.raises(ValueError, match="condensation depth"):
         _run(spark, edges, max_outer=2)
+
+
+# ---- ANF / neighborhood function -----------------------------------
+
+import hashlib
+
+from serd_spark.operators.graph import (
+    _ANF_LIN,
+    _ANF_M,
+    _ANF_NUM,
+    neighborhood_function,
+)
+
+
+def _anf_py(edges, n_rounds):
+    """Independent replay: EXACT balls per node, sketched and
+    estimated with the identical md5/bucket/rho/denom arithmetic —
+    the iterated max-merge must equal the sketch of the exact ball
+    (HLL merge distributes over union)."""
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.update((s, d))
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+
+    def ball(v, t):
+        cur = {v}
+        for _ in range(t):
+            cur = cur | {w for u in cur for w in adj.get(u, ())}
+        return cur
+
+    def est(vals):
+        regs = {}
+        for v in vals:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            b = h >> 56
+            w = h & ((1 << 56) - 1)
+            rho = 57 - w.bit_length() if w else 57
+            regs[b] = max(regs.get(b, 0), rho)
+        denom = sum(1 << (57 - r) for r in regs.values())
+        denom += (_ANF_M - len(regs)) * (1 << 57)
+        zero = _ANF_M - len(regs)
+        raw = _ANF_NUM / denom
+        if zero > 0 and raw <= 2.5 * _ANF_M:
+            return _ANF_LIN[zero]
+        return int(raw)
+
+    return {
+        t: (len(nodes), sum(est(ball(v, t)) for v in nodes))
+        for t in range(n_rounds + 1)
+    }
+
+
+def test_anf_matches_exact_ball_replay(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.t: (r.n_nodes, r.pairs_est)
+        for r in neighborhood_function(df, n_rounds=3).collect()
+    }
+    assert got == _anf_py(edges, 3)
+
+
+def test_anf_monotone_and_saturates(spark):
+    n = 10
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = sorted(
+        (r.t, r.pairs_est)
+        for r in neighborhood_function(df, n_rounds=6).collect()
+    )
+    vals = [v for _, v in rows]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+    # cycle of 10: balls saturate at t=5; t=5 == t=6
+    assert vals[5] == vals[6]
+
+
+def test_anf_directed_balls(spark):
+    # directed path: node 0 reaches all, node 2 reaches only itself
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.t: r.pairs_est
+        for r in neighborhood_function(
+            df, n_rounds=2, undirected=False
+        ).collect()
+    }
+    # replay with directed balls
+    import hashlib as _h
+
+    def est_set(vals):
+        regs = {}
+        for v in vals:
+            h = int(_h.md5(str(v).encode()).hexdigest()[:15], 16)
+            b, w = h >> 56, h & ((1 << 56) - 1)
+            rho = 57 - w.bit_length() if w else 57
+            regs[b] = max(regs.get(b, 0), rho)
+        denom = sum(1 << (57 - r) for r in regs.values()) + (
+            _ANF_M - len(regs)
+        ) * (1 << 57)
+        zero = _ANF_M - len(regs)
+        raw = _ANF_NUM / denom
+        return _ANF_LIN[zero] if zero and raw <= 40.0 else int(raw)
+
+    balls = {0: [{0}, {0, 1}, {0, 1, 2}], 1: [{1}, {1, 2}, {1, 2}],
+             2: [{2}, {2}, {2}]}
+    for t in range(3):
+        assert got[t] == sum(est_set(balls[v][t]) for v in balls)
