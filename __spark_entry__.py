@@ -1612,6 +1612,23 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rdfxml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF/XML — the fourth concrete RDF syntax (rdf/rdfxml.py):
+    formula-derived documents exercising typed nodes, xml:lang,
+    rdf:datatype, rdf:resource, rdf:li containers, and
+    property-attribute blank nodes are parsed strict; per document
+    the triple count, blank count, md5 over the sorted canonical
+    N-Triples lines, AND a write_rdfxml→reparse round-trip verdict
+    are emitted. The oracle regenerates every expected N-Triples
+    line closed-form from the doc id — a complete parse certificate
+    without an XML engine on the oracle side. One mapInPandas
+    crossing, document-scoped, no shuffle (the 100 TB shape)."""
+    from serd_spark.operators.serialize import rdfxml_certificate
+
+    n = max(64, _n_pages(sf_dir) // 8)
+    return rdfxml_certificate(spark, n).orderBy("doc_id")
+
+
 def q_mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF metadata extraction (operators/exif_codec.py): real APP1
     segments (TIFF IFD0 + Exif sub-IFD, alternating II/MM byte
@@ -4447,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scc": q_scc,
         "q_anchor_text": q_anchor_text,
         "q_nfc": q_nfc,
+        "q_rdfxml": q_rdfxml,
         "q_host_rank": q_host_rank,
         "q_hits": q_hits,
         "q_domain_cap": q_domain_cap,
@@ -5783,6 +5801,63 @@ def oracle_sql() -> dict[str, str]:
         # EXIF certificate: every expected (media_id, ifd, name,
         # value) row regenerated from the generator's closed-form
         # formulas over generate_series — no payload byte read — and
+        # RDF/XML certificate: every expected canonical N-Triples
+        # line regenerated closed-form from the doc id (typed node,
+        # lang literal, typed literal, resource link, rdf:_n
+        # container rows, property-attribute blank) — sorted and
+        # md5-pinned exactly as the Spark side does. rt_ok is the
+        # writer→reparse fixpoint, always 1 by construction.
+        "q_rdfxml": f"""
+            WITH ids AS (
+              SELECT unnest(range(0,
+                {max(64, int(200_000 * 0.01) // 8)})) AS i
+            ), lines AS (
+              SELECT i, '<http://ex.org/item/' || CAST(i AS VARCHAR)
+                || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+                || ' <http://schema.org/Thing> .' AS line
+              FROM ids WHERE i % 2 = 0
+              UNION ALL
+              SELECT i, '<http://ex.org/item/' || CAST(i AS VARCHAR)
+                || '> <http://schema.org/name> "Item '
+                || CAST(i AS VARCHAR) || '"@en .' FROM ids
+              UNION ALL
+              SELECT i, '<http://ex.org/item/' || CAST(i AS VARCHAR)
+                || '> <http://schema.org/age> "' || CAST(i AS VARCHAR)
+                || '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+              FROM ids
+              UNION ALL
+              SELECT i, '<http://ex.org/item/' || CAST(i AS VARCHAR)
+                || '> <http://schema.org/knows> <http://ex.org/item/'
+                || CAST((i * 7) % {max(64, int(200_000 * 0.01) // 8)}
+                        AS VARCHAR)
+                || '> .' FROM ids
+              UNION ALL
+              SELECT i, '<http://ex.org/item/' || CAST(i AS VARCHAR)
+                || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#_'
+                || CAST(j.j AS VARCHAR) || '> "v' || CAST(j.j AS VARCHAR)
+                || '" .'
+              FROM ids, LATERAL (
+                SELECT unnest(range(1, 2 + i % 3)) AS j) j
+              UNION ALL
+              SELECT i, '<http://ex.org/item/' || CAST(i AS VARCHAR)
+                || '> <http://schema.org/address> _:b1 .'
+              FROM ids WHERE i % 4 = 0
+              UNION ALL
+              SELECT i, '_:b1 <http://schema.org/postalCode> "'
+                || CAST(10000 + i AS VARCHAR) || '" .'
+              FROM ids WHERE i % 4 = 0
+            ), doc AS (
+              SELECT i, CAST(COUNT(*) AS BIGINT) AS n_triples,
+                     md5(string_agg(line, chr(10) ORDER BY line))
+                       AS nt_md5
+              FROM lines GROUP BY i
+            )
+            SELECT CAST(i AS BIGINT) AS doc_id, n_triples,
+                   CAST(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_blanks,
+                   CAST(1 AS INTEGER) AS rt_ok, nt_md5
+            FROM doc ORDER BY doc_id
+        """,
         # PDF text extraction: every document's pages regenerated
         # closed-form from the row id (the writer/parser pair is the
         # unit under test — encode→decode must land exactly on this

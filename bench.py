@@ -161,6 +161,8 @@ def main() -> None:
         "q_mm_exif": entrymod.q_mm_exif,
         "q_anchor_text": entrymod.q_anchor_text,
         "q_nfc": entrymod.q_nfc,
+        # round-4 session-10 additions
+        "q_rdfxml": entrymod.q_rdfxml,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -80,6 +80,7 @@ def main(argv: list[str] | None = None) -> None:
             .when(ext == "nt", "ntriples")
             .when(ext == "nq", "nquads")
             .when(ext == "jsonld", "jsonld")
+            .when(ext.isin("rdf", "rdfxml", "owl"), "rdfxml")
             .otherwise("turtle")
         )
         docs = raw.select(

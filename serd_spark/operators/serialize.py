@@ -348,3 +348,88 @@ def c14n_lines(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame({"url": urls, "run": runs, "line": lines})
 
     return pages.select("url", "html").mapInPandas(run, schema=C14N_SCHEMA)
+
+
+RDFXML_CERT_SCHEMA = (
+    "doc_id long, n_triples long, n_blanks long, rt_ok int, nt_md5 string"
+)
+
+
+def _synth_rdfxml(i: int, n: int) -> str:
+    """One deterministic RDF/XML document — every parsed triple is a
+    closed-form function of (i, n), so the DuckDB oracle regenerates
+    the expected canonical N-Triples lines without an XML parser.
+    Exercises: typed nodes, xml:lang, rdf:datatype, rdf:resource,
+    rdf:li containers, and property-attribute blank nodes."""
+    subj = f"http://ex.org/item/{i}"
+    tag = "s:Thing" if i % 2 == 0 else "rdf:Description"
+    lis = "".join(
+        f"<rdf:li>v{j}</rdf:li>" for j in range(1, 2 + i % 3)
+    )
+    addr = (
+        f'<s:address s:postalCode="{10000 + i}"/>' if i % 4 == 0 else ""
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:s="http://schema.org/">'
+        f'<{tag} rdf:about="{subj}">'
+        f'<s:name xml:lang="en">Item {i}</s:name>'
+        '<s:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">'
+        f"{i}</s:age>"
+        f'<s:knows rdf:resource="http://ex.org/item/{(i * 7) % n}"/>'
+        f"{lis}{addr}</{tag}></rdf:RDF>"
+    )
+
+
+def rdfxml_certificate(spark, n: int) -> DataFrame:
+    """RDF/XML closed-loop certificate (rdf/rdfxml.py): synthesize n
+    formula-derived documents, parse each with the strict RDF/XML
+    parser, and per document emit the triple count, distinct-blank
+    count, the md5 over the sorted canonical N-Triples lines, and a
+    write_rdfxml→reparse round-trip verdict. One mapInPandas
+    crossing, embarrassingly parallel (document-scoped blanks), no
+    shuffle — the same 100 TB shape as the other per-doc parsers."""
+    from collections.abc import Iterator
+
+    from serd_spark.rdf.ntriples import write_ntriples
+    from serd_spark.rdf.rdfxml import parse_rdfxml, write_rdfxml
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_tr, n_bl, rt, md5s = [], [], [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                stmts, errs = parse_rdfxml(_synth_rdfxml(i, n))
+                assert not errs
+                lines = sorted(write_ntriples(stmts).splitlines())
+                blanks = {
+                    t.value
+                    for st in stmts
+                    for t in (st.subject, st.object)
+                    if t.kind == BLANK
+                }
+                back, _ = parse_rdfxml(write_rdfxml(stmts))
+                ok = sorted(write_ntriples(back).splitlines()) == lines
+                import hashlib
+
+                ids.append(i)
+                n_tr.append(len(stmts))
+                n_bl.append(len(blanks))
+                rt.append(1 if ok else 0)
+                md5s.append(
+                    hashlib.md5("\n".join(lines).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_triples": n_tr,
+                    "n_blanks": n_bl,
+                    "rt_ok": rt,
+                    "nt_md5": md5s,
+                }
+            )
+
+    return spark.range(0, n, 1, 16).mapInPandas(
+        run, schema=RDFXML_CERT_SCHEMA
+    )

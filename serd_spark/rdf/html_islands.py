@@ -22,6 +22,7 @@ from serd_spark.rdf.microdata import build_tree, parse_microdata
 from serd_spark.rdf.rdfa import has_rdfa_markers, parse_rdfa
 from serd_spark.rdf.model import BLANK, ParseError, Statement, Term
 from serd_spark.rdf.ntriples import parse_nquads, parse_ntriples
+from serd_spark.rdf.rdfxml import parse_rdfxml
 from serd_spark.rdf.turtle import parse_trig, parse_turtle
 
 __all__ = ["MIME_SYNTAX", "PARSERS", "find_islands", "extract_document"]
@@ -32,6 +33,7 @@ MIME_SYNTAX = {
     "application/n-triples": "ntriples",
     "application/n-quads": "nquads",
     "application/ld+json": "jsonld",
+    "application/rdf+xml": "rdfxml",
 }
 
 ParserFn = Callable[..., tuple[list[Statement], list[tuple[int, int, str]]]]
@@ -42,6 +44,7 @@ PARSERS: dict[str, ParserFn] = {
     "ntriples": parse_ntriples,
     "nquads": parse_nquads,
     "jsonld": parse_jsonld,
+    "rdfxml": parse_rdfxml,
 }
 
 def parse_one(
