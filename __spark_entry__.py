@@ -1629,6 +1629,61 @@ def q_rdfxml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfxml_certificate(spark, n).orderBy("doc_id")
 
 
+_SHACL_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix s: <http://schema.org/> .
+@prefix ex: <http://example.org/shapes/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:ThingShape a sh:NodeShape ;
+  sh:targetClass s:Thing ;
+  sh:property [ sh:path s:name ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:datatype xsd:string ; sh:maxLength 18 ] ;
+  sh:property [ sh:path s:relatedLink ; sh:nodeKind sh:IRI ;
+                sh:class s:Thing ] ;
+  sh:property [ sh:path s:review ; sh:nodeKind sh:BlankNode ] ;
+  sh:property [ sh:path s:ratingValue ; sh:pattern "^[0-9]+\\\\.[0-9]$" ] .
+"""
+
+
+def q_shacl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation (operators/shacl.py) over the REAL
+    extracted KG: the shapes graph is Turtle parsed by this repo's
+    own parser, compiled driver-side, and executed as declarative
+    plans — focus filter on the type triples, one subject equi-join
+    per property shape, per-focus hash-agg cardinality, row-local
+    codegen value checks, left-anti class check. The report is
+    aggregated per (constraint, path) with focus/value pins; the
+    oracle replays every constraint relationally over the
+    materialized triple table. Validation runs on the DISTINCT
+    triple set (SHACL is graph semantics — a graph is a set)."""
+    from serd_spark.operators.shacl import parse_shapes_turtle, validate
+
+    _materialize_triples(spark, sf_dir)
+    shapes = parse_shapes_turtle(_SHACL_SHAPES_TTL)
+    graph = (
+        _kg_triples(spark, sf_dir)
+        .select("s", "p", "o", "o_kind", "o_dt", "o_lang")
+        .distinct()
+    )
+    report = validate(graph, shapes)
+    pin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\u0001", "focus", "value")), 1, 10
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        report.groupBy("constraint", "path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("focus").alias("n_focus"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("constraint", "path")
+    )
+
+
 def q_mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF metadata extraction (operators/exif_codec.py): real APP1
     segments (TIFF IFD0 + Exif sub-IFD, alternating II/MM byte
@@ -4465,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": q_anchor_text,
         "q_nfc": q_nfc,
         "q_rdfxml": q_rdfxml,
+        "q_shacl": q_shacl,
         "q_host_rank": q_host_rank,
         "q_hits": q_hits,
         "q_domain_cap": q_domain_cap,
@@ -5801,6 +5857,80 @@ def oracle_sql() -> dict[str, str]:
         # EXIF certificate: every expected (media_id, ifd, name,
         # value) row regenerated from the generator's closed-form
         # formulas over generate_series — no payload byte read — and
+        # SHACL report: every constraint replayed relationally over
+        # the DISTINCT materialized triple set — focus filter,
+        # per-path value joins, cardinality counts, datatype/
+        # nodeKind/length/pattern row checks, NOT-IN class check —
+        # with the same per-violation (focus, value) md5 pin.
+        "q_shacl": f"""
+            WITH t AS (
+              SELECT DISTINCT s, p, o, o_kind, o_dt, o_lang
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), focus AS (
+              SELECT DISTINCT s FROM t
+              WHERE p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND o = 'http://schema.org/Thing'
+            ), name_vals AS (
+              SELECT f.s AS focus, t.o, t.o_kind, t.o_dt, t.o_lang
+              FROM focus f
+              JOIN t ON t.s = f.s AND t.p = 'http://schema.org/name'
+            ), link_vals AS (
+              SELECT f.s AS focus, t.o, t.o_kind
+              FROM focus f
+              JOIN t ON t.s = f.s AND t.p = 'http://schema.org/relatedLink'
+            ), review_vals AS (
+              SELECT f.s AS focus, t.o, t.o_kind
+              FROM focus f
+              JOIN t ON t.s = f.s AND t.p = 'http://schema.org/review'
+            ), rating_vals AS (
+              SELECT f.s AS focus, t.o, t.o_kind
+              FROM focus f
+              JOIN t ON t.s = f.s AND t.p = 'http://schema.org/ratingValue'
+            ), viol AS (
+              SELECT f.s AS focus, 'minCount' AS con,
+                     'http://schema.org/name' AS path, '' AS value
+              FROM focus f LEFT JOIN (
+                SELECT focus, COUNT(*) AS n FROM name_vals GROUP BY focus
+              ) c ON c.focus = f.s
+              WHERE COALESCE(c.n, 0) < 1
+              UNION ALL
+              SELECT focus, 'maxCount', 'http://schema.org/name', ''
+              FROM (
+                SELECT focus, COUNT(*) AS n FROM name_vals GROUP BY focus
+              ) WHERE n > 1
+              UNION ALL
+              SELECT focus, 'datatype', 'http://schema.org/name', o
+              FROM name_vals
+              WHERE NOT (o_kind = 1
+                AND o_dt IN ('', 'http://www.w3.org/2001/XMLSchema#string')
+                AND o_lang = '')
+              UNION ALL
+              SELECT focus, 'maxLength', 'http://schema.org/name', o
+              FROM name_vals WHERE length(o) > 18
+              UNION ALL
+              SELECT focus, 'nodeKind', 'http://schema.org/relatedLink', o
+              FROM link_vals WHERE o_kind <> 0
+              UNION ALL
+              SELECT focus, 'class', 'http://schema.org/relatedLink', o
+              FROM link_vals
+              WHERE o_kind <> 1 AND o NOT IN (SELECT s FROM focus)
+              UNION ALL
+              SELECT focus, 'nodeKind', 'http://schema.org/review', o
+              FROM review_vals WHERE o_kind <> 2
+              UNION ALL
+              SELECT focus, 'pattern', 'http://schema.org/ratingValue', o
+              FROM rating_vals
+              WHERE o_kind <> 1
+                 OR NOT regexp_matches(o, '^[0-9]+\\.[0-9]$')
+            )
+            SELECT con AS "constraint", path,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT focus) AS BIGINT) AS n_focus,
+                   CAST(SUM(CAST('0x' || substr(md5(
+                     focus || chr(1) || value), 1, 10) AS BIGINT))
+                     AS BIGINT) AS pin
+            FROM viol GROUP BY con, path ORDER BY con, path
+        """,
         # RDF/XML certificate: every expected canonical N-Triples
         # line regenerated closed-form from the doc id (typed node,
         # lang literal, typed literal, resource link, rdf:_n

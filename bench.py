@@ -163,6 +163,7 @@ def main() -> None:
         "q_nfc": entrymod.q_nfc,
         # round-4 session-10 additions
         "q_rdfxml": entrymod.q_rdfxml,
+        "q_shacl": entrymod.q_shacl,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
