@@ -4423,6 +4423,100 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-day HyperLogLog distinct-user count driven
+    end-to-end (streaming/incremental.streaming_hll): user-id events
+    flow through an availableNow stream into tumbling-day register
+    tables under a 2 h watermark — the REGISTER TABLE is the windowed
+    state, at most m=64 rows per day no matter the user count, late
+    data max-merging under the watermark — then a BATCH pass runs
+    the hll_estimate arithmetic per emitted day (exact-integer
+    harmonic denominator, one float division, linear-counting small
+    branch). Append mode emits each day once at the standard
+    eviction cut; the oracle rebuilds registers, cut, denominators
+    and estimates from raw events."""
+    import shutil
+
+    from serd_spark.operators.stats import _shl, hll_alpha
+    from serd_spark.streaming.incremental import streaming_hll
+
+    p, m, scale = 6, 64, 55
+    base = os.path.join(
+        "/tmp/serd_spark_stream_hll",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    in_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("uid"),
+    ).repartition(6).write.parquet(in_dir)
+
+    ev = spark.readStream.schema("ts timestamp, uid string").parquet(in_dir)
+    regs = streaming_hll(
+        ev, "uid", window="1 day", watermark="2 hours", p=p
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        regs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    day_regs = spark.read.parquet(out_dir).select(
+        F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+        "bucket",
+        "rho",
+    )
+    num = hll_alpha(m) * m * m * float(1 << scale)
+    staged = (
+        day_regs.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_regs"),
+            F.sum(
+                _shl(F.lit(1).cast("long"), F.lit(scale) - F.col("rho"))
+            )
+            .cast("long")
+            .alias("denom_used"),
+        )
+        .select(
+            "day",
+            "n_regs",
+            (F.lit(m) - F.col("n_regs")).cast("long").alias("zero_regs"),
+            (
+                F.col("denom_used")
+                + (F.lit(m) - F.col("n_regs")) * F.lit(1 << scale)
+            )
+            .cast("long")
+            .alias("denom"),
+        )
+    )
+    raw = F.lit(num) / F.col("denom")
+    small = (raw <= F.lit(2.5 * m)) & (F.col("zero_regs") > 0)
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("zero_regs")
+    )
+    return staged.select(
+        "day",
+        "n_regs",
+        "zero_regs",
+        "denom",
+        F.round(F.when(small, linear).otherwise(raw), 0)
+        .cast("long")
+        .alias("hll_est"),
+    ).orderBy("day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -4583,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
         "stream_countmin": stream_countmin,
+        "stream_hll": stream_hll,
         "stream_quantiles": stream_quantiles,
     }
 
@@ -9117,6 +9212,54 @@ def oracle_sql() -> dict[str, str]:
               ON c.day = p.day AND c.row = p.row AND c.col = p.col
             GROUP BY p.day, p.uid
             ORDER BY p.day, p.uid
+        """,
+        # Streaming HLL: registers, eviction cut, exact-integer
+        # denominators and the estimate arithmetic all replayed from
+        # raw events (the q_hll discipline, per closed day).
+        "stream_hll": """
+            WITH ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS uid, ts FROM events
+            ), mx AS (
+              SELECT max(ts) AS mts FROM ev
+            ), kept AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     uid
+              FROM ev, mx
+              WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+                    <= mts - INTERVAL 2 HOUR
+            ), h AS (
+              SELECT day,
+                     CAST('0x' || substr(md5(uid), 1, 15) AS BIGINT) AS h
+              FROM kept
+            ), r AS (
+              SELECT day, h >> 54 AS bucket,
+                     MAX(CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0
+                              THEN 55
+                              ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1)))
+                         END) AS rho
+              FROM h GROUP BY day, bucket
+            ), a AS (
+              SELECT day, CAST(COUNT(*) AS BIGINT) AS n_regs,
+                     CAST(SUM(1::BIGINT << CAST(55 - rho AS INTEGER))
+                          AS BIGINT) AS denom_used
+              FROM r GROUP BY day
+            ), s AS (
+              SELECT day, n_regs,
+                     CAST(64 - n_regs AS BIGINT) AS zero_regs,
+                     CAST(denom_used + (64 - n_regs) * (1::BIGINT << 55)
+                          AS BIGINT) AS denom
+              FROM a
+            ), e AS (
+              SELECT day, n_regs, zero_regs, denom,
+                     CAST(0.709 AS DOUBLE) * 64.0 * 64.0
+                       * 36028797018963968.0 / denom AS raw
+              FROM s
+            )
+            SELECT day, n_regs, zero_regs, denom,
+                   CAST(round(CASE WHEN raw <= 160.0 AND zero_regs > 0
+                                   THEN 64.0 * ln(64.0 / zero_regs)
+                                   ELSE raw END, 0) AS BIGINT) AS hll_est
+            FROM e ORDER BY day
         """,
         "stream_quantiles": """
             WITH ev AS (

@@ -164,6 +164,7 @@ def main() -> None:
         # round-4 session-10 additions
         "q_rdfxml": entrymod.q_rdfxml,
         "q_shacl": entrymod.q_shacl,
+        "stream_hll": entrymod.stream_hll,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

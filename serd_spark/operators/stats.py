@@ -377,6 +377,28 @@ def countmin_estimate(
     )
 
 
+def hll_bucket_rho(value_col: str, p: int) -> tuple[F.Column, F.Column]:
+    """The (bucket, rho) expression pair shared by the batch sketch
+    and ``streaming/incremental.streaming_hll`` — one derivation so
+    the two surfaces cannot drift."""
+    if not (4 <= p <= 14):
+        raise ValueError("p must be in [4, 14]")
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col(value_col), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
 def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
     """HyperLogLog register table (Flajolet et al. 2007): hash each
     value to 60 bits (15 md5 hex chars — comfortably inside a signed
@@ -397,21 +419,7 @@ def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
 
     Returns ``(bucket, rho)`` — absent bucket = empty register.
     """
-    if not (4 <= p <= 14):
-        raise ValueError("p must be in [4, 14]")
-    wbits = 60 - p
-    h = F.conv(
-        F.substring(F.md5(F.encode(F.col(value_col), "UTF-8")), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    bucket = F.shiftright(h, wbits)
-    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
-    rho = (
-        F.when(w == 0, F.lit(wbits + 1))
-        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
-        .cast("int")
-    )
+    bucket, rho = hll_bucket_rho(value_col, p)
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(bucket.alias("bucket"), rho.alias("rho"))

@@ -469,6 +469,46 @@ def streaming_countmin(
     )
 
 
+def streaming_hll(
+    events_stream: DataFrame,
+    value_col: str,
+    ts: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    p: int = 8,
+) -> DataFrame:
+    """Tumbling-window HyperLogLog register table over an event
+    stream — the streaming face of ``operators/stats.hll_sketch``
+    and the fourth bounded-state streaming sketch (sessions hold
+    intervals, HDR a bucket histogram, count-min frequency cells,
+    this holds distinct-count registers).
+
+    Why at 100 TB: a windowed COUNT(DISTINCT) grows state with the
+    distinct-value count per window; the register table is at most
+    m = 2^p rows per window no matter the domain, and late data
+    within the watermark merges by register-wise MAX — HLL's merge
+    law doing the late-data work (MAX is also what makes the
+    operator insensitive to duplicate delivery inside the window).
+    The estimate stays a BATCH pass over the emitted registers
+    (``stats.hll_estimate`` arithmetic grouped by window),
+    deliberately outside the stream.
+
+    Append mode emits each window's registers exactly once at the
+    standard ``window_end <= max(event_ts) - delay`` eviction cut.
+    Returns (window struct, bucket, rho)."""
+    from serd_spark.operators.stats import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(value_col, p)
+    return (
+        events_stream.withColumn("_ts", F.col(ts).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .filter(F.col(value_col).isNotNull())
+        .select("_ts", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window(F.col("_ts"), window), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def streaming_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -532,3 +532,72 @@ def test_streaming_enrich_matches_batch(spark, tmp_path):
         for r in batch.join(dim, "event_type").collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_streaming_hll_merges_late_and_evicts(spark, tmp_path):
+    """The windowed HLL register table must max-merge a late-but-
+    within-watermark event into its day across micro-batches, emit a
+    closed day exactly once at the eviction cut, hold back the open
+    trailing day — and the emitted registers must EQUAL the batch
+    hll_sketch over the evicted rows (the merge law the stream_hll
+    oracle replays)."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from serd_spark.operators.stats import hll_sketch
+    from serd_spark.streaming.incremental import streaming_hll
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    in_dir = tmp_path / "ev_hll"
+    in_dir.mkdir()
+    batches = [
+        [("u1", _ts("2024-01-01 10:00:00")),
+         ("u2", _ts("2024-01-01 11:00:00"))],
+        # LATE day-1 rows (u1 repeat + new u7) + a day-2 row
+        [("u1", _ts("2024-01-01 09:00:00")),
+         ("u7", _ts("2024-01-01 09:30:00")),
+         ("u3", _ts("2024-01-02 01:00:00"))],
+        # flusher: advances the watermark past days 1 and 2
+        [("u9", _ts("2024-01-03 03:00:00"))],
+    ]
+    for k, rows in enumerate(batches):
+        p = str(in_dir / f"b{k}.parquet")
+        spark.createDataFrame(rows, "uid string, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        t = 1_700_000_000 + 1000 * k
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    _time.sleep(0.01)
+
+    ev = spark.readStream.schema("uid string, ts timestamp") \
+        .option("maxFilesPerTrigger", 1).parquet(str(in_dir) + "/*")
+    regs = streaming_hll(
+        ev, "uid", window="1 day", watermark="2 hours", p=4
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql(
+        "SELECT date_format(window.start, 'yyyy-MM-dd') AS day,"
+        " bucket, rho FROM hll_stream"
+    ).collect()
+    got = {(r["day"], r["bucket"]): r["rho"] for r in emitted}
+    assert {d for d, _ in got} == {"2024-01-01", "2024-01-02"}
+    for day, day_rows in [
+        ("2024-01-01", [("u1",), ("u2",), ("u1",), ("u7",)]),
+        ("2024-01-02", [("u3",)]),
+    ]:
+        batch = hll_sketch(
+            spark.createDataFrame(day_rows, "uid string"), "uid", p=4
+        ).collect()
+        expect = {(day, r["bucket"]): r["rho"] for r in batch}
+        assert {k: v for k, v in got.items() if k[0] == day} == expect
