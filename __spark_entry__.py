@@ -1966,6 +1966,27 @@ def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ZeroOrMorePath (plans/sparql.py): relatedLink* from
+    review-carrying pages — the OneOrMorePath closure UNIONED with
+    the identity relation over the graph nodes (SPARQL 1.1
+    zero-length-path semantics), so every x appears paired with
+    itself as well as its closure. The oracle replays the closure as
+    a recursive CTE, the node set as subjects∪objects, and the same
+    review-subject restriction."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?x ?y WHERE {
+      ?x s:review ?rev .
+      ?x s:relatedLink* ?y .
+    } ORDER BY ?x ?y LIMIT 600
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
 def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregates (plans/sparql.py): GROUP BY predicate with
     COUNT(*), COUNT(DISTINCT subject), and MIN/MAX object — parsed
@@ -4658,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sparql": q_sparql,
         "q_sparql_opt": q_sparql_opt,
         "q_sparql_path": q_sparql_path,
+        "q_sparql_star": q_sparql_star,
         "q_sparql_agg": q_sparql_agg,
         "q_sparql_having": q_sparql_having,
         "q_sparql_exists": q_sparql_exists,
@@ -5559,6 +5581,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.x AS x, c.y AS y,
                    COALESCE(ra.auth, '') AS auth
             FROM c LEFT JOIN ra ON ra.x = c.x
+            ORDER BY x, y LIMIT 600
+        """,
+        # SPARQL ZeroOrMorePath: recursive-CTE closure UNION the
+        # identity over subjects∪objects, restricted to review
+        # subjects — zero-length-path semantics certified against an
+        # independent recursive evaluation.
+        "q_sparql_star": f"""
+            WITH RECURSIVE t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ),
+            e AS (
+              SELECT s, o FROM t
+              WHERE p = 'http://schema.org/relatedLink'
+            ),
+            c AS (
+              SELECT s AS x, o AS y FROM e
+              UNION
+              SELECT c.x, e.o FROM c JOIN e ON c.y = e.s
+            ),
+            nodes AS (
+              -- explicit DISTINCT: inside a WITH RECURSIVE block
+              -- DuckDB gives plain UNION CTEs append semantics
+              SELECT DISTINCT n FROM (
+                SELECT s AS n FROM t UNION ALL SELECT o AS n FROM t
+              )
+            ),
+            cz AS (
+              SELECT DISTINCT x, y FROM (
+                SELECT x, y FROM c
+                UNION ALL
+                SELECT n, n FROM nodes
+              )
+            ),
+            rev AS (
+              SELECT DISTINCT s FROM t
+              WHERE p = 'http://schema.org/review'
+            )
+            SELECT cz.x AS x, cz.y AS y
+            FROM cz JOIN rev ON rev.s = cz.x
             ORDER BY x, y LIMIT 600
         """,
         # SPARQL aggregates: the compiled groupBy().agg() replayed as

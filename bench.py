@@ -165,6 +165,7 @@ def main() -> None:
         "q_rdfxml": entrymod.q_rdfxml,
         "q_shacl": entrymod.q_shacl,
         "stream_hll": entrymod.stream_hll,
+        "q_sparql_star": entrymod.q_sparql_star,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -52,11 +52,13 @@ distributed engine has no stable unordered sequence), and property
 paths
 in the predicate position: sequence (p1/p2 → join chain),
 alternation (p1|p2 → bag union), inverse (^p → column swap),
-parenthesized grouping, and OneOrMorePath (p+ → transitive closure
+parenthesized grouping, OneOrMorePath (p+ → transitive closure
 by iterated squaring, O(log diameter) shuffle rounds — see
-_compile_path). ZeroOrMorePath (p*) is excluded: its zero-length
-component is the identity relation over ALL graph nodes, which has
-no bounded relational form here. No nested groups.
+_compile_path), and ZeroOrMorePath / ZeroOrOnePath (p* / p? → the
+closure resp. base unioned with the identity relation over the
+graph nodes, SPARQL 1.1 zero-length-path semantics — linear in node
+count, and a constant endpoint prunes the identity branch through
+union filter pushdown). No nested groups.
 
 OPTIONAL compiles to a LEFT OUTER join on the shared variables and
 UNION to a bag union (unionByName) — both exact under two statically
@@ -113,7 +115,7 @@ _TOKEN = re.compile(
           |UNION|GROUP|ORDER|BY|LIMIT|ASC|DESC|COUNT|MIN|MAX|AS|A)\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,;-])
+  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,;?-])
     """,
     re.VERBOSE | re.IGNORECASE,
 )
@@ -185,9 +187,11 @@ class _Parser:
             self.next()
             return ("inv", self._path_unary())
         node = self._path_primary()
-        while self.peek() == "+":
-            self.next()
-            node = ("plus", node)
+        while self.peek() in ("+", "*", "?"):
+            node = (
+                {"+": "plus", "*": "star", "?": "opt"}[self.next()],
+                node,
+            )
         return node
 
     def _path_primary(self):
@@ -904,6 +908,25 @@ def _compile_path(triples: DataFrame, ast) -> DataFrame:
         for part in ast[1][1:]:
             out = out.unionByName(_compile_path(triples, part))
         return out
+    if kind in ("star", "opt"):
+        # zero-length component: the identity relation over the
+        # GRAPH NODES (every term in subject or object position —
+        # SPARQL 1.1 zero-length-path semantics). Linear in node
+        # count, not quadratic; with a constant endpoint Catalyst
+        # pushes the equality filter through the union into both
+        # branches, so <x> p* ?y prunes the identity side to one row.
+        step = (
+            _compile_path(triples, ("plus", ast[1]))
+            if kind == "star"
+            else _compile_path(triples, ast[1])
+        )
+        nodes = (
+            triples.select("s")
+            .unionByName(triples.select(F.col("o").alias("s")))
+            .distinct()
+        )
+        ident = nodes.select(F.col("s"), F.col("s").alias("o"))
+        return step.unionByName(ident).distinct()
     assert kind == "plus"
     paths = _compile_path(triples, ast[1]).distinct().localCheckpoint(
         eager=False

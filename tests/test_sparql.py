@@ -827,3 +827,63 @@ def test_separator_on_non_group_concat_rejected(spark):
             'SELECT (SUM(?v; SEPARATOR="|") AS ?t) '
             "WHERE { ?s e:score ?v }"
         )
+
+
+def _mk(spark, rows):
+    rows = [
+        tuple(x.replace("e:", "http://e/") for x in t) for t in rows
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_path_zero_or_more(spark):
+    t = _mk(spark, [
+        ("e:a", "e:knows", "e:b"),
+        ("e:b", "e:knows", "e:c"),
+        ("e:d", "e:name", "solo"),
+    ])
+    out = sparql_query(t, """
+    PREFIX e: <http://e/>
+    SELECT ?x ?y WHERE { ?x e:knows* ?y . } ORDER BY ?x ?y
+    """)
+    got = {(r.x, r.y) for r in out.collect()}
+    closure = {
+        ("http://e/a", "http://e/b"),
+        ("http://e/a", "http://e/c"),
+        ("http://e/b", "http://e/c"),
+    }
+    # identity over EVERY graph node — subjects, objects, literals
+    nodes = {
+        "http://e/a", "http://e/b", "http://e/c", "http://e/d", "solo",
+    }
+    assert got == closure | {(n, n) for n in nodes}
+
+
+def test_path_zero_or_one(spark):
+    t = _mk(spark, [
+        ("e:a", "e:knows", "e:b"),
+        ("e:b", "e:knows", "e:c"),
+    ])
+    out = sparql_query(t, """
+    PREFIX e: <http://e/>
+    SELECT ?x ?y WHERE { ?x e:knows? ?y . } ORDER BY ?x ?y
+    """)
+    got = {(r.x, r.y) for r in out.collect()}
+    nodes = {"http://e/a", "http://e/b", "http://e/c"}
+    assert got == {
+        ("http://e/a", "http://e/b"),
+        ("http://e/b", "http://e/c"),
+    } | {(n, n) for n in nodes}
+
+
+def test_path_star_with_constant_endpoint(spark):
+    t = _mk(spark, [
+        ("e:a", "e:knows", "e:b"),
+        ("e:x", "e:other", "e:y"),
+    ])
+    out = sparql_query(t, """
+    PREFIX e: <http://e/>
+    SELECT ?y WHERE { e:x e:knows* ?y . } ORDER BY ?y
+    """)
+    # e:x has no knows edge but IS a node → zero-length match only
+    assert [r.y for r in out.collect()] == ["http://e/x"]
