@@ -1231,6 +1231,28 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_stats(d, k=10)
 
 
+def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (corpus.py::strip_duplicated_spans —
+    Lee et al. 2022): every corpus-duplicated 10-token span keeps its
+    globally-first (doc_id, pos) occurrence, all other occurrences'
+    tokens are removed with overlaps unioned, and each document's
+    surviving text is rebuilt in ONE numpy mapInPandas crossing
+    (O(n) diff/cumsum interval union). The oracle replays the whole
+    pass on raw grams: positioned shingles, per-span (count, first)
+    via windows, coverage expansion, anti-join, ORDER-pinned
+    reassembly and md5."""
+    from serd_spark.operators.corpus import strip_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = strip_duplicated_spans(d, k=10)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("kept_text").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-derived unigram LM score per document. vocab_size=32 is
     deliberately below the corpus vocabulary so the out-of-vocabulary
@@ -4588,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dups": q_embedding_dups,
         "q_knn_join": q_knn_join,
         "q_span_dedup": q_span_dedup,
+        "q_span_strip": q_span_strip,
         "q_unigram_lm": q_unigram_lm,
         "q_bigram_lm": q_bigram_lm,
         "q_url_canon": q_url_canon,
@@ -7689,6 +7712,62 @@ def oracle_sql() -> dict[str, str]:
         # The mirror keys spans by their raw gram TEXT while Spark keys
         # by xxhash64 — equivalent counts absent hash collisions, which
         # are provably absent at oracle scale (see corpus.span_hashes).
+        # Exact-substring removal: winner-keeps semantics replayed on
+        # raw grams — per-span (count, first-occurrence) via windows,
+        # k-wide coverage expansion per removed occurrence, distinct
+        # union, anti-join, ORDER BY-pinned reassembly + md5.
+        "q_span_strip": """
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, t, string_split(t, ' ') AS w FROM norm
+            ), expanded AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 9)) AS i
+              FROM toks WHERE len(w) >= 10
+            ), occ AS (
+              SELECT doc_id, i,
+                     array_to_string(w[i : i + 9], ' ') AS span
+              FROM expanded
+              UNION ALL
+              SELECT doc_id, 1 AS i, t AS span FROM toks WHERE len(w) < 10
+            ), ranked AS (
+              SELECT doc_id, i,
+                     COUNT(*) OVER (PARTITION BY span) AS tot,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY span ORDER BY doc_id, i) AS rn
+              FROM occ
+            ), removal AS (
+              SELECT doc_id, i FROM ranked WHERE tot > 1 AND rn > 1
+            ), covered AS (
+              SELECT DISTINCT doc_id, idx FROM (
+                SELECT doc_id,
+                       unnest(generate_series(i, i + 9)) AS idx
+                FROM removal)
+            ), tokens AS (
+              SELECT t.doc_id, ix.idx AS idx, t.w[ix.idx] AS tok
+              FROM toks t, LATERAL (
+                SELECT unnest(generate_series(1, len(t.w))) AS idx) ix
+            ), kept AS (
+              SELECT tk.doc_id,
+                     string_agg(tk.tok, ' ' ORDER BY tk.idx) AS s,
+                     COUNT(*) AS nk
+              FROM tokens tk
+              LEFT JOIN covered c
+                ON c.doc_id = tk.doc_id AND c.idx = tk.idx
+              WHERE c.doc_id IS NULL
+              GROUP BY tk.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(len(t.w) - COALESCE(k.nk, 0) AS BIGINT)
+                     AS n_removed,
+                   md5(COALESCE(k.s, '')) AS kept_md5
+            FROM toks t LEFT JOIN kept k USING (doc_id)
+            ORDER BY t.doc_id
+        """,
         "q_span_dedup": """
             WITH norm AS (
               SELECT doc_id,

@@ -166,6 +166,7 @@ def main() -> None:
         "q_shacl": entrymod.q_shacl,
         "stream_hll": entrymod.stream_hll,
         "q_sparql_star": entrymod.q_sparql_star,
+        "q_span_strip": entrymod.q_span_strip,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -1934,3 +1934,118 @@ def anchor_text(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") — the rewrite pass
+    behind ``span_dedup_stats``'s signal: every corpus-duplicated
+    k-token span keeps exactly ONE occurrence (the globally smallest
+    (doc_id, position) — a total order both engines can replay) and
+    every other occurrence's k tokens are removed, with overlapping
+    removals unioned.
+
+    Shape at 100 TB: positioned span hashes explode map-side; one
+    hash aggregate per span computes (count, argmin winner) with
+    map-side combine; only DUPLICATED spans join back (web corpora
+    are mostly unique spans); removal start positions collapse to a
+    small per-doc array; the rebuild is ONE numpy mapInPandas
+    crossing using an O(n) diff/cumsum interval-union — never a
+    per-(token, interval) membership test.  Output text is the
+    NORMALIZED form (the span identity is defined over it).
+
+    Returns (id_col, n_tokens, n_removed, kept_text).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = _min_parallelism(docs)
+    norm = _norm(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    spans_pos = F.when(
+        n < k,
+        F.array(
+            F.struct(F.lit(1).alias("pos"), F.xxhash64(norm).alias("span"))
+        ),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.xxhash64(F.slice(toks, i, k)).alias("span")
+            ),
+        )
+    )
+    occ = docs.select(
+        F.col(id_col), F.explode(spans_pos).alias("ps")
+    ).select(id_col, F.col("ps.pos").alias("pos"), F.col("ps.span").alias("span"))
+    per_span = occ.groupBy("span").agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.min(F.struct(id_col, "pos")).alias("winner"),
+    )
+    removal = (
+        occ.join(per_span.filter(F.col("tot") > 1), "span")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("winner." + id_col))
+                & (F.col("pos") == F.col("winner.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = docs.select(
+        F.col(id_col), norm.alias("_norm")
+    ).join(removal, id_col, "left")
+
+    def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_toks, n_rm, kept = [], [], [], []
+            for did, t, starts in zip(
+                pdf[id_col], pdf["_norm"], pdf["starts"]
+            ):
+                # ''.split(' ') == [''] matches the JVM/SQL
+                # string_split semantics (an empty doc is ONE empty
+                # token — the span layer already hashes it that way)
+                words = ("" if t is None else t).split(" ")
+                nw = len(words)
+                ids.append(did)
+                n_toks.append(nw)
+                if starts is None or len(starts) == 0:
+                    n_rm.append(0)
+                    kept.append("" if t is None else t)
+                    continue
+                # interval union via diff/cumsum: O(n + |starts|)
+                diff = np.zeros(nw + 1, dtype=np.int64)
+                s0 = np.asarray(starts, dtype=np.int64) - 1  # 0-based
+                np.add.at(diff, s0, 1)
+                ends = np.minimum(s0 + k, nw)
+                np.add.at(diff, ends, -1)
+                covered = np.cumsum(diff[:nw]) > 0
+                n_rm.append(int(covered.sum()))
+                kept.append(
+                    " ".join(
+                        w for w, c in zip(words, covered) if not c
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": n_toks,
+                    "n_removed": n_rm,
+                    "kept_text": kept,
+                }
+            )
+
+    return joined.mapInPandas(
+        rebuild,
+        schema=f"{id_col} long, n_tokens long, n_removed long, "
+        "kept_text string",
+    )

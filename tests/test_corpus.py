@@ -1018,3 +1018,45 @@ def test_anchor_text_plan_window_cap(spark):
     plan = anchor_text(docs)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # map-side top-k cap
     assert "CartesianProduct" not in plan
+
+
+def test_strip_duplicated_spans(spark):
+    from serd_spark.operators.corpus import strip_duplicated_spans
+
+    # k=3; "a b c" appears in docs 1 and 2 → winner = (1, pos 1),
+    # doc 2's copy removed; doc 3 has a WITHIN-doc repeat of
+    # "x y z" → second occurrence removed; doc 4 untouched.
+    rows = [
+        (1, "a b c d e"),
+        (2, "q a b c r"),
+        (3, "x y z m x y z"),
+        (4, "u v w"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_text)
+        for r in strip_duplicated_spans(d, k=3).collect()
+    }
+    assert out[1] == (5, 0, "a b c d e")
+    assert out[2] == (5, 3, "q r")
+    # doc 3: spans at pos 1..5; "x y z" at pos 1 (winner) and 5
+    # (removed → tokens 5,6,7 covered)
+    assert out[3] == (7, 3, "x y z m")
+    assert out[4] == (3, 0, "u v w")
+
+
+def test_strip_duplicated_spans_short_doc_removed(spark):
+    from serd_spark.operators.corpus import strip_duplicated_spans
+
+    # both docs < k tokens: identical short docs collide on the
+    # whole-text span; the smaller doc_id survives, the other is
+    # emptied entirely
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, "other")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_text)
+        for r in strip_duplicated_spans(d, k=10).collect()
+    }
+    assert out[1] == (2, 0, "tiny doc")
+    assert out[2] == (2, 2, "")
+    assert out[3] == (1, 0, "other")
