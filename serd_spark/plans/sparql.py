@@ -115,7 +115,7 @@ _TOKEN = re.compile(
           |UNION|GROUP|ORDER|BY|LIMIT|ASC|DESC|COUNT|MIN|MAX|AS|A)\b)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,;?-])
+  | (?P<punct>!=|<=|>=|[{}().=*/|^+<>,;?!-])
     """,
     re.VERBOSE | re.IGNORECASE,
 )
@@ -200,18 +200,40 @@ class _Parser:
             inner = self.path()
             self.expect(")")
             return inner
+        if self.peek() == "!":
+            # negated property set: !iri, !^iri, or !( a | ^b | … )
+            self.next()
+            members = []
+            if self.peek() == "(":
+                self.next()
+                members.append(self._nps_member())
+                while self.peek() == "|":
+                    self.next()
+                    members.append(self._nps_member())
+                self.expect(")")
+            else:
+                members.append(self._nps_member())
+            return ("nps", members)
+        return ("pred", self._path_iri())
+
+    def _nps_member(self):
+        """One member of a negated property set: iri or ^iri."""
+        if self.peek() == "^":
+            self.next()
+            return ("rev", self._path_iri())
+        return ("fwd", self._path_iri())
+
+    def _path_iri(self) -> str:
         t = self.next()
         if t.startswith("<") and t.endswith(">"):
-            return ("pred", t[1:-1])
+            return t[1:-1]
         if t.lower() == "a":
-            return (
-                "pred", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-            )
+            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
         if ":" in t and not t.startswith(("?", '"')):
             pfx, _, local = t.partition(":")
             if pfx not in self.prefixes:
                 raise SparqlError(f"undeclared prefix {pfx!r}")
-            return ("pred", self.prefixes[pfx] + local)
+            return self.prefixes[pfx] + local
         raise SparqlError(f"cannot parse path element {t!r}")
 
     def term(self) -> _Term:
@@ -494,10 +516,46 @@ def _parse_group(p: "_Parser", compound: bool) -> list[tuple]:
         elif nt == "{":
             if not compound:
                 raise SparqlError("nested OPTIONAL/UNION is not supported")
-            a = _parse_group(p, compound=False)
-            p.expect("UNION")
-            b = _parse_group(p, compound=False)
-            elems.append(("union", a, b))
+            if (
+                p.i + 1 < len(p.toks)
+                and p.toks[p.i + 1].upper() == "SELECT"
+            ):
+                # subselect { SELECT … }: capture the balanced token
+                # slice and keep its TEXT — compiled by a recursive
+                # sparql_query call (aggregates/GROUP BY/ORDER/LIMIT
+                # inside come for free), then natural-joined into the
+                # enclosing group on its projected variables. Outer
+                # prefixes are re-declared into the inner text so
+                # CURIEs resolve identically.
+                depth = 0
+                j = p.i
+                while j < len(p.toks):
+                    if p.toks[j] == "{":
+                        depth += 1
+                    elif p.toks[j] == "}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if j >= len(p.toks):
+                    raise SparqlError("unterminated subselect")
+                inner = " ".join(p.toks[p.i + 1 : j])
+                decls = "".join(
+                    f"PREFIX {k}: <{v}> " for k, v in p.prefixes.items()
+                )
+                text = decls + inner
+                sub_vars = parse_sparql(text)["vars"]  # validates too
+                if not sub_vars:
+                    raise SparqlError(
+                        "subselect must project at least one variable"
+                    )
+                p.i = j + 1
+                elems.append(("subselect", (text, sub_vars)))
+            else:
+                a = _parse_group(p, compound=False)
+                p.expect("UNION")
+                b = _parse_group(p, compound=False)
+                elems.append(("union", a, b))
         else:
             elems.append(("pat", (p.term(), p.pred(), p.term())))
         if p.peek() == ".":
@@ -529,6 +587,10 @@ def _pattern_vars(elems: list[tuple]) -> list[str]:
             elif e[0] == "union":
                 walk(e[1])
                 walk(e[2])
+            elif e[0] == "subselect":
+                for v in e[1][1]:
+                    if v not in out:
+                        out.append(v)
 
     walk(elems)
     return out
@@ -890,6 +952,31 @@ def _compile_path(triples: DataFrame, ast) -> DataFrame:
     kind = ast[0]
     if kind == "pred":
         return triples.filter(F.col("p") == ast[1]).select("s", "o")
+    if kind == "nps":
+        # negated property set (SPARQL 1.1 §9.1): the forward
+        # component matches edges whose predicate is NOT in the
+        # forward member set; the ^-member component matches
+        # REVERSED edges whose predicate is not in the inverse
+        # member set; a mixed set is the union of the two. Bag
+        # semantics like a plain pred scan — a NOT-IN filter pushed
+        # to the scan, no join at all.
+        fwd = [v for d, v in ast[1] if d == "fwd"]
+        rev = [v for d, v in ast[1] if d == "rev"]
+        parts = []
+        if fwd:
+            parts.append(
+                triples.filter(~F.col("p").isin(fwd)).select("s", "o")
+            )
+        if rev:
+            parts.append(
+                triples.filter(~F.col("p").isin(rev)).select(
+                    F.col("o").alias("s"), F.col("s").alias("o")
+                )
+            )
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+        return out
     if kind == "inv":
         r = _compile_path(triples, ast[1])
         return r.select(F.col("o").alias("s"), F.col("s").alias("o"))
@@ -1041,6 +1128,15 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
             scan = _compile_bgp(triples, e[1]).unionByName(
                 _compile_bgp(triples, e[2])
             )
+        elif e[0] == "subselect":
+            # { SELECT … }: compile the captured text recursively —
+            # its output columns ARE its projected variables, so the
+            # enclosing natural join on shared names implements the
+            # SPARQL join of solution mappings. A grouped subselect
+            # is the aggregate-then-join shape (the aggregate side is
+            # group-count-sized, so AQE broadcasts it); a scalar one
+            # is a 1-row crossJoin.
+            scan = sparql_query(triples, e[1][0])
         elif e[0] == "minus":
             # anti join on the shared vars (scope rules make it exact)
             mplan = _compile_bgp(triples, e[1])

@@ -887,3 +887,92 @@ def test_path_star_with_constant_endpoint(spark):
     """)
     # e:x has no knows edge but IS a node → zero-length match only
     assert [r.y for r in out.collect()] == ["http://e/x"]
+
+
+def test_negated_property_set_forward(spark):
+    # everything EXCEPT likes-edges: the two type edges + two names
+    q = """PREFIX e: <http://ex.org/>
+           SELECT ?x ?y WHERE { ?x !e:likes ?y }"""
+    got = {(r.x, r.y) for r in sparql_query(_triples(spark), q).collect()}
+    assert ("http://ex.org/a", "http://ex.org/b") not in got
+    assert ("http://ex.org/a", "rex") in got
+    assert ("http://ex.org/a", "e:Dog".replace("e:", "http://ex.org/")) in got
+    assert len(got) == 4
+
+
+def test_negated_property_set_grouped_and_a(spark):
+    # exclude both rdf:type (via 'a') and name: only likes survives
+    q = """PREFIX e: <http://ex.org/>
+           SELECT ?x ?y WHERE { ?x !(a|e:name) ?y }"""
+    got = {(r.x, r.y) for r in sparql_query(_triples(spark), q).collect()}
+    assert got == {
+        ("http://ex.org/a", "http://ex.org/b"),
+        ("http://ex.org/b", "http://ex.org/b"),
+    }
+
+
+def test_negated_property_set_reverse_member(spark):
+    # !(^e:likes): REVERSED edges whose p is not likes — all of
+    # type/name reversed; no forward edge appears
+    q = """PREFIX e: <http://ex.org/>
+           SELECT ?x ?y WHERE { ?x !(^e:likes) ?y }"""
+    got = {(r.x, r.y) for r in sparql_query(_triples(spark), q).collect()}
+    assert ("rex", "http://ex.org/a") in got
+    assert ("http://ex.org/a", "rex") not in got
+    assert len(got) == 4
+
+
+def test_negated_property_set_mixed(spark):
+    # forward component excludes name; reverse component excludes
+    # type and name: reverse contributes only reversed likes-edges
+    q = """PREFIX e: <http://ex.org/>
+           SELECT ?x ?y WHERE { ?x !(e:name|^a|^e:name) ?y }"""
+    got = {(r.x, r.y) for r in sparql_query(_triples(spark), q).collect()}
+    # forward: 2 type edges + 2 likes edges; reverse: 2 likes edges
+    assert ("http://ex.org/b", "http://ex.org/a") in got  # reversed likes a->b
+    assert ("http://ex.org/a", "rex") not in got
+
+
+def test_subselect_grouped_join(spark):
+    # inner aggregate per subject, natural-joined to the outer name
+    # pattern on ?x — the aggregate-then-join shape
+    q = """PREFIX e: <http://ex.org/>
+    SELECT ?n ?cnt WHERE {
+      ?x e:name ?n .
+      { SELECT ?x (COUNT(?y) AS ?cnt) WHERE { ?x e:likes ?y } GROUP BY ?x }
+    } ORDER BY ?n"""
+    got = [(r.n, r.cnt) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("rex", 1), ("tom", 1)]
+
+
+def test_subselect_scalar_cross(spark):
+    # no shared variable: the 1-row aggregate cross-joins every
+    # outer solution (SPARQL join on disjoint domains = product)
+    q = """PREFIX e: <http://ex.org/>
+    SELECT ?n ?total WHERE {
+      ?x e:name ?n .
+      { SELECT (COUNT(*) AS ?total) WHERE { ?s e:likes ?o } }
+    } ORDER BY ?n"""
+    got = [(r.n, r.total) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("rex", 2), ("tom", 2)]
+
+
+def test_subselect_with_inner_limit(spark):
+    # inner ORDER BY + LIMIT applies before the outer join
+    q = """PREFIX e: <http://ex.org/>
+    SELECT ?x ?n WHERE {
+      ?x e:name ?n .
+      { SELECT ?x WHERE { ?x a e:Dog } ORDER BY ?x LIMIT 1 }
+    }"""
+    got = [(r.x, r.n) for r in sparql_query(_triples(spark), q).collect()]
+    assert got == [("http://ex.org/a", "rex")]
+
+
+def test_subselect_inherits_outer_prefixes(spark):
+    # the e: prefix is declared only on the OUTER query
+    q = """PREFIX e: <http://ex.org/>
+    SELECT ?x WHERE {
+      { SELECT ?x WHERE { ?x e:likes ?x } }
+    }"""
+    got = [r.x for r in sparql_query(_triples(spark), q).collect()]
+    assert got == ["http://ex.org/b"]
