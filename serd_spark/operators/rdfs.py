@@ -176,3 +176,111 @@ def sameas_canonicalize(
             "g", "s", "s_kind", "p", "o", "o_kind", "o_dt", "o_lang"
         ).distinct()
     return out, entities
+
+
+def owl_property_entail(
+    triples: DataFrame,
+    inverse_of: Sequence[tuple[str, str]] = (),
+    symmetric: Sequence[str] = (),
+    transitive: Sequence[str] = (),
+    max_rounds: int = 8,
+    s: str = "s",
+    p: str = "p",
+    o: str = "o",
+) -> DataFrame:
+    """OWL RL property-characteristic closure — the rules that act on
+    the instance edges themselves (where RDFS entailment above only
+    produces rdf:type facts): prp-inv1/2 (owl:inverseOf, BOTH
+    directions), prp-symp (owl:SymmetricProperty) and prp-trp
+    (owl:TransitiveProperty). Declared axioms only: the inverse of a
+    declared-transitive property is NOT auto-transitive unless the
+    caller declares it (real OWL RL derives that via the schema
+    vocabulary; here axioms are the driver-side literal lists, same
+    asymmetry argument as ``rdfs_entail``).
+
+    Returns (s, p, o, asserted) — the full closure with asserted = 1
+    iff the edge was in the (deduped) input.
+
+    Scale shape: the axiom tables are tiny — the inverse map is an
+    explicit broadcast join, symmetric/transitive are literal IN
+    filters (pure pushed predicates, no join at all). Each round
+    unions {current, inverse-swapped, symmetric-swapped, transitive
+    self-join} and dedups: the self-join DOUBLES covered path length
+    per round (iterated squaring, the _compile_path / kg_linking CC
+    shape), so convergence is O(log diameter) rounds, each
+    localCheckpointed with a fixpoint count check. The DuckDB mirror
+    replays a FIXED number of rounds ≥ the convergence round —
+    post-fixpoint rounds are no-ops under union+distinct, so the two
+    computations agree bit-for-bit.
+    """
+    spark = triples.sparkSession
+    cur = (
+        triples.select(
+            F.col(s).alias("s"), F.col(p).alias("p"), F.col(o).alias("o")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = cur
+    invmap = None
+    if inverse_of:
+        both = sorted(
+            {(a, b) for a, b in inverse_of} | {(b, a) for a, b in inverse_of}
+        )
+        invmap = spark.createDataFrame(both, "p string, q string")
+    sym = sorted(set(symmetric))
+    trn = sorted(set(transitive))
+
+    prev = cur.count()
+    for _ in range(max_rounds):
+        parts = [cur]
+        if invmap is not None:
+            parts.append(
+                cur.join(F.broadcast(invmap), "p").select(
+                    F.col("o").alias("s"),
+                    F.col("q").alias("p"),
+                    F.col("s").alias("o"),
+                )
+            )
+        if sym:
+            parts.append(
+                cur.filter(F.col("p").isin(sym)).select(
+                    F.col("o").alias("s"), "p", F.col("s").alias("o")
+                )
+            )
+        if trn:
+            a, b = cur.alias("a"), cur.alias("b")
+            parts.append(
+                a.join(
+                    b,
+                    (F.col("a.p") == F.col("b.p"))
+                    & (F.col("a.o") == F.col("b.s")),
+                )
+                .filter(F.col("a.p").isin(trn))
+                .select(
+                    F.col("a.s").alias("s"),
+                    F.col("a.p").alias("p"),
+                    F.col("b.o").alias("o"),
+                )
+            )
+        nxt = parts[0]
+        for part in parts[1:]:
+            nxt = nxt.unionByName(part)
+        cur = nxt.distinct().localCheckpoint(eager=False)
+        n = cur.count()
+        if n == prev:
+            break
+        prev = n
+    else:
+        raise ValueError(
+            f"owl closure did not converge within depth 2^{max_rounds}"
+        )
+
+    return cur.join(
+        base.withColumn("asserted", F.lit(1)), ["s", "p", "o"], "left"
+    ).select(
+        "s",
+        "p",
+        "o",
+        F.coalesce(F.col("asserted"), F.lit(0)).cast("int").alias("asserted"),
+    )

@@ -195,3 +195,78 @@ def test_void_empty_graph_has_no_type_row(spark):
     assert all(r.p.endswith(("triples", "distinctSubjects",
                              "distinctObjects", "properties",
                              "classes")) for r in rows)
+
+
+# --- owl_property_entail -------------------------------------------------
+
+
+def test_owl_symmetric_and_inverse(spark):
+    from serd_spark.operators.rdfs import owl_property_entail
+
+    t = _triples(
+        spark,
+        [
+            ("a", "adjacentTo", "b"),
+            ("c", "ownedBy", "d"),
+        ],
+    )
+    out = {
+        (r.s, r.p, r.o): r.asserted
+        for r in owl_property_entail(
+            t,
+            inverse_of=[("ownedBy", "owns")],
+            symmetric=["adjacentTo"],
+        ).collect()
+    }
+    assert out[("b", "adjacentTo", "a")] == 0
+    assert out[("d", "owns", "c")] == 0
+    assert out[("a", "adjacentTo", "b")] == 1
+    # inverse applies in BOTH directions
+    t2 = _triples(spark, [("x", "owns", "y")])
+    out2 = {
+        (r.s, r.p, r.o)
+        for r in owl_property_entail(
+            t2, inverse_of=[("ownedBy", "owns")]
+        ).collect()
+    }
+    assert ("y", "ownedBy", "x") in out2
+
+
+def test_owl_transitive_chain_closes(spark):
+    from serd_spark.operators.rdfs import owl_property_entail
+
+    edges = [(f"n{i}", "partOf", f"n{i+1}") for i in range(6)]
+    t = _triples(spark, edges)
+    out = {
+        (r.s, r.o)
+        for r in owl_property_entail(t, transitive=["partOf"]).collect()
+    }
+    # full closure of the 7-node chain: 21 pairs
+    assert len(out) == 21
+    assert ("n0", "n6") in out
+
+
+def test_owl_inverse_of_transitive_closure(spark):
+    from serd_spark.operators.rdfs import owl_property_entail
+
+    edges = [("a", "partOf", "b"), ("b", "partOf", "c")]
+    out = {
+        (r.s, r.p, r.o)
+        for r in owl_property_entail(
+            _triples(spark, edges),
+            inverse_of=[("partOf", "hasPart")],
+            transitive=["partOf"],
+        ).collect()
+    }
+    # hasPart mirrors the CLOSED partOf relation (a,c) too
+    assert ("c", "hasPart", "a") in out
+    # but hasPart itself was not declared transitive — no extra rows
+    assert ("a", "partOf", "c") in out
+
+
+def test_owl_untouched_predicates_pass_through(spark):
+    from serd_spark.operators.rdfs import owl_property_entail
+
+    t = _triples(spark, [("a", "name", "b"), ("a", "name", "b")])
+    rows = owl_property_entail(t, symmetric=["other"]).collect()
+    assert len(rows) == 1 and rows[0].asserted == 1
