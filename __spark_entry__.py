@@ -4560,6 +4560,156 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def _fusion_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-source claim table from lineitem: 23
+    sources each asserting objects for (entity, predicate) slots —
+    conflict-rich (7 possible objects per slot), pure modular
+    arithmetic, identical derivation in the oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber", "l_partkey"
+    )
+    return li.select(
+        F.concat(F.lit("src"), (F.col("l_suppkey") % 23).cast("string")).alias(
+            "source"
+        ),
+        F.concat(F.lit("e"), (F.col("l_orderkey") % 499).cast("string")).alias(
+            "subj"
+        ),
+        F.concat(F.lit("p"), (F.col("l_linenumber") % 3).cast("string")).alias(
+            "pred"
+        ),
+        F.concat(F.lit("o"), (F.col("l_partkey") % 7).cast("string")).alias(
+            "obj"
+        ),
+    )
+
+
+def q_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery / fact fusion (operators/fusion.py): 3
+    TruthFinder rounds of integer-micros trust↔confidence
+    reinforcement over the 23-source claim table, then the
+    max-confidence object per (subj, pred) with the min-obj
+    tie-break. The oracle replays every round as chained CTEs —
+    votes, GREATEST(tot,1) guard, both floor divisions — bit-exact,
+    plus the same row_number winner select."""
+    from serd_spark.operators.fusion import fact_fusion
+
+    return fact_fusion(_fusion_claims(spark, sf_dir), n_iter=3)
+
+
+def q_source_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged per-source reliability table from the same
+    fusion rounds (operators/fusion.py::source_trust) — the
+    source-quality signal a crawler feeds back into scheduling.
+    Same chained-CTE replay, final trust table instead of winners."""
+    from serd_spark.operators.fusion import source_trust
+
+    return source_trust(_fusion_claims(spark, sf_dir), n_iter=3)
+
+
+_OWL_INVERSE = [("ownedBy", "owns")]
+_OWL_SYMMETRIC = ["adjacentTo"]
+_OWL_TRANSITIVE = ["partOf"]
+
+
+def _owl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic property-graph edges from lineitem: a partOf
+    forest (x → x DIV 3, depth ≈ log₃ 211 ≈ 5), an adjacentTo
+    relation over 53 hubs, and an ownedBy bipartite relation —
+    one scan, three modular projections, identical in the oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey"
+    )
+    part = (
+        li.select((F.col("l_partkey") % 211).alias("x"))
+        .where(F.col("x") > 0)
+        .select(
+            F.concat(F.lit("m"), F.col("x").cast("string")).alias("s"),
+            F.lit("partOf").alias("p"),
+            F.concat(F.lit("m"), F.expr("x DIV 3").cast("string")).alias("o"),
+        )
+    )
+    adj = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 53).cast("string")).alias(
+            "s"
+        ),
+        F.lit("adjacentTo").alias("p"),
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 53).cast("string")).alias(
+            "o"
+        ),
+    )
+    own = li.select(
+        F.concat(F.lit("c"), (F.col("l_orderkey") % 97).cast("string")).alias(
+            "s"
+        ),
+        F.lit("ownedBy").alias("p"),
+        F.concat(F.lit("s"), (F.col("l_suppkey") % 61).cast("string")).alias(
+            "o"
+        ),
+    )
+    return part.unionByName(adj).unionByName(own)
+
+
+def q_sparql_npath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negated property set (plans/sparql.py §9.1): a mixed
+    set — forward edges with predicate ∉ {name, relatedLink} UNION
+    reversed edges with predicate ∉ {author} — compiled to NOT-IN
+    filters pushed to the triple scan (no join). DISTINCT + full
+    (x, y) ORDER gives a unique LIMIT cut; the oracle mirrors both
+    components as NOT IN scans."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT DISTINCT ?x ?y WHERE {
+      ?x !(s:name|s:relatedLink|^s:author) ?y .
+    } ORDER BY ?x ?y LIMIT 600
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
+def q_sparql_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subselect (plans/sparql.py): a grouped inner
+    { SELECT ?x (COUNT(?l) AS ?n) … GROUP BY ?x } natural-joined to
+    the outer name pattern on ?x — the aggregate-then-join shape
+    (the aggregate side is group-count-sized so AQE broadcasts it).
+    Outer prefixes are re-declared into the inner text. The oracle
+    replays the same aggregate as a plain subquery join; the full
+    (x, name) ORDER makes the LIMIT cut unique."""
+    from serd_spark.plans.sparql import sparql_query
+
+    _materialize_triples(spark, sf_dir)
+    q = """
+    PREFIX s: <http://schema.org/>
+    SELECT ?x ?name ?n WHERE {
+      ?x s:name ?name .
+      { SELECT ?x (COUNT(?l) AS ?n) WHERE { ?x s:relatedLink ?l }
+        GROUP BY ?x }
+    } ORDER BY ?x ?name LIMIT 400
+    """
+    return sparql_query(_kg_triples(spark, sf_dir), q)
+
+
+def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL RL property-characteristic closure (operators/rdfs.py::
+    owl_property_entail): owl:inverseOf both ways (ownedBy↔owns),
+    owl:SymmetricProperty (adjacentTo), owl:TransitiveProperty
+    (partOf over the DIV-3 forest, closed by iterated squaring) —
+    including the interplay row class (inverses OF transitively
+    derived edges). Spark early-exits at the fixpoint; the oracle
+    replays 6 fixed union+DISTINCT rounds (post-fixpoint rounds are
+    no-ops), so both engines materialize the identical closure."""
+    from serd_spark.operators.rdfs import owl_property_entail
+
+    return owl_property_entail(
+        _owl_edges(spark, sf_dir),
+        inverse_of=_OWL_INVERSE,
+        symmetric=_OWL_SYMMETRIC,
+        transitive=_OWL_TRANSITIVE,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG-construction pipeline (rows-only: non-SQL-expressible)
@@ -4724,6 +4874,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_countmin": stream_countmin,
         "stream_hll": stream_hll,
         "stream_quantiles": stream_quantiles,
+        "q_fact_fusion": q_fact_fusion,
+        "q_source_trust": q_source_trust,
+        "q_owl_entail": q_owl_entail,
+        "q_sparql_npath": q_sparql_npath,
+        "q_sparql_subselect": q_sparql_subselect,
     }
 
 
@@ -5457,6 +5612,133 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         # the per-iteration LIMIT must bind inside each branch, so each
         # SELECT wraps its own ordered subquery before the UNION ALL
     return " UNION ALL ".join(parts)
+
+
+_FUSION_CLAIMS_SQL = """
+          SELECT DISTINCT
+                 'src' || CAST(l_suppkey % 23 AS VARCHAR) AS src,
+                 'e' || CAST(l_orderkey % 499 AS VARCHAR) AS subj,
+                 'p' || CAST(l_linenumber % 3 AS VARCHAR) AS pred,
+                 'o' || CAST(l_partkey % 7 AS VARCHAR) AS obj
+          FROM lineitem"""
+
+
+def _fusion_oracle_sql(n_iter: int, final: str) -> str:
+    """Replays operators/fusion.py round by round as chained CTEs —
+    votes from the previous trust table, the GREATEST(tot, 1) guard,
+    both floor divisions (// mirrors Spark DIV on non-negative
+    BIGINTs) — bit-exact. ``final`` picks the winner select
+    (fact_fusion) or the converged trust table (source_trust)."""
+    head = f"""
+        WITH raw AS ({_FUSION_CLAIMS_SQL}
+        ), src_n AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS n_claims
+          FROM raw GROUP BY src
+        ), t0 AS (
+          SELECT src, CAST(500000 AS BIGINT) AS trust FROM src_n
+        )"""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f""", v{i} AS (
+          SELECT subj, pred, obj, CAST(SUM(t.trust) AS BIGINT) AS vote
+          FROM raw c JOIN t{i - 1} t USING (src)
+          GROUP BY subj, pred, obj
+        ), g{i} AS (
+          SELECT subj, pred,
+                 GREATEST(CAST(SUM(vote) AS BIGINT), 1) AS tot
+          FROM v{i} GROUP BY subj, pred
+        ), c{i} AS (
+          SELECT v.subj, v.pred, v.obj,
+                 CAST((v.vote * 1000000) // g.tot AS BIGINT) AS conf
+          FROM v{i} v JOIN g{i} g USING (subj, pred)
+        ), t{i} AS (
+          SELECT c.src,
+                 CAST(CAST(SUM(k.conf) AS BIGINT) // n.n_claims
+                      AS BIGINT) AS trust
+          FROM raw c
+          JOIN c{i} k USING (subj, pred, obj)
+          JOIN src_n n USING (src)
+          GROUP BY c.src, n.n_claims
+        )""")
+    if final == "trust":
+        tail = f"""
+        SELECT src, trust AS trust_micros FROM t{n_iter}"""
+    else:
+        tail = f""", n_src AS (
+          SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_src
+          FROM raw GROUP BY subj, pred, obj
+        ), ranked AS (
+          SELECT c.subj, c.pred, c.obj, c.conf AS conf_micros, n.n_src,
+                 row_number() OVER (
+                   PARTITION BY c.subj, c.pred
+                   ORDER BY c.conf DESC, c.obj ASC
+                 ) AS rn
+          FROM c{n_iter} c JOIN n_src n USING (subj, pred, obj)
+        )
+        SELECT subj, pred, obj, conf_micros, n_src
+        FROM ranked WHERE rn = 1"""
+    return head + "".join(rounds) + tail
+
+
+_OWL_EDGES_SQL = """
+          SELECT 'm' || CAST(x AS VARCHAR) AS s, 'partOf' AS p,
+                 'm' || CAST(x // 3 AS VARCHAR) AS o
+          FROM (SELECT l_partkey % 211 AS x FROM lineitem) WHERE x > 0
+          UNION ALL
+          SELECT 'h' || CAST(l_orderkey % 53 AS VARCHAR), 'adjacentTo',
+                 'h' || CAST(l_suppkey % 53 AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'c' || CAST(l_orderkey % 97 AS VARCHAR), 'ownedBy',
+                 's' || CAST(l_suppkey % 61 AS VARCHAR)
+          FROM lineitem"""
+
+
+def _owl_oracle_sql(n_rounds: int) -> str:
+    """Replays operators/rdfs.py::owl_property_entail as ``n_rounds``
+    fixed union+DISTINCT rounds (inverse map join, symmetric swap,
+    transitive self-join — iterated squaring, so round k covers
+    partOf paths up to 2^k). Spark early-exits at its fixpoint;
+    rounds past the fixpoint are no-ops, so a fixed count ≥ the
+    convergence round matches bit-for-bit."""
+    head = f"""
+        WITH base AS ({_OWL_EDGES_SQL}
+        ), invmap AS (
+          SELECT * FROM (VALUES ('ownedBy', 'owns'), ('owns', 'ownedBy'))
+            m(p, q)
+        ), r0 AS MATERIALIZED (
+          SELECT DISTINCT s, p, o FROM base
+        )"""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        # MATERIALIZED: each round references the previous one 4×
+        # (identity, inverse, symmetric, transitive self-join) — an
+        # inlined CTE chain re-evaluates 4^n times and exhausts file
+        # handles on the parquet scan; materializing makes the oracle
+        # replay linear in rounds, like Spark's localCheckpoint.
+        rounds.append(f""", r{i} AS MATERIALIZED (
+          SELECT DISTINCT s, p, o FROM (
+            SELECT s, p, o FROM r{i - 1}
+            UNION ALL
+            SELECT t.o AS s, m.q AS p, t.s AS o
+            FROM r{i - 1} t JOIN invmap m ON t.p = m.p
+            UNION ALL
+            SELECT o AS s, p, s AS o FROM r{i - 1}
+            WHERE p IN ('adjacentTo')
+            UNION ALL
+            SELECT a.s, a.p, b.o
+            FROM r{i - 1} a JOIN r{i - 1} b
+              ON a.p = b.p AND a.o = b.s
+            WHERE a.p IN ('partOf')
+          )
+        )""")
+    tail = f"""
+        SELECT c.s, c.p, c.o,
+               CAST(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                 AS asserted
+        FROM r{n_rounds} c
+        LEFT JOIN r0 b ON b.s = c.s AND b.p = c.p AND b.o = c.o"""
+    return head + "".join(rounds) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9606,5 +9888,40 @@ def oracle_sql() -> dict[str, str]:
                    n_events
             FROM sess
             WHERE e <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+        """,
+        "q_fact_fusion": _fusion_oracle_sql(n_iter=3, final="winners"),
+        "q_source_trust": _fusion_oracle_sql(n_iter=3, final="trust"),
+        "q_owl_entail": _owl_oracle_sql(n_rounds=6),
+        # negated property set: both components as NOT-IN scans,
+        # DISTINCT + full-order LIMIT for a unique cut
+        "q_sparql_npath": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), u AS (
+              SELECT s AS x, o AS y FROM t
+              WHERE p NOT IN ('http://schema.org/name',
+                              'http://schema.org/relatedLink')
+              UNION ALL
+              SELECT o AS x, s AS y FROM t
+              WHERE p NOT IN ('http://schema.org/author')
+            )
+            SELECT DISTINCT x, y FROM u ORDER BY x, y LIMIT 600
+        """,
+        # SPARQL subselect: the inner grouped aggregate as a plain
+        # subquery joined on the projected variable.
+        "q_sparql_subselect": f"""
+            WITH t AS (
+              SELECT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), sub AS (
+              SELECT s AS x, CAST(COUNT(o) AS BIGINT) AS n
+              FROM t WHERE p = 'http://schema.org/relatedLink'
+              GROUP BY s
+            )
+            SELECT nm.s AS x, nm.o AS name, sub.n
+            FROM t nm JOIN sub ON sub.x = nm.s
+            WHERE nm.p = 'http://schema.org/name'
+            ORDER BY x, name LIMIT 400
         """,
     }
