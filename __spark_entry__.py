@@ -4691,6 +4691,103 @@ def q_sparql_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT archive keys (corpus.py::surt_key — JVM regex/array
+    built-ins only) over messy URLs synthesized deterministically
+    from doc_id on BOTH engines (the q_url_canon precedent): five
+    classes covering every rule — www/wwwN strip + case fold +
+    query-param sorting, default-port drop, non-default port kept,
+    bare host → '/' path + fragment drop, and a non-absolute input
+    that must yield NULL (no fabricated archive key). The oracle
+    re-synthesizes the URLs and replays each rule with DuckDB's own
+    string/list functions (list_reverse / list_sort vs Spark's
+    reverse / array_sort — two engines' sort and reversal under one
+    hash)."""
+    from serd_spark.operators.corpus import surt_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    c = F.col("doc_id")
+    site = (c % 20).cast("string")
+    pid = (c % 100).cast("string")
+    qv = (c % 9).cast("string")
+    u = (
+        F.when(c % 5 == 0, F.concat(
+            F.lit("https://WWW.Site"), site,
+            F.lit(".Example.COM/p/"), pid,
+            F.lit("?b="), qv, F.lit("&a=1")))
+        .when(c % 5 == 1, F.concat(
+            F.lit("http://site"), site,
+            F.lit(".example.com:80/p/"), pid))
+        .when(c % 5 == 2, F.concat(
+            F.lit("https://site"), site,
+            F.lit(".example.com:8443/P/"), pid, F.lit("#frag")))
+        .when(c % 5 == 3, F.concat(
+            F.lit("http://www2.files.site"), site, F.lit(".example.net")))
+        .otherwise(F.concat(F.lit("relative/path/"), pid))
+    )
+    return d.select(
+        "doc_id", u.alias("url"), surt_key(u).alias("surt")
+    )
+
+
+def q_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (corpus.py::cdx_index) over the crawled
+    corpus: (SURT key, 14-digit timestamp)-ordered rows with payload
+    md5 and octet length — the archive lookup index beside the WARC
+    sink. Global order ships as range-partitioned sorted shards
+    (repartitionByRange + sortWithinPartitions), never a single-task
+    sort. The oracle recomputes every column from the same
+    materialized (url, warc_ts, html) parquet q_warc_roundtrip uses —
+    its own SURT derivation, strftime, md5 and octet_length."""
+    from serd_spark.operators.corpus import cdx_index
+
+    src = _pages(spark, sf_dir).select("url", "warc_ts", "html")
+    _materialize(sf_dir, "warc_src", lambda: src)
+    return cdx_index(src)
+
+
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (frontier.py::resolve_redirects —
+    pointer doubling, O(log max_hops) self-joins) over a synthetic
+    3xx map derived from doc_id on both engines: a halving forest
+    u_x → u_{x DIV 2} (chains up to ~9 hops, all terminating at u0),
+    a 13-cycle c_y → c_{y+1 mod 13} (every member must come back
+    'unresolved' with NULL final/hops), and conflicting-Location
+    sources m_z asserting both t_z and u_z (the lexicographic min
+    pin keeps t_z — terminal in one hop). The oracle is a
+    structurally different formulation: a hop-at-a-time recursive
+    CTE bounded at max_hops whose terminal states must land on the
+    identical rows. The operator's NULL final/hops for unresolved
+    rows are pinned to ''/-1 here only because the driver's row
+    sorter orders tuples by the alphabetically-first column (final)
+    and None is unordered against str in Python — a compare-harness
+    constraint, not a semantics change (status still says
+    'unresolved')."""
+    from serd_spark.operators.frontier import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a = d.where("doc_id % 311 > 0").selectExpr(
+        "'u' || CAST(doc_id % 311 AS STRING) AS src",
+        "'u' || CAST((doc_id % 311) DIV 2 AS STRING) AS dst",
+    )
+    b = d.selectExpr(
+        "'c' || CAST(doc_id % 13 AS STRING) AS src",
+        "'c' || CAST((doc_id % 13 + 1) % 13 AS STRING) AS dst",
+    )
+    m = d.selectExpr(
+        "'m' || CAST(doc_id % 5 AS STRING) AS src",
+        "CASE WHEN doc_id % 2 = 0 THEN 'u' || CAST(doc_id % 5 AS STRING)"
+        "     ELSE 't' || CAST(doc_id % 5 AS STRING) END AS dst",
+    )
+    res = resolve_redirects(a.unionByName(b).unionByName(m), max_hops=20)
+    return res.select(
+        "src",
+        F.coalesce("final", F.lit("")).alias("final"),
+        F.coalesce("hops", F.lit(-1).cast("long")).alias("hops"),
+        "status",
+    )
+
+
 def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL RL property-characteristic closure (operators/rdfs.py::
     owl_property_entail): owl:inverseOf both ways (ownedBy↔owns),
@@ -4879,6 +4976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_owl_entail": q_owl_entail,
         "q_sparql_npath": q_sparql_npath,
         "q_sparql_subselect": q_sparql_subselect,
+        "q_surt": q_surt,
+        "q_cdx": q_cdx,
+        "q_redirects": q_redirects,
     }
 
 
@@ -9923,5 +10023,147 @@ def oracle_sql() -> dict[str, str]:
             FROM t nm JOIN sub ON sub.x = nm.s
             WHERE nm.p = 'http://schema.org/name'
             ORDER BY x, name LIMIT 400
+        """,
+        # SURT keys: the synthesis re-derived from doc_id and every
+        # rule replayed with DuckDB's own string/list functions.
+        "q_surt": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INTEGER)
+                  WHEN 0 THEN 'https://WWW.Site' || (doc_id % 20)
+                       || '.Example.COM/p/' || (doc_id % 100)
+                       || '?b=' || (doc_id % 9) || '&a=1'
+                  WHEN 1 THEN 'http://site' || (doc_id % 20)
+                       || '.example.com:80/p/' || (doc_id % 100)
+                  WHEN 2 THEN 'https://site' || (doc_id % 20)
+                       || '.example.com:8443/P/' || (doc_id % 100)
+                       || '#frag'
+                  WHEN 3 THEN 'http://www2.files.site' || (doc_id % 20)
+                       || '.example.net'
+                  ELSE 'relative/path/' || (doc_id % 100)
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+                regexp_extract(url, '\?([^#]*)', 1) AS qry
+              FROM raw
+            ), norm AS (
+              SELECT doc_id, url, scheme,
+                regexp_replace(regexp_extract(hp, '^([^:]*)', 1),
+                               '^www[0-9]*\.', '') AS host,
+                CASE WHEN (scheme = 'http'
+                           AND regexp_extract(hp, ':([0-9]+)$', 1) = '80')
+                       OR (scheme = 'https'
+                           AND regexp_extract(hp, ':([0-9]+)$', 1) = '443')
+                     THEN ''
+                     ELSE regexp_extract(hp, ':([0-9]+)$', 1) END AS port,
+                CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+                qry
+              FROM parts
+            )
+            SELECT doc_id, url,
+              CASE WHEN scheme = '' THEN NULL
+                ELSE array_to_string(list_reverse(string_split(host, '.')),
+                                     ',')
+                  || CASE WHEN port = '' THEN '' ELSE ':' || port END
+                  || ')' || pth
+                  || CASE WHEN qry = '' THEN ''
+                     ELSE '?' || array_to_string(
+                            list_sort(string_split(qry, '&')), '&') END
+              END AS surt
+            FROM norm
+        """,
+        # CDX index: every column recomputed from the materialized
+        # (url, warc_ts, html) parquet — DuckDB's own SURT chain,
+        # strftime, md5, octet_length. Row order is not compared
+        # (the driver sorts), only the exact row set.
+        "q_cdx": f"""
+            WITH p AS (
+              SELECT url, warc_ts, html
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/warc_src/*.parquet')
+            ), parts AS (
+              SELECT url, warc_ts, html,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+                regexp_extract(url, '\\?([^#]*)', 1) AS qry
+              FROM p
+            ), norm AS (
+              SELECT url, warc_ts, html, scheme,
+                regexp_replace(regexp_extract(hp, '^([^:]*)', 1),
+                               '^www[0-9]*\\.', '') AS host,
+                CASE WHEN (scheme = 'http'
+                           AND regexp_extract(hp, ':([0-9]+)$', 1) = '80')
+                       OR (scheme = 'https'
+                           AND regexp_extract(hp, ':([0-9]+)$', 1) = '443')
+                     THEN ''
+                     ELSE regexp_extract(hp, ':([0-9]+)$', 1) END AS port,
+                CASE WHEN pth = '' THEN '/' ELSE pth END AS pth,
+                qry
+              FROM parts
+            )
+            SELECT
+              array_to_string(list_reverse(string_split(host, '.')), ',')
+                || CASE WHEN port = '' THEN '' ELSE ':' || port END
+                || ')' || pth
+                || CASE WHEN qry = '' THEN ''
+                   ELSE '?' || array_to_string(
+                          list_sort(string_split(qry, '&')), '&') END
+                AS surt,
+              strftime(warc_ts, '%Y%m%d%H%M%S') AS ts,
+              url,
+              md5(decode(html)) AS digest,
+              CAST(octet_length(html) AS BIGINT) AS length
+            FROM norm
+            WHERE scheme <> ''
+        """,
+        # Redirect resolution: hop-at-a-time recursive CTE bounded at
+        # max_hops — a structurally different formulation than the
+        # Spark pointer doubling; terminal states must coincide.
+        "q_redirects": """
+            WITH RECURSIVE raw AS (
+              SELECT 'u' || CAST(doc_id % 311 AS VARCHAR) AS src,
+                     'u' || CAST((doc_id % 311) // 2 AS VARCHAR) AS dst
+              FROM documents WHERE doc_id % 311 > 0
+              UNION ALL
+              SELECT 'c' || CAST(doc_id % 13 AS VARCHAR),
+                     'c' || CAST((doc_id % 13 + 1) % 13 AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'm' || CAST(doc_id % 5 AS VARCHAR),
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'u' || CAST(doc_id % 5 AS VARCHAR)
+                          ELSE 't' || CAST(doc_id % 5 AS VARCHAR) END
+              FROM documents
+            ), edges AS (
+              SELECT src, MIN(dst) AS dst FROM raw GROUP BY src
+            ), walk(src, cur, dist) AS (
+              SELECT src, dst, 1 FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.dist + 1
+              FROM walk w JOIN edges e ON e.src = w.cur
+              WHERE w.dist < 20
+            ), resolved AS (
+              SELECT w.src, w.cur AS final, CAST(w.dist AS BIGINT) AS hops
+              FROM walk w
+              LEFT JOIN edges e ON e.src = w.cur
+              WHERE e.src IS NULL
+            )
+            SELECT s.src,
+                   COALESCE(r.final, '') AS final,
+                   CAST(COALESCE(r.hops, -1) AS BIGINT) AS hops,
+                   CASE WHEN r.src IS NULL THEN 'unresolved'
+                        ELSE 'ok' END AS status
+            FROM (SELECT DISTINCT src FROM edges) s
+            LEFT JOIN resolved r ON r.src = s.src
         """,
     }

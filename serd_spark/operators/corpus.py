@@ -874,6 +874,97 @@ def canonical_url(col: Column) -> Column:
     ).otherwise(F.concat(scheme, F.lit("://"), hostport, rest))
 
 
+def surt_key(col: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the web
+    archive index key (Heritrix / OpenWayback / pywb convention):
+    ``https://www.example.com/p?b=2&a=1`` →
+    ``com,example)/p?a=1&b=2``. Reversing the host puts every
+    subdomain of a site adjacent under a range scan, which is what
+    makes CDX lookups and per-site partition pruning work at archive
+    scale.
+
+    Rules (the pywb default canon subset, documented where options
+    diverge): scheme dropped; host lowercased, a leading ``www`` /
+    ``www2``-style label stripped, labels reversed and joined with
+    commas; a non-default port kept as ``:port`` before the ``)``
+    (default :80/:443 dropped); path kept case-sensitive, empty path
+    → ``/``; query parameters sorted bytewise and re-joined (order
+    never survives proxies, so the key must not depend on it);
+    fragment dropped. Non-absolute inputs → NULL (garbage must not
+    fabricate an archive key).
+
+    Entirely JVM built-ins (regexp/split/reverse/array_sort) in the
+    Java∩RE2 regex subset — the DuckDB mirror replays every rule with
+    its own string/list functions."""
+    u = F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    host = F.regexp_replace(host, r"^www[0-9]*\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(port)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qry = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qry = F.when(qry == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(qry, "&")), "&"))
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            rev,
+            F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+            F.lit(")"),
+            path,
+            qry,
+        )
+    )
+
+
+def cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """CDX capture index over a crawled-pages table — the (SURT key,
+    timestamp)-ordered lookup index every web archive pairs with its
+    WARC shards (CDX/CDXJ convention). One row per capture:
+    (surt, ts, url, digest, length) with ts as yyyyMMddHHmmss (the
+    CDX 14-digit form — formatted STRING, never a raw timestamp, per
+    the cross-engine determinism discipline), digest = md5 of the
+    payload bytes, length = payload OCTET length (bytes, not chars).
+    Rows whose URL yields no SURT key (non-absolute) are dropped —
+    they have no archive identity.
+
+    Scale shape (100 TB): the projection is one codegen map pass;
+    the global (surt, ts) order ships as repartitionByRange +
+    sortWithinPartitions — range-partitioned sorted shards, each an
+    independently binary-searchable CDX file, exactly how archives
+    shard their indexes. No global single-task sort anywhere."""
+    rows = (
+        pages.select(
+            surt_key(F.col(url_col)).alias("surt"),
+            F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts"),
+            F.col(url_col).alias("url"),
+            F.md5(F.col(html_col)).alias("digest"),
+            F.octet_length(F.col(html_col)).cast("long").alias("length"),
+        )
+        .where(F.col("surt").isNotNull())
+    )
+    return rows.repartitionByRange("surt", "ts").sortWithinPartitions(
+        "surt", "ts"
+    )
+
+
 def host_graph(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

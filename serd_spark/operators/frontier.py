@@ -82,3 +82,88 @@ def recrawl_schedule(
         )
         .drop("last_ts", "_adj")
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Redirect-chain resolution — collapse the crawl's HTTP 3xx map
+    (src → dst, one Location per fetched URL) to each source's FINAL
+    destination, the canonical identity a crawler stores and a dedup
+    pass keys on. Returns one row per distinct redirecting source:
+    (src, final, hops, status) with status 'ok' (terminal reached in
+    ≤ max_hops) or 'unresolved' (redirect loop OR chain longer than
+    max_hops — crawlers abort both identically, as browsers do around
+    20 hops); unresolved rows carry NULL final/hops so no fabricated
+    destination leaks downstream.
+
+    Dirty data pin: a source asserting several Locations (re-crawls
+    disagreeing over time) keeps the lexicographically smallest dst —
+    a deterministic choice, documented rather than engine-dependent.
+
+    Scale shape (100 TB): pointer DOUBLING — each round joins the
+    chain map with itself, so covered path length doubles per round
+    and ceil(log2(max_hops)) + 1 rounds suffice for every chain the
+    hop cap admits; each round is one self equi-join + localCheckpoint
+    (lineage cut), the kg_linking CC discipline. Hop counts ride the
+    pointers (dist_a + dist_b) so no per-hop walk ever happens; loops
+    simply never terminate and fall out as 'unresolved' at the cap.
+    The DuckDB oracle is a structurally different formulation — a
+    hop-AT-A-TIME recursive CTE bounded at max_hops — that must land
+    on identical rows."""
+    import math
+
+    edges = (
+        redirects.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .groupBy("s")
+        .agg(F.min("d").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    # ptr: s reaches cur in dist hops, following the chain map
+    ptr = edges.select("s", F.col("d").alias("cur"), F.lit(1).cast("long").alias("dist"))
+    rounds = max(1, math.ceil(math.log2(max_hops)) + 1)
+    for _ in range(rounds):
+        b = ptr.select(
+            F.col("s").alias("b_s"),
+            F.col("cur").alias("b_cur"),
+            F.col("dist").alias("b_dist"),
+        )
+        ptr = (
+            ptr.join(b, ptr["cur"] == b["b_s"], "left")
+            .select(
+                "s",
+                F.coalesce("b_cur", "cur").alias("cur"),
+                (
+                    F.col("dist")
+                    + F.coalesce(F.col("b_dist"), F.lit(0).cast("long"))
+                ).alias("dist"),
+            )
+            # a doubled pointer can only exceed the cap further: clamp
+            # the carried distance so loop rows cannot overflow after
+            # many doublings (2^rounds is fine, but the clamp keeps the
+            # invariant obvious and the column small)
+            .withColumn(
+                "dist",
+                F.least(F.col("dist"), F.lit(max_hops + 1).cast("long")),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # terminal = current target has no outgoing redirect
+    srcs = edges.select(F.col("s").alias("t"))
+    out = ptr.join(srcs, ptr["cur"] == srcs["t"], "left").select(
+        "s",
+        F.col("cur"),
+        "dist",
+        F.col("t").isNotNull().alias("_still"),
+    )
+    ok = (~F.col("_still")) & (F.col("dist") <= max_hops)
+    return out.select(
+        F.col("s").alias("src"),
+        F.when(ok, F.col("cur")).alias("final"),
+        F.when(ok, F.col("dist")).alias("hops"),
+        F.when(ok, F.lit("ok")).otherwise(F.lit("unresolved")).alias("status"),
+    )

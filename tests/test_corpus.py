@@ -1060,3 +1060,53 @@ def test_strip_duplicated_spans_short_doc_removed(spark):
     assert out[1] == (2, 0, "tiny doc")
     assert out[2] == (2, 2, "")
     assert out[3] == (1, 0, "other")
+
+
+def test_surt_key_rules(spark):
+    from serd_spark.operators.corpus import surt_key
+
+    cases = [
+        # host reversed, www stripped, scheme dropped, query sorted
+        ("https://www.Example.COM/p?b=2&a=1", "com,example)/p?a=1&b=2"),
+        # empty path -> /, fragment dropped
+        ("http://a.b.example.org#frag", "org,example,b,a)/"),
+        # default port dropped, non-default kept
+        ("https://example.com:443/x", "com,example)/x"),
+        ("http://example.com:8080/x", "com,example:8080)/x"),
+        # wwwN label stripped too; path case preserved
+        ("http://www2.Site.net/CasePath", "net,site)/CasePath"),
+        # non-absolute input -> no archive key
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_cdx_index_rows_and_order(spark):
+    from datetime import datetime
+
+    from serd_spark.operators.corpus import cdx_index
+
+    rows = [
+        ("https://b.example.com/x", datetime(2026, 1, 2, 3, 4, 5), b"<b>"),
+        ("https://a.example.com/y", datetime(2026, 1, 1, 0, 0, 0), b"<a>"),
+        ("https://a.example.com/y", datetime(2026, 1, 3, 0, 0, 0), b"<a2>"),
+        ("garbage", datetime(2026, 1, 1, 0, 0, 0), b"zz"),  # dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = cdx_index(df).collect()
+    got = [(r.surt, r.ts, r.url, r.length) for r in out]
+    # global (surt, ts) order across partitions; garbage row gone
+    assert got == [
+        ("com,example,a)/y", "20260101000000", "https://a.example.com/y", 3),
+        ("com,example,a)/y", "20260103000000", "https://a.example.com/y", 4),
+        ("com,example,b)/x", "20260102030405", "https://b.example.com/x", 3),
+    ]
+    import hashlib
+
+    assert out[0].digest == hashlib.md5(b"<a>").hexdigest()

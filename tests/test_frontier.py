@@ -63,3 +63,69 @@ def test_queues_are_per_host(spark):
     # different hosts do not serialize against each other
     assert {r.sched_ts for r in out.collect()} == {5}
     assert {r.slot for r in out.collect()} == {0}
+
+
+def _redirects(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_redirect_chain_resolves_with_hops(spark):
+    from serd_spark.operators.frontier import resolve_redirects
+
+    rows = [("a", "b"), ("b", "c"), ("c", "d")]  # d is terminal
+    got = {
+        r.src: (r.final, r.hops, r.status)
+        for r in resolve_redirects(_redirects(spark, rows)).collect()
+    }
+    assert got == {
+        "a": ("d", 3, "ok"),
+        "b": ("d", 2, "ok"),
+        "c": ("d", 1, "ok"),
+    }
+
+
+def test_redirect_loop_unresolved(spark):
+    from serd_spark.operators.frontier import resolve_redirects
+
+    rows = [("a", "b"), ("b", "a"), ("c", "a"), ("s", "s"), ("x", "y")]
+    got = {
+        r.src: (r.final, r.hops, r.status)
+        for r in resolve_redirects(_redirects(spark, rows)).collect()
+    }
+    # the 2-cycle, everything feeding it, and the self-loop all fail;
+    # the independent chain still resolves
+    assert got["a"] == (None, None, "unresolved")
+    assert got["b"] == (None, None, "unresolved")
+    assert got["c"] == (None, None, "unresolved")
+    assert got["s"] == (None, None, "unresolved")
+    assert got["x"] == ("y", 1, "ok")
+
+
+def test_redirect_hop_cap(spark):
+    from serd_spark.operators.frontier import resolve_redirects
+
+    # chain of length 6: head resolves at max_hops=6, not at 5
+    rows = [(f"u{i}", f"u{i+1}") for i in range(6)]
+    r5 = {
+        r.src: r.status
+        for r in resolve_redirects(_redirects(spark, rows), max_hops=5).collect()
+    }
+    r6 = {
+        r.src: (r.final, r.hops, r.status)
+        for r in resolve_redirects(_redirects(spark, rows), max_hops=6).collect()
+    }
+    assert r5["u0"] == "unresolved"
+    assert r5["u1"] == "ok"
+    assert r6["u0"] == ("u6", 6, "ok")
+
+
+def test_redirect_conflicting_locations_pin(spark):
+    from serd_spark.operators.frontier import resolve_redirects
+
+    # two Locations for one src: lexicographically smallest dst wins
+    rows = [("a", "z"), ("a", "m")]
+    got = {
+        r.src: (r.final, r.hops)
+        for r in resolve_redirects(_redirects(spark, rows)).collect()
+    }
+    assert got == {"a": ("m", 1)}

@@ -324,9 +324,11 @@ def test_extract_raw_null_or_unknown_syntax_lax(spark):
         triples_only,
     )
 
+    # "n3" stays unknown (rdfxml became a real syntax in round 4 —
+    # this test is about values NO parser claims)
     docs = spark.createDataFrame(
         [("http://d/x.ttl", "<a> <b> <c> .", None),
-         ("http://d/y.rdf", "<a> <b> <c> .", "rdfxml")],
+         ("http://d/y.n3", "<a> <b> <c> .", "n3")],
         "url string, text string, syntax string",
     )
     ext = extract_raw(docs, lax=True)
