@@ -864,6 +864,41 @@ def mm_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME + charset sniffing from payload BYTES alone (magic numbers,
+    BOMs, WHATWG control-byte rule, ASCII meta/encoding declarations —
+    one pure-JVM codegen projection, serd's choose_syntax role widened
+    to web containers). Grouped by the generator's DECLARED ground
+    truth with an exact-match counter: the DuckDB oracle aggregates the
+    declared columns (never touching a payload byte) and asserts
+    n_exact == n, so a hash match proves the sniffer recovers the
+    ground truth on EVERY row of all 18 variants."""
+    from serd_spark.operators.sniff import (
+        sniff_responses,
+        synthesize_responses,
+    )
+
+    resp = synthesize_responses(spark, max(72, _n_pages(sf_dir) // 8))
+    _materialize(
+        sf_dir, "sniff_meta",
+        lambda: resp.select("resp_id", "mime", "charset"),
+    )
+    return (
+        sniff_responses(resp)
+        .groupBy("mime", "charset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (
+                    (F.col("sniffed_mime") == F.col("mime"))
+                    & (F.col("sniffed_charset") == F.col("charset"))
+                ).cast("long")
+            ).alias("n_exact"),
+        )
+        .orderBy("mime", "charset")
+    )
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
@@ -4832,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_probe": mm_probe,
         "mm_frames": mm_frames,
         "mm_frame_decode": mm_frame_decode,
+        "q_sniff": q_sniff,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7165,6 +7201,17 @@ def oracle_sql() -> dict[str, str]:
         # table, MP4 dims/tracks from the synthesis formulas, WAV
         # duration from the integer sample math (n = 8*dur//50 samples
         # at 8 kHz → probed ms = n//8).
+        # Declared ground truth only — the meta parquet carries zero
+        # payload bytes, so matching n_exact == n certifies the
+        # byte-level sniffer against the generator on every row.
+        "q_sniff": f"""
+            SELECT mime, charset,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/sniff_meta/*.parquet')
+            GROUP BY mime, charset
+            ORDER BY mime, charset
+        """,
         "mm_probe": f"""
             WITH m AS (
               SELECT media_id,
