@@ -899,6 +899,40 @@ def q_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity join WITHOUT a cartesian product:
+    SymSpell deletion-neighborhood blocking (exact recall at k=1 by
+    the pigeonhole argument — fuzzy.py) + JVM levenshtein verify.
+    Input: md5-prefix names from customer plus a mutated twin (one
+    char deleted at a closed-form position) for every 5th row; the
+    oracle replays the generation, the blocking (DuckDB
+    list_transform range-deletes) and its own levenshtein end to end,
+    so matching rows certify recall AND precision of the whole join."""
+    from serd_spark.operators.fuzzy import fuzzy_join
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.concat(
+            F.lower("c_mktsegment"),
+            F.lit(" "),
+            F.substring(F.md5("c_name"), 1, 12),
+        ).alias("name"),
+    )
+    t = base.filter(F.col("id") % 5 == 0).withColumn(
+        "pos", (F.col("id") % 8 + 3).cast("int")
+    )
+    twins = t.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), F.col("pos") - 1),
+            F.substring(
+                F.col("name"), F.col("pos") + 1, F.length("name")
+            ),
+        ).alias("name"),
+    )
+    return fuzzy_join(base.unionAll(twins)).orderBy("id_a", "id_b")
+
+
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
@@ -4868,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": mm_frames,
         "mm_frame_decode": mm_frame_decode,
         "q_sniff": q_sniff,
+        "q_fuzzy_join": q_fuzzy_join,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7201,6 +7236,47 @@ def oracle_sql() -> dict[str, str]:
         # table, MP4 dims/tracks from the synthesis formulas, WAV
         # duration from the integer sample math (n = 8*dur//50 samples
         # at 8 kHz → probed ms = n//8).
+        # Full replay of the edit-distance join: same generated names,
+        # same deletion-neighborhood blocking, DuckDB's OWN levenshtein
+        # — an independent implementation of both stages.
+        "q_fuzzy_join": """
+            WITH base AS (
+              SELECT CAST(c_custkey AS BIGINT) AS id,
+                     lower(c_mktsegment) || ' ' ||
+                       substr(md5(c_name), 1, 12) AS name
+              FROM customer
+            ), t AS (
+              SELECT id + 1000000 AS tid,
+                     CAST(id % 8 + 3 AS INT) AS pos, name
+              FROM base WHERE id % 5 = 0
+            ), twins AS (
+              SELECT tid AS id,
+                     substr(name, 1, pos - 1) || substr(name, pos + 1)
+                       AS name
+              FROM t
+            ), names AS (
+              SELECT * FROM base UNION ALL SELECT * FROM twins
+            ), vars AS (
+              SELECT id, name,
+                     unnest(list_transform(
+                       range(0, length(name) + 1),
+                       i -> CASE WHEN i = 0 THEN name
+                                 ELSE substr(name, 1, CAST(i AS INT) - 1)
+                                      || substr(name, CAST(i AS INT) + 1)
+                            END)) AS v
+              FROM names
+            ), pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     MIN(a.name) AS name_a, MIN(b.name) AS name_b
+              FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS INT) AS dist
+            FROM pairs
+            WHERE levenshtein(name_a, name_b) <= 1
+            ORDER BY id_a, id_b
+        """,
         # Declared ground truth only — the meta parquet carries zero
         # payload bytes, so matching n_exact == n certifies the
         # byte-level sniffer against the generator on every row.

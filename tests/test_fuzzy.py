@@ -1,0 +1,114 @@
+"""Edit-distance similarity join: exact recall at k=1 (brute-force
+cross-check), precision verify, blocking bounds, bucket cap."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from serd_spark.operators.fuzzy import deletion_variants, fuzzy_join
+
+
+def _names(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def _pairs(df):
+    return sorted(
+        (r.id_a, r.id_b, r.dist) for r in df.collect()
+    )
+
+
+def test_variants_shape(spark):
+    out = (
+        spark.createDataFrame([("abc",)], "s string")
+        .select(deletion_variants(F.col("s")).alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert out == ["abc", "bc", "ac", "ab"]
+
+
+def test_substitution_insertion_deletion(spark):
+    df = _names(
+        spark,
+        [
+            (1, "john smith"),
+            (2, "jon smith"),    # deletion of 'h'     -> dist 1 to 1
+            (3, "john smyth"),   # substitution 'i->y' -> dist 1 to 1
+            (4, "johnn smith"),  # insertion           -> dist 1 to 1
+            (5, "completely different"),
+        ],
+    )
+    got = _pairs(fuzzy_join(df))
+    assert (1, 2, 1) in got and (1, 3, 1) in got and (1, 4, 1) in got
+    assert all(p[0] != 5 and p[1] != 5 for p in got)
+
+
+def test_distance_two_rejected(spark):
+    # shares no deletion variant AND would fail the verify anyway
+    df = _names(spark, [(1, "abcdef"), (2, "abxxef")])
+    assert _pairs(fuzzy_join(df)) == []
+
+
+def test_exact_duplicates_pair_at_zero(spark):
+    df = _names(spark, [(1, "acme corp"), (2, "acme corp")])
+    assert _pairs(fuzzy_join(df)) == [(1, 2, 0)]
+
+
+def test_recall_matches_bruteforce(spark):
+    """Pigeonhole recall proof on a mutation cloud: blocking + verify
+    must equal the brute-force levenshtein θ-join exactly."""
+    base = "entity resolution"
+    rows, rid = [(0, base)], 1
+    # one substitution, one deletion, one insertion at several offsets
+    for i in (0, 3, 8, len(base) - 1):
+        rows.append((rid, base[:i] + "Z" + base[i + 1:])); rid += 1
+        rows.append((rid, base[:i] + base[i + 1:])); rid += 1
+        rows.append((rid, base[:i] + "Q" + base[i:])); rid += 1
+    # far-away noise
+    rows += [(rid, "zzzz"), (rid + 1, "entity resolutionXXXX")]
+    df = _names(spark, rows)
+    got = _pairs(fuzzy_join(df))
+    brute = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.name"), F.col("b.name"))
+        )
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "dist",
+        )
+    )
+    assert got == _pairs(brute)
+
+
+def test_max_len_excludes_long_names(spark):
+    long = "x" * 80
+    df = _names(spark, [(1, long), (2, long)])
+    assert _pairs(fuzzy_join(df, max_len=64)) == []
+    assert _pairs(fuzzy_join(df, max_len=100)) == [(1, 2, 0)]
+
+
+def test_bucket_cap_drops_hot_variant_only(spark):
+    # 30 copies of a 1-char name: variant "" and "a" are hot. A pair
+    # of longer names still links through its many other variants.
+    rows = [(i, "a") for i in range(30)]
+    rows += [(100, "stable name"), (101, "stable nam")]
+    df = _names(spark, rows)
+    got = _pairs(fuzzy_join(df, bucket_cap=8))
+    assert (100, 101, 1) in got
+    assert not any(p[0] < 30 and p[1] < 30 for p in got)
+
+
+def test_no_python_stages(spark):
+    df = _names(spark, [(1, "a name"), (2, "a nam")])
+    plan = (
+        fuzzy_join(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in (
+        plan
+    )
