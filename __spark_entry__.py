@@ -899,6 +899,18 @@ def q_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for "table hash" — consecutive-token
+    matching, row-local (no explode/join/shuffle on the corpus side;
+    corpus.py::phrase_search). Emits per-doc match count and the
+    1-based first position; the oracle replays the token array and
+    the start-offset filter with DuckDB list ops."""
+    from serd_spark.operators.corpus import phrase_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(d, "table hash").orderBy("doc_id")
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 similarity join WITHOUT a cartesian product:
     SymSpell deletion-neighborhood blocking (exact recall at k=1 by
@@ -4903,6 +4915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_decode": mm_frame_decode,
         "q_sniff": q_sniff,
         "q_fuzzy_join": q_fuzzy_join,
+        "q_phrase": q_phrase,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7236,6 +7249,27 @@ def oracle_sql() -> dict[str, str]:
         # table, MP4 dims/tracks from the synthesis formulas, WAV
         # duration from the integer sample math (n = 8*dur//50 samples
         # at 8 kHz → probed ms = n//8).
+        # Token array + start-offset filter replayed with list ops —
+        # same 1-based positions, same overlapping-match semantics.
+        "q_phrase": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS arr
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     list_filter(range(1, len(arr)),
+                       i -> arr[i] = 'table' AND arr[i+1] = 'hash')
+                       AS hits
+              FROM tok WHERE len(arr) >= 2
+            )
+            SELECT doc_id,
+                   CAST(len(hits) AS BIGINT) AS n_matches,
+                   CAST(hits[1] AS BIGINT) AS first_pos
+            FROM m WHERE len(hits) > 0
+            ORDER BY doc_id
+        """,
         # Full replay of the edit-distance join: same generated names,
         # same deletion-neighborhood blocking, DuckDB's OWN levenshtein
         # — an independent implementation of both stages.

@@ -556,6 +556,66 @@ def keyword_search(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str] | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """POSITIONAL phrase matching — consecutive-token occurrences, the
+    query shape bag-of-words retrieval (keyword_search/bm25_search)
+    cannot express.
+
+    Shape: entirely row-local. The token array never leaves its row —
+    match positions come from a JVM higher-order filter over candidate
+    start offsets (k comparisons per offset, k = phrase length), so
+    the corpus-side plan is scan → project with NO explode, NO join
+    and NO shuffle until the final (tiny) per-hit result. At 100 TB
+    this is the right phrase plan for a scan-time query: a positional
+    inverted index would pay k posting shuffles to save a text scan,
+    which only wins when the index is reused across many queries —
+    the posting-list machinery already exists in keyword_search for
+    that regime. HOFs are interpreted per element (CLAUDE.md), but
+    the work here is bounded equality checks on short strings; the
+    pandas-UDF alternative would add a Python crossing for less.
+
+    Returns (id_col, n_matches, first_pos) for matching documents,
+    positions 1-based over the whitespace-normalized token sequence.
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    terms = [t.lower() for t in terms if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    k = len(terms)
+    arr = F.split(_norm(F.col(text_col)), " ")
+
+    def _hit(i):
+        cond = None
+        for j, t in enumerate(terms):
+            c = F.element_at(arr, (i + F.lit(j)).cast("int")) == t
+            cond = c if cond is None else cond & c
+        return cond
+
+    positions = F.when(
+        F.size(arr) >= k,
+        F.filter(
+            # sequence() DESCENDS when start > stop — the size guard
+            # above keeps the bound ≥ 1 so this can never flip
+            F.sequence(F.lit(1), F.size(arr) - k + 1),
+            _hit,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col), positions.alias("_pos"))
+        .filter(F.size("_pos") > 0)
+        .select(
+            id_col,
+            F.size("_pos").cast("long").alias("n_matches"),
+            F.element_at("_pos", 1).cast("long").alias("first_pos"),
+        )
+    )
+
+
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 
 

@@ -1110,3 +1110,70 @@ def test_cdx_index_rows_and_order(spark):
     import hashlib
 
     assert out[0].digest == hashlib.md5(b"<a>").hexdigest()
+
+
+def test_phrase_search_positions(spark):
+    from serd_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown cat"),
+            (2, "Quick  Brown\tfox tail"),   # case + whitespace fold
+            (3, "quick red brown fox"),      # non-adjacent -> no match
+            (4, "quick brown"),              # shorter than a 3-phrase
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "quick brown fox").collect()
+    }
+    assert got == {1: (1, 2), 2: (1, 1)}
+    two = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["Quick", "Brown"]).collect()
+    }
+    assert two == {1: (2, 2), 2: (1, 1), 4: (1, 1)}
+
+
+def test_phrase_search_overlapping_and_single(spark):
+    from serd_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b a b")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "a a").collect()
+    }
+    assert got == {1: (3, 1)}  # overlapping starts all count
+    one = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "a").collect()
+    }
+    assert one == {1: (4, 1), 2: (1, 2)}
+
+
+def test_phrase_search_rejects_empty(spark):
+    from serd_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(df, "   ")
+
+
+def test_phrase_search_plan_is_shuffle_free(spark):
+    from serd_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        phrase_search(df, "a b")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
