@@ -911,6 +911,52 @@ def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(d, "table hash").orderBy("doc_id")
 
 
+def q_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard≥0.8 similarity self-join (prefix filtering, no
+    LSH approximation, no cartesian — fuzzy.py::set_similarity_join)
+    over word-3-gram shingle sets: documents plus an appended-token
+    twin for every 7th doc. The oracle replays shingling, the global
+    (df, token) order, per-set prefix math, the size bound and its
+    own list_intersect verify — the whole AllPairs pipeline twice."""
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id"), "text"
+    )
+    twins = d.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.col("text"), F.lit(" mut alpha beta gama")).alias(
+            "text"
+        ),
+    )
+    arr = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        " ",
+    )
+    grams = F.when(
+        F.size(arr) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(arr, i),
+                    F.element_at(arr, i + 1),
+                    F.element_at(arr, i + 2),
+                ),
+            )
+        ),
+    )
+    sets = (
+        d.unionAll(twins)
+        .select("id", grams.alias("toks"))
+        .filter(F.col("toks").isNotNull())
+    )
+    return set_similarity_join(sets, t_permille=800).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 similarity join WITHOUT a cartesian product:
     SymSpell deletion-neighborhood blocking (exact recall at k=1 by
@@ -4916,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sniff": q_sniff,
         "q_fuzzy_join": q_fuzzy_join,
         "q_phrase": q_phrase,
+        "q_setsim": q_setsim,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7249,6 +7296,66 @@ def oracle_sql() -> dict[str, str]:
         # table, MP4 dims/tracks from the synthesis formulas, WAV
         # duration from the integer sample math (n = 8*dur//50 samples
         # at 8 kHz → probed ms = n//8).
+        # The entire AllPairs pipeline replayed: shingling, global
+        # (df, token) canonical order, per-set integer prefix length,
+        # size bound, and DuckDB's own list_intersect verify.
+        "q_setsim": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 1000000,
+                     text || ' mut alpha beta gama'
+              FROM documents WHERE doc_id % 7 = 0
+            ), tok AS (
+              SELECT id, list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS arr
+              FROM d
+            ), grams AS (
+              SELECT id, list_distinct(list_transform(
+                       range(1, len(arr) - 1),
+                       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                       AS st
+              FROM tok WHERE len(arr) >= 3
+            ), tokx AS (
+              SELECT id, unnest(st) AS tk FROM grams
+            ), freq AS (
+              SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tokx GROUP BY tk
+            ), ordered AS (
+              SELECT id, list(tk ORDER BY c, tk) AS arr,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM tokx JOIN freq USING (tk) GROUP BY id
+            ), pref AS (
+              SELECT id, n,
+                     unnest(list_slice(arr, 1,
+                       CAST(n - ((800 * n + 999) // 1000) + 1 AS INT)))
+                       AS tk
+              FROM ordered
+            ), cand AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     MIN(a.n) AS na, MIN(b.n) AS nb
+              FROM pref a JOIN pref b
+                ON a.tk = b.tk AND a.id < b.id
+              WHERE 1000 * LEAST(a.n, b.n) >= 800 * GREATEST(a.n, b.n)
+              GROUP BY a.id, b.id
+            ), ver AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(oa.arr, ob.arr)) AS BIGINT)
+                       AS inter,
+                     na, nb
+              FROM cand
+              JOIN ordered oa ON oa.id = cand.id_a
+              JOIN ordered ob ON ob.id = cand.id_b
+            )
+            SELECT id_a, id_b, inter,
+                   na + nb - inter AS uni,
+                   CAST(floor(CAST(1000 * inter AS DOUBLE)
+                        / (na + nb - inter)) AS BIGINT) AS jac_permille
+            FROM ver
+            WHERE 1000 * inter >= 800 * (na + nb - inter)
+            ORDER BY id_a, id_b
+        """,
         # Token array + start-offset filter replayed with list ops —
         # same 1-based positions, same overlapping-match semantics.
         "q_phrase": """

@@ -112,3 +112,98 @@ def test_no_python_stages(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in (
         plan
     )
+
+
+def _sets(spark, rows):
+    return spark.createDataFrame(rows, "id long, toks array<string>")
+
+
+def _spairs(df):
+    return sorted(
+        (r.id_a, r.id_b, r.inter, r.uni, r.jac_permille)
+        for r in df.collect()
+    )
+
+
+def test_setsim_basic(spark):
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    df = _sets(
+        spark,
+        [
+            (1, ["a", "b", "c", "d", "e"]),
+            (2, ["a", "b", "c", "d", "x"]),   # jac 4/6 = 666
+            (3, ["a", "b", "c", "d", "e"]),   # jac 1000 with 1
+            (4, ["q", "r", "s"]),
+        ],
+    )
+    got = _spairs(set_similarity_join(df, t_permille=600))
+    assert (1, 2, 4, 6, 666) in got
+    assert (1, 3, 5, 5, 1000) in got
+    assert (2, 3, 4, 6, 666) in got
+    assert all(4 not in (p[0], p[1]) for p in got)
+    # tighter threshold drops the 666 pairs
+    tight = _spairs(set_similarity_join(df, t_permille=700))
+    assert tight == [(1, 3, 5, 5, 1000)]
+
+
+def test_setsim_duplicates_in_array_are_set_semantics(spark):
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    df = _sets(spark, [(1, ["a", "a", "b"]), (2, ["b", "a"])])
+    assert _spairs(set_similarity_join(df, t_permille=900)) == [
+        (1, 2, 2, 2, 1000)
+    ]
+
+
+def test_setsim_recall_matches_bruteforce(spark):
+    """Exact-recall proof: prefix-filter join == brute-force
+    threshold join on a mutation cloud, at two thresholds."""
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    base = [f"t{i}" for i in range(20)]
+    rows = []
+    for i in range(12):
+        s = list(base)
+        for j in range(i % 4):          # drop up to 3
+            s.remove(f"t{(i * 3 + j) % 20}")
+        s += [f"x{i % 5}"] * (i % 3)    # add up to 2
+        rows.append((i, s))
+    df = _sets(spark, rows)
+    for t in (500, 800):
+        got = _spairs(set_similarity_join(df, t_permille=t))
+        brute = []
+        for i, a in rows:
+            for j, b in rows:
+                if i < j:
+                    sa, sb = set(a), set(b)
+                    inter = len(sa & sb)
+                    uni = len(sa | sb)
+                    if 1000 * inter >= t * uni:
+                        brute.append(
+                            (i, j, inter, uni, 1000 * inter // uni)
+                        )
+        assert got == sorted(brute), f"t={t}"
+
+
+def test_setsim_threshold_validation(spark):
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    df = _sets(spark, [(1, ["a"])])
+    with pytest.raises(ValueError):
+        set_similarity_join(df, t_permille=0)
+    with pytest.raises(ValueError):
+        set_similarity_join(df, t_permille=1001)
+
+
+def test_setsim_no_cartesian_no_python(spark):
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    df = _sets(spark, [(1, ["a", "b"]), (2, ["a", "c"])])
+    plan = (
+        set_similarity_join(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
