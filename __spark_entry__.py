@@ -4127,6 +4127,35 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (graph.py::sssp —
+    frontier-active Bellman-Ford, integer weights derived closed-form
+    from the edge endpoints) over the hash-folded trade graph, seeds
+    node % 997 == 0, 3 rounds. The oracle replays the rounds as
+    FULL-relax chained CTEs — a structurally different formulation
+    whose r-round invariant (min cost over ≤ r-edge paths) provably
+    coincides with the frontier version's, so matching rows certify
+    the frontier optimization preserved semantics."""
+    from serd_spark.operators.graph import sssp
+
+    e = _trade_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (1 + (F.col("src") * 7 + F.col("dst") * 13) % 9).alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 997 == 0)
+    return (
+        sssp(e, seeds, n_rounds=3)
+        .select("node", F.col("dist").cast("long").alias("dist"))
+        .orderBy("node")
+    )
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance (graph.py::bfs_distance) from a
     deterministic seed set (node % 997 == 0) over the hash-folded
@@ -4963,6 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": q_fuzzy_join,
         "q_phrase": q_phrase,
         "q_setsim": q_setsim,
+        "q_sssp": q_sssp,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -9181,6 +9211,50 @@ def oracle_sql() -> dict[str, str]:
         "q_kcore": _kcore_oracle_sql(k=35, n_rounds=4),
         "q_label_prop": _lpa_oracle_sql(n_iter=5),
         "q_bfs_hops": _bfs_oracle_sql(n_rounds=3),
+        # FULL-relax Bellman-Ford rounds (vs the operator's
+        # frontier-active rounds): after r rounds both equal the min
+        # cost over ≤ r-edge paths, so identical rows certify the
+        # frontier optimization. MATERIALIZED: each round references
+        # the previous twice (owl_entail discipline).
+        "q_sssp": """
+            WITH e AS MATERIALIZED (
+              SELECT src, dst, MIN(w) AS w FROM (
+                SELECT o_custkey % 9973 AS src,
+                       l_suppkey % 9973 AS dst,
+                       1 + ((o_custkey % 9973) * 7
+                            + (l_suppkey % 9973) * 13) % 9 AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              ) GROUP BY src, dst
+            ), d0 AS MATERIALIZED (
+              SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+                SELECT DISTINCT node FROM (
+                  SELECT src AS node FROM e
+                  UNION SELECT dst FROM e)
+                WHERE node % 997 = 0)
+            ), d1 AS MATERIALIZED (
+              SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst, d0.dist + e.w FROM d0
+                JOIN e ON d0.node = e.src
+              ) GROUP BY node
+            ), d2 AS MATERIALIZED (
+              SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst, d1.dist + e.w FROM d1
+                JOIN e ON d1.node = e.src
+              ) GROUP BY node
+            ), d3 AS MATERIALIZED (
+              SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.dst, d2.dist + e.w FROM d2
+                JOIN e ON d2.node = e.src
+              ) GROUP BY node
+            )
+            SELECT node, dist FROM d3 ORDER BY node
+        """,
         "q_walks": _walks_oracle_sql(walk_len=3, walks_per_node=2),
         "q_link_predict": _link_predict_oracle_sql(
             max_center_deg=64, min_cn=2, top_k=50

@@ -609,6 +609,97 @@ def bfs_distance(
     return dist
 
 
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths — Bellman-Ford with
+    frontier-active relaxation (the Pregel SSSP): link-distance
+    scoring from trusted seeds, weighted crawl-depth budgets, KG
+    path-cost neighborhoods — the weighted sibling of
+    ``bfs_distance`` (which this reduces to when every w = 1).
+
+    Per round, ONLY nodes whose distance improved in the previous
+    round relax their out-edges (frontier join → per-target min
+    partial-agg), then a full-outer merge against the settled table
+    keeps the elementwise minimum. Work per round is proportional to
+    the improving frontier, not |V| — the "relax every node every
+    round" textbook loop re-sends the whole distance table per round
+    and is the shape that dies at 100 TB. Parallel edges are
+    min-collapsed up front; weights must be non-negative integers
+    (with negative edges Bellman-Ford needs |V|−1 full-relax rounds
+    and the frontier shortcut is unsound — out of scope).
+
+    ``n_rounds`` is FIXED (bfs_distance's determinism discipline: the
+    cross-engine mirror replays the identical round count; once no
+    distance improves further rounds are no-ops). A path using more
+    than ``n_rounds`` edges is not discovered — callers size rounds
+    to the hop diameter they care about. Integer arithmetic only.
+
+    Returns (node, dist) for nodes reachable within ``n_rounds``
+    hops; unreached nodes are absent.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("w") >= 0)
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for _ in range(n_rounds):
+        best = (
+            frontier.join(e, frontier.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("d"),
+            )
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        merged = dist.join(best, "node", "full_outer").select(
+            "node",
+            F.col("dist").alias("_old"),
+            F.col("d").alias("_new"),
+        )
+        # Spark least() skips NULLs (returns the least non-null), so
+        # the full-outer merge needs no coalesce; _improved must pin
+        # the NULL cases explicitly since < is NULL-propagating
+        merged = merged.select(
+            "node",
+            F.least("_old", "_new").alias("dist"),
+            (
+                F.col("_new").isNotNull()
+                & (
+                    F.col("_old").isNull()
+                    | (F.col("_new") < F.col("_old"))
+                )
+            ).alias("_improved"),
+        ).localCheckpoint(eager=False)
+        frontier = merged.filter("_improved").select("node", "dist")
+        dist = merged.select("node", "dist")
+    return dist
+
+
 def random_walks(
     edges: DataFrame,
     walk_len: int = 3,

@@ -138,3 +138,46 @@ def test_link_predict_topk_total_order(spark):
     e = _edges(spark, [(1, 2), (2, 3), (1, 7), (7, 3), (4, 5), (5, 6)])
     rows = link_predict(e, min_cn=1, top_k=1).collect()
     assert [(r.a, r.b, r.cn) for r in rows] == [(1, 3, 2)]
+
+
+def test_sssp_prefers_light_multi_hop(spark):
+    from serd_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (0, 3, 100),
+         (4, 5, 7), (3, 3, 0), (0, 2, 5)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.dist for r in sssp(edges, seeds, n_rounds=4).collect()}
+    # 0->2->1 (3) beats the direct edge (10); 0->2->1->3 (4) beats
+    # 0->3 (100); nodes 4,5 unreachable and absent; parallel edge
+    # (0,2,5) min-collapsed under (0,2,1)
+    assert out == {0: 0, 1: 3, 2: 1, 3: 4}
+
+
+def test_sssp_round_cap_limits_hops(spark):
+    from serd_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.dist for r in sssp(edges, seeds, n_rounds=2).collect()}
+    # within 2 hops the best route to 3 is 0->1->3 = 11; the cheaper
+    # 3-hop route is out of budget
+    assert out == {0: 0, 1: 3, 2: 1, 3: 11}
+
+
+def test_sssp_multi_source_and_negative_filtered(spark):
+    from serd_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 4), (9, 1, 1), (1, 2, -5)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node long")
+    out = {r.node: r.dist for r in sssp(edges, seeds, n_rounds=3).collect()}
+    # nearest seed wins; the negative edge is dropped, not traversed
+    assert out == {0: 0, 9: 0, 1: 1}
