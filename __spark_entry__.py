@@ -2382,6 +2382,102 @@ def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed-item extraction (operators/sitemap.py::
+    parse_feeds): per-host feeds synthesized in-plan from the page
+    URLs — hosts are split RSS vs Atom by an md5 bit, links carry
+    entity-escaped query strings, pubDate/updated present on only an
+    md5 half of entries, Atom links in attribute form. The oracle
+    rebuilds the identical XML in SQL and re-extracts with the same
+    block/field regexes and replace chain — two regex engines, one
+    item table (the q_sitemap discipline for the second discovery
+    channel)."""
+    from serd_spark.operators.sitemap import parse_feeds
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta",
+        lambda: _pages(spark, sf_dir).select("url", "html"),
+    )
+    urls = pages.select("url").distinct()
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    d = (
+        F.conv(F.substring(F.md5("url"), 5, 2), 16, 10).cast("long") % 10
+    ).cast("string")
+    esc = F.replace(
+        F.concat(F.col("url"), F.lit("?ref=feed&id="), d),
+        F.lit("&"),
+        F.lit("&amp;"),
+    )
+    rss_item = F.concat(
+        F.lit("  <item>\n    <title>Page "), d,
+        F.lit("</title>\n    <link>"), esc,
+        F.lit("</link>\n    <guid>"), F.col("url"),
+        F.lit("</guid>\n"),
+        F.when(
+            d < "5",
+            F.concat(F.lit("    <pubDate>Mon, 0"), d,
+                     F.lit(" Jan 2026</pubDate>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("  </item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("  <entry>\n    <title>Page "), d,
+        F.lit('</title>\n    <link href="'), esc,
+        F.lit('"/>\n    <id>'), F.col("url"),
+        F.lit("</id>\n"),
+        F.when(
+            d < "5",
+            F.concat(F.lit("    <updated>2026-01-1"), d,
+                     F.lit("</updated>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("  </entry>"),
+    )
+    is_rss = F.substring(F.md5(host), 1, 2) < "80"
+    feeds = (
+        urls.select(
+            host.alias("host"),
+            is_rss.alias("is_rss"),
+            F.when(is_rss, rss_item).otherwise(atom_entry).alias("entry"),
+        )
+        .groupBy("host", "is_rss")
+        .agg(
+            F.concat(
+                F.when(
+                    F.col("is_rss"),
+                    F.lit('<rss version="2.0"><channel>\n'),
+                ).otherwise(
+                    F.lit('<feed xmlns="http://www.w3.org/2005/Atom">\n')
+                ),
+                F.array_join(F.sort_array(F.collect_list("entry")), "\n"),
+                F.when(
+                    F.col("is_rss"), F.lit("\n</channel></rss>")
+                ).otherwise(F.lit("\n</feed>")),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(F.lit("https://"), "host", F.lit("/feed")).alias(
+                "feed_url"
+            ),
+            "xml",
+        )
+    )
+    parsed = parse_feeds(feeds)
+    pin = F.conv(F.substring(F.md5("link"), 1, 10), 16, 10).cast("long")
+    return (
+        parsed.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("link").alias("n_links"),
+            F.count("title").alias("n_titles"),
+            F.count("entry_id").alias("n_ids"),
+            F.count("published").alias("n_pub"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("kind")
+    )
+
+
 def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL filter surface (plans/sparql.py): VALUES inline data
     (map-side IN), numeric comparison (bare-number literal → try_cast
@@ -5126,6 +5222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_void": q_void,
         "q_frontier": q_frontier,
         "q_sitemap": q_sitemap,
+        "q_feeds": q_feeds,
         "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
@@ -6494,6 +6591,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(lastmod) AS BIGINT) AS n_lastmod,
                    CAST(COUNT(priority) AS BIGINT) AS n_priority,
                    CAST(SUM(CAST('0x' || substr(md5(loc), 1, 10)
+                                 AS BIGINT)) AS BIGINT) AS pin
+            FROM fin GROUP BY kind ORDER BY kind
+        """,
+        # Identical XML rebuilt in SQL, re-extracted with the same
+        # block/field regexes and entity replace chain (q_sitemap
+        # discipline for the feed channel).
+        "q_feeds": f"""
+            WITH u AS (
+              SELECT DISTINCT url FROM
+                read_parquet('{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ), e AS (
+              SELECT regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                     CAST(CAST('0x' || substr(md5(url), 5, 2) AS BIGINT)
+                          % 10 AS VARCHAR) AS d,
+                     url
+              FROM u
+            ), marked AS (
+              SELECT host, substr(md5(host), 1, 2) < '80' AS is_rss,
+                     d, url,
+                     replace(url || '?ref=feed&id=' || d, '&', '&amp;')
+                       AS esc
+              FROM e
+            ), entry AS (
+              SELECT host, is_rss,
+                CASE WHEN is_rss THEN
+                  '  <item>' || chr(10) || '    <title>Page ' || d
+                  || '</title>' || chr(10) || '    <link>' || esc
+                  || '</link>' || chr(10) || '    <guid>' || url
+                  || '</guid>' || chr(10) ||
+                  CASE WHEN d < '5'
+                       THEN '    <pubDate>Mon, 0' || d
+                            || ' Jan 2026</pubDate>' || chr(10)
+                       ELSE '' END ||
+                  '  </item>'
+                ELSE
+                  '  <entry>' || chr(10) || '    <title>Page ' || d
+                  || '</title>' || chr(10) || '    <link href="' || esc
+                  || '"/>' || chr(10) || '    <id>' || url
+                  || '</id>' || chr(10) ||
+                  CASE WHEN d < '5'
+                       THEN '    <updated>2026-01-1' || d
+                            || '</updated>' || chr(10)
+                       ELSE '' END ||
+                  '  </entry>'
+                END AS entry
+              FROM marked
+            ), feeds AS (
+              SELECT is_rss,
+                CASE WHEN is_rss
+                     THEN '<rss version="2.0"><channel>' || chr(10)
+                     ELSE '<feed xmlns="http://www.w3.org/2005/Atom">'
+                          || chr(10) END
+                || string_agg(entry, chr(10) ORDER BY entry)
+                || CASE WHEN is_rss
+                        THEN chr(10) || '</channel></rss>'
+                        ELSE chr(10) || '</feed>' END AS xml
+              FROM entry GROUP BY host, is_rss
+            ), blocks AS (
+              SELECT 'rss' AS kind, b
+              FROM feeds, LATERAL (SELECT unnest(regexp_extract_all(
+                xml, '(?s)<item\\b[^>]*>(.*?)</item>', 1)) AS b) s
+              UNION ALL
+              SELECT 'atom' AS kind, b
+              FROM feeds, LATERAL (SELECT unnest(regexp_extract_all(
+                xml, '(?s)<entry\\b[^>]*>(.*?)</entry>', 1)) AS b) s
+            ), fields AS (
+              SELECT kind,
+                NULLIF(CASE WHEN kind = 'rss'
+                  THEN regexp_extract(b,
+                    '(?s)<link\\b[^>]*>\\s*(.*?)\\s*</link>', 1)
+                  ELSE regexp_extract(b,
+                    '(?s)<link\\b[^>]*href\\s*=\\s*"([^"]*)"', 1)
+                  END, '') AS link0,
+                NULLIF(regexp_extract(b,
+                  '(?s)<title\\b[^>]*>\\s*(.*?)\\s*</title>', 1), '')
+                  AS title,
+                NULLIF(CASE WHEN kind = 'rss'
+                  THEN regexp_extract(b,
+                    '(?s)<guid\\b[^>]*>\\s*(.*?)\\s*</guid>', 1)
+                  ELSE regexp_extract(b,
+                    '(?s)<id\\b[^>]*>\\s*(.*?)\\s*</id>', 1)
+                  END, '') AS entry_id,
+                NULLIF(CASE WHEN kind = 'rss'
+                  THEN regexp_extract(b,
+                    '(?s)<pubDate\\b[^>]*>\\s*(.*?)\\s*</pubDate>', 1)
+                  ELSE regexp_extract(b,
+                    '(?s)<updated\\b[^>]*>\\s*(.*?)\\s*</updated>', 1)
+                  END, '') AS published
+              FROM blocks
+            ), fin AS (
+              SELECT kind,
+                replace(replace(replace(replace(replace(link0,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&apos;', ''''), '&amp;', '&') AS link,
+                title, entry_id, published
+              FROM fields WHERE link0 IS NOT NULL
+            )
+            SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT link) AS BIGINT) AS n_links,
+                   CAST(COUNT(title) AS BIGINT) AS n_titles,
+                   CAST(COUNT(entry_id) AS BIGINT) AS n_ids,
+                   CAST(COUNT(published) AS BIGINT) AS n_pub,
+                   CAST(SUM(CAST('0x' || substr(md5(link), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM fin GROUP BY kind ORDER BY kind
         """,

@@ -78,3 +78,55 @@ def parse_sitemaps(
         entries(_INDEX_BLOCK, "sitemap")
     )
     return out.filter(F.col("loc").isNotNull())
+
+
+_RSS_ITEM = r"(?s)<item\b[^>]*>(.*?)</item>"
+_ATOM_ENTRY = r"(?s)<entry\b[^>]*>(.*?)</entry>"
+_ATOM_LINK = r'(?s)<link\b[^>]*href\s*=\s*"([^"]*)"'
+
+
+def parse_feeds(
+    feeds: DataFrame, xml_col: str = "xml", src_col: str = "feed_url"
+) -> DataFrame:
+    """RSS 2.0 / Atom feed-item extraction — the OTHER discovery
+    channel next to sitemaps (feeds surface new URLs minutes after
+    publication; sitemaps lag). Same pure-JVM design as
+    parse_sitemaps: one regexp_extract_all + posexplode per block
+    kind, one regexp_extract per field, the shared entity-decode
+    chain — no XML library, no Python. Both syntaxes are parsed from
+    every input (a fetcher rarely knows which it got): RSS
+    ``<item>`` children with text-element ``<link>``, Atom
+    ``<entry>`` children with attribute-form ``<link href="…"/>``
+    (first link wins — rel=self/alternate disambiguation is the
+    caller's policy, documented out of scope like sitemap gzip).
+
+    (feed_url, xml) → (feed_url, kind 'rss'|'atom', ord, link,
+    title, entry_id, published); rows without a link are dropped.
+    """
+
+    def items(pattern: str, kind: str, link, idtag: str, pub: str):
+        block = F.posexplode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(pattern), F.lit(1))
+        )
+        df = feeds.select(
+            F.col(src_col).alias("feed_url"), block.alias("ord", "_b")
+        )
+        return df.select(
+            "feed_url",
+            F.lit(kind).alias("kind"),
+            "ord",
+            xml_unescape(link(F.col("_b"))).alias("link"),
+            xml_unescape(_field(F.col("_b"), "title")).alias("title"),
+            _field(F.col("_b"), idtag).alias("entry_id"),
+            _field(F.col("_b"), pub).alias("published"),
+        )
+
+    def atom_link(b: Column) -> Column:
+        got = F.regexp_extract(b, _ATOM_LINK, 1)
+        return F.when(got == "", F.lit(None).cast("string")).otherwise(got)
+
+    rss = items(
+        _RSS_ITEM, "rss", lambda b: _field(b, "link"), "guid", "pubDate"
+    )
+    atom = items(_ATOM_ENTRY, "atom", atom_link, "id", "updated")
+    return rss.unionByName(atom).filter(F.col("link").isNotNull())
