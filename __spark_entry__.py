@@ -957,6 +957,45 @@ def q_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset transcoding to UTF-8 character text driven by the
+    SNIFFED charset (sniff.py::transcode_text — total, pure JVM):
+    per declared charset, how many payloads decode and how many
+    recover the generator's declared text EXACTLY (null-safe
+    equality), plus an md5 content pin over the recovered text. The
+    oracle reads only declared columns and asserts n_exact == n — a
+    hash match proves byte→character recovery is exact on every text
+    variant (utf-8, BOM'd, latin-1, utf-16le/be) and null on every
+    binary one."""
+    from serd_spark.operators.sniff import (
+        sniff_responses,
+        synthesize_responses,
+        transcode_text,
+    )
+
+    resp = synthesize_responses(spark, max(72, _n_pages(sf_dir) // 8))
+    _materialize(
+        sf_dir, "sniff_text",
+        lambda: resp.select("resp_id", "charset", "text"),
+    )
+    out = sniff_responses(resp).withColumn(
+        "rec", transcode_text(F.col("payload"), F.col("sniffed_charset"))
+    )
+    pin = F.conv(F.substring(F.md5("rec"), 1, 10), 16, 10).cast("long")
+    return (
+        out.groupBy("charset")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("rec").alias("n_text"),
+            F.sum(
+                F.col("rec").eqNullSafe(F.col("text")).cast("long")
+            ).alias("n_exact"),
+            F.sum(pin).alias("pin"),
+        )
+        .orderBy("charset")
+    )
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 similarity join WITHOUT a cartesian product:
     SymSpell deletion-neighborhood blocking (exact recall at k=1 by
@@ -5089,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase": q_phrase,
         "q_setsim": q_setsim,
         "q_sssp": q_sssp,
+        "q_transcode": q_transcode,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7648,6 +7688,20 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE levenshtein(name_a, name_b) <= 1
             ORDER BY id_a, id_b
+        """,
+        # Declared (charset, text) only — n_exact == n asserts the
+        # transcoder recovers the generator's character content on
+        # every row; the md5 pin binds the actual string values.
+        "q_transcode": f"""
+            SELECT charset,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(text) AS BIGINT) AS n_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(SUM(CAST('0x' || substr(md5(text), 1, 10)
+                                 AS BIGINT)) AS BIGINT) AS pin
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/sniff_text/*.parquet')
+            GROUP BY charset
+            ORDER BY charset
         """,
         # Declared ground truth only — the meta parquet carries zero
         # payload bytes, so matching n_exact == n certifies the

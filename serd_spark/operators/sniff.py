@@ -41,6 +41,7 @@ __all__ = [
     "sniff_charset",
     "sniff_responses",
     "synthesize_responses",
+    "transcode_text",
 ]
 
 # Magic-number table: (hex-prefix, mime). Ordered longest-first so a
@@ -160,6 +161,52 @@ def sniff_charset(payload: Column, mime: Column) -> Column:
     )
 
 
+def transcode_text(payload: Column, charset: Column) -> Column:
+    """Recover the decoded CHARACTER text from payload bytes given a
+    sniffed charset — the step that makes "byte-identical extracted
+    text per url" hold for non-UTF-8 pages instead of silently
+    mangling them through the lossy cast.
+
+    Pure JVM, and TOTAL (never throws under ANSI, which is what makes
+    it safe in a 100 TB scan): every branch decodes only inputs its
+    Java charset accepts without error —
+
+      utf-16le/be : Java's UTF-16 decoder consumes the BOM and picks
+                    the endianness from it (measured); guarded on
+                    even byte length so a truncated payload falls
+                    through instead of throwing
+      utf-8       : guarded on ``is_valid_utf8`` of the BOM-stripped
+                    body (ANSI ``decode`` throws on invalid UTF-8 —
+                    CLAUDE.md)
+      everything else (iso-8859-*, windows-125x, unknown labels,
+      invalid-UTF-8 fallbacks): ISO-8859-1, a bijection on bytes —
+                    total by construction. For true windows-1252 text
+                    the C1 range 0x80–0x9F maps to control chars
+                    instead of cp1252 glyphs; documented divergence
+                    (the byte content is preserved 1:1, so a later
+                    exact pass can re-map — nothing is lost).
+
+    Binary charsets ('binary') return NULL.
+    """
+    body = F.when(
+        _hexpfx(payload, 3) == "EFBBBF",
+        F.substring(payload, 4, 2147483000),
+    ).otherwise(payload)
+    even = F.length(payload) % 2 == 0
+    return (
+        F.when(charset == "binary", F.lit(None).cast("string"))
+        .when(
+            charset.isin("utf-16le", "utf-16be") & even,
+            F.decode(payload, "UTF-16"),
+        )
+        .when(
+            (charset == "utf-8") & F.is_valid_utf8(body),
+            F.decode(body, "UTF-8"),
+        )
+        .otherwise(F.decode(body, "ISO-8859-1"))
+    )
+
+
 def sniff_responses(
     df: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
@@ -179,9 +226,12 @@ def sniff_responses(
 _N_VARIANTS = 18
 
 
-def _render(i: int, seed: int) -> tuple[bytes, str, str]:
-    """Payload bytes + declared (mime, charset) for row ``i`` — a pure
-    function of (seed, i), one variant per residue class mod 18."""
+def _render(i: int, seed: int) -> tuple[bytes, str, str, str | None]:
+    """Payload bytes + declared (mime, charset, text) for row ``i`` —
+    a pure function of (seed, i), one variant per residue class mod
+    18. ``text`` is the decoded-character ground truth (BOM excluded)
+    for text variants, None for binary ones — the transcode
+    certificate's per-row target."""
     v = i % _N_VARIANTS
     digest = hashlib.blake2b(
         f"{seed}:sniff:{i}".encode(), digest_size=32
@@ -189,104 +239,97 @@ def _render(i: int, seed: int) -> tuple[bytes, str, str]:
     tok = digest.hex()[:12]
     filler = (digest * 4)[: 48 + i % 32]
     if v == 0:  # plain UTF-8 HTML, no declaration
-        return (
-            f"<html><body>doc {i} {tok} élève</body></html>"
-            .encode("utf-8"),
-            "text/html", "utf-8",
-        )
+        t = f"<html><body>doc {i} {tok} élève</body></html>"
+        return t.encode("utf-8"), "text/html", "utf-8", t
     if v == 1:  # latin-1 HTML with meta charset (body NOT valid UTF-8)
-        return (
-            f"<html><meta charset=iso-8859-1>café {tok}</html>"
-            .encode("iso-8859-1"),
-            "text/html", "iso-8859-1",
-        )
+        t = f"<html><meta charset=iso-8859-1>café {tok}</html>"
+        return t.encode("iso-8859-1"), "text/html", "iso-8859-1", t
     if v == 2:  # BOM'd UTF-8 HTML with doctype and leading whitespace
-        return (
-            b"\xef\xbb\xbf"
-            + f"  <!DOCTYPE html>\n<html>{tok}</html>".encode("utf-8"),
-            "text/html", "utf-8",
-        )
+        t = f"  <!DOCTYPE html>\n<html>{tok}</html>"
+        return (b"\xef\xbb\xbf" + t.encode("utf-8"),
+                "text/html", "utf-8", t)
     if v == 3:  # XML with encoding declaration
-        return (
-            f'<?xml version="1.0" encoding="UTF-8"?><r id="{i}">{tok}</r>'
-            .encode("utf-8"),
-            "application/xml", "utf-8",
-        )
+        t = f'<?xml version="1.0" encoding="UTF-8"?><r id="{i}">{tok}</r>'
+        return t.encode("utf-8"), "application/xml", "utf-8", t
     if v == 4:  # JSON object
-        return (
-            f'{{"id": {i}, "tok": "{tok}"}}'.encode("utf-8"),
-            "application/json", "utf-8",
-        )
+        t = f'{{"id": {i}, "tok": "{tok}"}}'
+        return t.encode("utf-8"), "application/json", "utf-8", t
     if v == 5:  # JSON array
-        return (f'[{i}, "{tok}"]'.encode("utf-8"),
-                "application/json", "utf-8")
+        t = f'[{i}, "{tok}"]'
+        return t.encode("utf-8"), "application/json", "utf-8", t
     if v == 6:  # plain UTF-8 text (multibyte, no markup)
-        return (
-            f"plain text {i} {tok} 中文 ü".encode("utf-8"),
-            "text/plain", "utf-8",
-        )
+        t = f"plain text {i} {tok} 中文 ü"
+        return t.encode("utf-8"), "text/plain", "utf-8", t
     if v == 7:  # UTF-16LE text with BOM
-        return (b"\xff\xfe" + f"utf16 doc {i} {tok}".encode("utf-16-le"),
-                "text/plain", "utf-16le")
+        t = f"utf16 doc {i} {tok}"
+        return (b"\xff\xfe" + t.encode("utf-16-le"),
+                "text/plain", "utf-16le", t)
     if v == 8:  # UTF-16BE text with BOM
-        return (b"\xfe\xff" + f"utf16 doc {i} {tok}".encode("utf-16-be"),
-                "text/plain", "utf-16be")
+        t = f"utf16 doc {i} {tok}"
+        return (b"\xfe\xff" + t.encode("utf-16-be"),
+                "text/plain", "utf-16be", t)
     if v == 9:
-        return b"\x89PNG\r\n\x1a\n" + filler, "image/png", "binary"
+        return b"\x89PNG\r\n\x1a\n" + filler, "image/png", "binary", None
     if v == 10:
         return b"\xff\xd8\xff\xe0\x00\x10JFIF" + filler, \
-            "image/jpeg", "binary"
+            "image/jpeg", "binary", None
     if v == 11:
-        return b"GIF89a" + filler, "image/gif", "binary"
+        return b"GIF89a" + filler, "image/gif", "binary", None
     if v == 12:
         return (b"RIFF" + len(filler).to_bytes(4, "little") + b"WEBPVP8 "
-                + filler, "image/webp", "binary")
+                + filler, "image/webp", "binary", None)
     if v == 13:
         return (b"RIFF" + len(filler).to_bytes(4, "little") + b"WAVEfmt "
-                + filler, "audio/wav", "binary")
+                + filler, "audio/wav", "binary", None)
     if v == 14:
         return ((len(filler) + 8).to_bytes(4, "big") + b"ftypisom"
-                + filler, "video/mp4", "binary")
+                + filler, "video/mp4", "binary", None)
     if v == 15:
-        return b"%PDF-1.4\n" + filler, "application/pdf", "binary"
+        return b"%PDF-1.4\n" + filler, "application/pdf", "binary", None
     if v == 16:
-        return b"\x1f\x8b\x08\x00" + filler, "application/gzip", "binary"
+        return b"\x1f\x8b\x08\x00" + filler, "application/gzip", "binary", None
     # v == 17: opaque bytes, guaranteed invalid UTF-8 and magic-free
     # (0xC0 is never a valid UTF-8 lead byte for what follows).
-    return b"\xc0\x11" + filler, "application/octet-stream", "binary"
+    return b"\xc0\x11" + filler, "application/octet-stream", "binary", None
 
 
 def synthesize_responses(
     spark, n_rows: int, seed: int = 42, partitions: int = 8
 ) -> DataFrame:
     """Deterministic web-response table: (resp_id, payload, mime,
-    charset) where mime/charset are the generator's DECLARED ground
-    truth and payload is rendered to match. 18 variants spanning every
-    branch of the sniffer, including the adversarial ones (latin-1
-    body behind an ASCII meta tag, BOM before doctype, magic-free
-    binary)."""
+    charset, text) where mime/charset/text are the generator's
+    DECLARED ground truth and payload is rendered to match (text is
+    the decoded-character content for text variants, NULL for binary
+    ones). 18 variants spanning every branch of the sniffer,
+    including the adversarial ones (latin-1 body behind an ASCII meta
+    tag, BOM before doctype, magic-free binary)."""
     base = spark.range(0, n_rows, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            c_id, c_payload, c_mime, c_charset = [], [], [], []
+            c_id, c_payload, c_mime, c_charset, c_text = [], [], [], [], []
             for i in pdf["id"]:
                 i = int(i)
-                payload, mime, charset = _render(i, seed)
+                payload, mime, charset, text = _render(i, seed)
                 c_id.append(i)
                 c_payload.append(payload)
                 c_mime.append(mime)
                 c_charset.append(charset)
+                c_text.append(text)
             yield pd.DataFrame(
                 {
                     "resp_id": pd.Series(c_id, dtype="int64"),
                     "payload": pd.Series(c_payload, dtype=object),
                     "mime": pd.Series(c_mime, dtype=object),
                     "charset": pd.Series(c_charset, dtype=object),
+                    "text": pd.Series(c_text, dtype=object),
                 }
             )
 
     return base.mapInPandas(
         gen,
-        schema="resp_id long, payload binary, mime string, charset string",
+        schema=(
+            "resp_id long, payload binary, mime string, charset string, "
+            "text string"
+        ),
     )

@@ -132,3 +132,54 @@ def test_sniff_plan_is_pure_jvm(spark):
     )
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_transcode_recovers_declared_text(spark):
+    """Every text variant (utf-8, BOM'd, latin-1, utf-16le/be)
+    transcodes to the declared character content exactly; binary
+    variants give NULL."""
+    from serd_spark.operators.sniff import transcode_text
+
+    df = sniff_responses(synthesize_responses(spark, 180, seed=9))
+    out = df.withColumn(
+        "rec", transcode_text(F.col("payload"), F.col("sniffed_charset"))
+    )
+    assert out.filter(
+        ~F.col("rec").eqNullSafe(F.col("text"))
+    ).count() == 0
+
+
+def test_transcode_is_total_on_garbage(spark):
+    """No ANSI decode error on any adversarial byte string — the
+    fallback branches are byte-total."""
+    from serd_spark.operators.sniff import transcode_text
+
+    rows = [
+        (bytearray(b"\xff\xfe\x00"),),          # odd-length utf-16 BOM
+        (bytearray(b"\xef\xbb\xbf\xc0\x11"),),  # BOM + invalid utf-8
+        (bytearray(b"\xfe\xff"),),              # BOM only
+        (bytearray(b"caf\xe9"),),               # bare latin-1
+        (bytearray(b""),),
+    ]
+    df = spark.createDataFrame(rows, "payload binary")
+    out = sniff_responses(df).withColumn(
+        "rec", transcode_text(F.col("payload"), F.col("sniffed_charset"))
+    )
+    got = [(r.sniffed_charset, r.rec) for r in out.collect()]
+    assert len(got) == 5  # nothing threw
+    # the odd-length utf-16 candidate fell through to the total path
+    assert all(r is not None or c == "binary" for c, r in got)
+
+
+def test_transcode_latin1_preserves_bytes(spark):
+    from serd_spark.operators.sniff import transcode_text
+
+    payload = "café à l'été".encode("iso-8859-1")
+    df = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    out = sniff_responses(df).withColumn(
+        "rec", transcode_text(F.col("payload"), F.col("sniffed_charset"))
+    )
+    r = out.collect()[0]
+    assert r.rec == "café à l'été"
+    # bijection: re-encoding recovers the original bytes exactly
+    assert r.rec.encode("iso-8859-1") == payload
