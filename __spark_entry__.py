@@ -2517,6 +2517,30 @@ def q_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget apportionment (frontier.py::apportion_budget —
+    Hamilton largest-remainder, all-integer, remainder rank via the
+    two-level scan so there is no single-partition global window).
+    Weights = distinct-URL counts per host; total = 997 (prime, so
+    remainders are exercised). The oracle replays the method with a
+    PLAIN global ROW_NUMBER — a structurally different rank
+    formulation that must hand the same hosts their +1."""
+    from serd_spark.operators.frontier import apportion_budget
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta",
+        lambda: _pages(spark, sf_dir).select("url", "html"),
+    )
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    w = (
+        pages.select(host.alias("host"), "url")
+        .groupBy("host")
+        .agg(F.count_distinct("url").alias("w"))
+    )
+    return apportion_budget(w, total=997).orderBy("host")
+
+
 def q_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL filter surface (plans/sparql.py): VALUES inline data
     (map-side IN), numeric comparison (bare-number literal → try_cast
@@ -5263,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier": q_frontier,
         "q_sitemap": q_sitemap,
         "q_feeds": q_feeds,
+        "q_apportion": q_apportion,
         "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
@@ -6633,6 +6658,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(loc), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM fin GROUP BY kind ORDER BY kind
+        """,
+        # Hamilton largest-remainder replayed with a PLAIN global
+        # ROW_NUMBER over (rem DESC, host) — vs the operator's
+        # two-level blocked rank; same +1 recipients required.
+        "q_apportion": f"""
+            WITH w AS (
+              SELECT regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                     CAST(COUNT(DISTINCT url) AS BIGINT) AS w
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+              GROUP BY host
+            ), t AS (
+              SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w
+            ), j AS (
+              SELECT host, w,
+                     (997 * w) // wtot AS base,
+                     (997 * w) % wtot AS rem
+              FROM w CROSS JOIN t
+            ), r AS (
+              SELECT 997 - CAST(SUM(base) AS BIGINT) AS extras FROM j
+            ), ranked AS (
+              SELECT host, w, base,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC)
+                       AS rk
+              FROM j
+            )
+            SELECT host, w,
+                   CAST(base + CASE WHEN rk <= (SELECT extras FROM r)
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                     AS alloc
+            FROM ranked ORDER BY host
         """,
         # Identical XML rebuilt in SQL, re-extracted with the same
         # block/field regexes and entity replace chain (q_sitemap

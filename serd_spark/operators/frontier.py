@@ -167,3 +167,100 @@ def resolve_redirects(
         F.when(ok, F.col("dist")).alias("hops"),
         F.when(ok, F.lit("ok")).otherwise(F.lit("unresolved")).alias("status"),
     )
+
+
+def apportion_budget(
+    weights: DataFrame,
+    total: int,
+    key_col: str = "host",
+    weight_col: str = "w",
+    rank_blocks: int = 4096,
+) -> DataFrame:
+    """Exact integer apportionment of a crawl budget across hosts —
+    Hamilton's largest-remainder method (the apportionment scheme
+    with zero systematic size bias): host i gets
+    ``base_i = (total * w_i) div W`` fetches plus one extra for the
+    ``r = total - Σ base_i`` largest division remainders
+    (ties broken by key ascending). Guarantees Σ alloc == total
+    exactly and every alloc within 1 of the exact proportional share
+    — the property a fetch planner needs so shard budgets sum to the
+    fleet budget with no drift.
+
+    All arithmetic is integer: remainders are compared as
+    ``(total*w) mod W`` values directly, never as floats. The
+    remainder RANK is computed with the two-level scan (packing.py
+    discipline): block by remainder range, count per block, prefix
+    over the tiny block table, row_number only WITHIN a block — no
+    single-partition global window however many hosts there are.
+
+    Rows with non-positive or null weight get alloc 0 (kept in the
+    output — a planner needs the explicit zero). Returns
+    (key_col, weight_col, alloc).
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    pos = weights.select(
+        F.col(key_col).alias("_k"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).withColumn(
+        "_wp",
+        F.when(F.col("_w") > 0, F.col("_w")).otherwise(F.lit(0)),
+    )
+    tot = pos.agg(F.sum("_wp").alias("_wtot"))
+    j = pos.crossJoin(F.broadcast(tot)).select(
+        "_k",
+        "_w",
+        "_wtot",
+        F.when(
+            F.col("_wtot") > 0,
+            F.expr(f"({total} * _wp) div _wtot"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_base"),
+        F.when(
+            F.col("_wtot") > 0,
+            F.expr(f"({total} * _wp) % _wtot"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_rem"),
+    )
+    rdf = j.agg(F.coalesce(F.sum("_base"), F.lit(0)).alias("_sb"))
+    j = (
+        j.crossJoin(F.broadcast(rdf))
+        .withColumn(
+            # W == 0 (no positive weights) must hand out NO extras
+            "_r",
+            F.when(
+                F.col("_wtot") > 0, F.lit(int(total)) - F.col("_sb")
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_blk", F.expr(f"_rem div greatest(1, _wtot div {rank_blocks})")
+        )
+    )
+    blk_counts = j.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bc"))
+    wb = Window.orderBy(F.desc("_blk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blk_off = blk_counts.select(
+        "_blk",
+        F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_boff"),
+    )
+    wd = Window.partitionBy("_blk").orderBy(F.desc("_rem"), F.asc("_k"))
+    out = (
+        j.join(F.broadcast(blk_off), "_blk")
+        .withColumn("_rank", F.col("_boff") + F.row_number().over(wd))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_w").alias(weight_col),
+            (
+                F.col("_base")
+                + F.when(
+                    F.col("_rank") <= F.col("_r"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    return out

@@ -129,3 +129,75 @@ def test_redirect_conflicting_locations_pin(spark):
         for r in resolve_redirects(_redirects(spark, rows)).collect()
     }
     assert got == {"a": ("m", 1)}
+
+
+def test_apportion_exact_sum_and_shares(spark):
+    from serd_spark.operators.frontier import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("d", 0), ("e", None)],
+        "host string, w int",
+    )
+    out = {r.host: r.alloc for r in apportion_budget(df, 100).collect()}
+    # W=10: exact shares 50/30/20, no remainders
+    assert out == {"a": 50, "b": 30, "c": 20, "d": 0, "e": 0}
+
+
+def test_apportion_largest_remainder_and_ties(spark):
+    from serd_spark.operators.frontier import apportion_budget
+
+    # W=7, total=10: base = floor(10w/7), rem = 10w mod 7
+    # a: w=3 -> base 4 rem 2; b: w=2 -> base 2 rem 6; c: w=2 -> 2 rem 6
+    # r = 10-8 = 2 -> both b and c (rem 6) get +1 before a (rem 2)
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 2)], "host string, w int"
+    )
+    out = {r.host: r.alloc for r in apportion_budget(df, 10).collect()}
+    assert out == {"a": 4, "b": 3, "c": 3}
+    assert sum(out.values()) == 10
+
+
+def test_apportion_tie_break_by_key(spark):
+    from serd_spark.operators.frontier import apportion_budget
+
+    # equal weights, total not divisible: extras go to smallest keys
+    df = spark.createDataFrame(
+        [("d", 1), ("b", 1), ("c", 1), ("a", 1)], "host string, w int"
+    )
+    out = {r.host: r.alloc for r in apportion_budget(df, 6).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_apportion_matches_reference_hamilton(spark):
+    from serd_spark.operators.frontier import apportion_budget
+
+    rows = [(f"h{i:02d}", (i * 17) % 23 + 1) for i in range(40)]
+    total = 997
+    df = spark.createDataFrame(rows, "host string, w int")
+    got = {r.host: r.alloc for r in apportion_budget(df, total).collect()}
+    # reference implementation
+    W = sum(w for _, w in rows)
+    base = {h: total * w // W for h, w in rows}
+    rem = {h: (total * w) % W for h, w in rows}
+    r = total - sum(base.values())
+    order = sorted(rows, key=lambda x: (-rem[x[0]], x[0]))
+    want = dict(base)
+    for h, _ in order[:r]:
+        want[h] += 1
+    assert got == want
+    assert sum(got.values()) == total
+
+
+def test_apportion_zero_weights_zero_total(spark):
+    from serd_spark.operators.frontier import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "host string, w int"
+    )
+    assert {
+        r.host: r.alloc for r in apportion_budget(df, 50).collect()
+    } == {"a": 0, "b": 0}
+    df2 = spark.createDataFrame([("a", 4)], "host string, w int")
+    assert {
+        r.host: r.alloc for r in apportion_budget(df2, 0).collect()
+    } == {"a": 0}
