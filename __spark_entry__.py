@@ -2517,6 +2517,48 @@ def q_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-template mining (corpus.py::url_template_stats —
+    segment-level {n}/{uuid}/{hex} classification + sorted query
+    parameter names, all Java∩RE2 full-segment regexes in a JVM
+    transform). Input: the page URLs plus md5-derived hex / uuid /
+    query variants so every rule fires. The oracle regenerates the
+    variants and replays the classifier with DuckDB's own
+    list_transform + regexp_matches."""
+    from serd_spark.operators.corpus import url_template_stats
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta",
+        lambda: _pages(spark, sf_dir).select("url", "html"),
+    )
+    u = pages.select("url").distinct()
+    h = F.md5("url")
+    hexv = u.select(
+        F.concat("url", F.lit("/blob/"), F.substring(h, 1, 12)).alias(
+            "url"
+        )
+    )
+    uuidv = u.select(
+        F.concat(
+            "url", F.lit("/u/"),
+            F.substring(h, 1, 8), F.lit("-"),
+            F.substring(h, 9, 4), F.lit("-"),
+            F.substring(h, 13, 4), F.lit("-"),
+            F.substring(h, 17, 4), F.lit("-"),
+            F.substring(h, 21, 12),
+        ).alias("url")
+    )
+    qv = u.select(
+        F.concat(
+            "url", F.lit("?session="), F.substring(h, 1, 6),
+            F.lit("&ref=x"),
+        ).alias("url")
+    )
+    allu = u.unionAll(hexv).unionAll(uuidv).unionAll(qv)
+    return url_template_stats(allu).orderBy("template")
+
+
 def q_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-budget apportionment (frontier.py::apportion_budget —
     Hamilton largest-remainder, all-integer, remainder rank via the
@@ -5288,6 +5330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap": q_sitemap,
         "q_feeds": q_feeds,
         "q_apportion": q_apportion,
+        "q_url_templates": q_url_templates,
         "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
@@ -6658,6 +6701,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(loc), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM fin GROUP BY kind ORDER BY kind
+        """,
+        # Variants regenerated and the segment classifier replayed
+        # with DuckDB's own list_transform + regexp_matches — same
+        # anchored Java∩RE2 patterns, same sorted query names.
+        "q_url_templates": f"""
+            WITH u AS (
+              SELECT DISTINCT url FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ), allu AS (
+              SELECT url FROM u
+              UNION ALL
+              SELECT url || '/blob/' || substr(md5(url), 1, 12) FROM u
+              UNION ALL
+              SELECT url || '/u/' || substr(md5(url), 1, 8) || '-'
+                     || substr(md5(url), 9, 4) || '-'
+                     || substr(md5(url), 13, 4) || '-'
+                     || substr(md5(url), 17, 4) || '-'
+                     || substr(md5(url), 21, 12) FROM u
+              UNION ALL
+              SELECT url || '?session=' || substr(md5(url), 1, 6)
+                     || '&ref=x' FROM u
+            ), parts AS (
+              SELECT url,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                  AS path,
+                regexp_extract(url, '\\?([^#]*)', 1) AS q
+              FROM allu
+            ), tpl AS (
+              SELECT url, host,
+                array_to_string(list_transform(
+                  string_split(path, '/'),
+                  s -> CASE
+                    WHEN regexp_matches(s,
+                      '(?i)^[0-9a-f]{{8}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{4}}-[0-9a-f]{{12}}$')
+                      THEN '{{uuid}}'
+                    WHEN regexp_matches(s, '^[0-9]+$') THEN '{{n}}'
+                    WHEN regexp_matches(s, '(?i)^[0-9a-f]{{8,}}$')
+                         AND regexp_matches(s, '(?i)[a-f]')
+                         AND regexp_matches(s, '[0-9]')
+                      THEN '{{hex}}'
+                    ELSE s END), '/') AS tpath,
+                array_to_string(list_sort(regexp_extract_all(
+                  q, '(?:^|&)([^&=]+)=', 1)), '&') AS qnames
+              FROM parts
+            ), named AS (
+              SELECT host || tpath ||
+                     CASE WHEN qnames <> '' THEN '?' || qnames
+                          ELSE '' END AS template,
+                     url
+              FROM tpl WHERE host <> ''
+            )
+            SELECT template,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct,
+                   MIN(url) AS example
+            FROM named GROUP BY template ORDER BY template
         """,
         # Hamilton largest-remainder replayed with a PLAIN global
         # ROW_NUMBER over (rem DESC, host) — vs the operator's

@@ -616,6 +616,88 @@ def phrase_search(
     )
 
 
+def url_template(col: Column) -> Column:
+    """Collapse a URL to its path TEMPLATE — the pattern crawl
+    systems mine to spot parameterized duplicate spaces (pagination,
+    session ids, content hashes) before fetching them: segment-level
+    classification, so `/user/1234/post/deadbeef01` →
+    `/user/{n}/post/{hex}`.
+
+    Per path segment (split on '/'): all-digits → ``{n}``; UUID shape
+    → ``{uuid}``; hex run ≥ 8 chars containing both a letter and a
+    digit → ``{hex}``; else kept verbatim. The query string keeps
+    only its sorted parameter NAMES (values are the variability being
+    mined). All rules are anchored full-segment regexes in the
+    Java∩RE2 subset — no lookaround, so the same patterns run in the
+    DuckDB mirror — evaluated by a JVM higher-order transform over
+    the split array (no Python, no shuffle). Non-absolute URLs
+    yield NULL.
+
+    Returns ``host/templated-path[?name&name…]`` as one string.
+    """
+    host = F.regexp_extract(col, _HOST_RE, 1)
+    path = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    segs = F.split(path, "/")
+
+    def classify(s: Column) -> Column:
+        is_uuid = s.rlike(
+            r"(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-"
+            r"[0-9a-f]{4}-[0-9a-f]{12}$"
+        )
+        is_num = s.rlike(r"^[0-9]+$")
+        is_hex = (
+            s.rlike(r"(?i)^[0-9a-f]{8,}$")
+            & s.rlike(r"(?i)[a-f]")
+            & s.rlike(r"[0-9]")
+        )
+        return (
+            F.when(is_uuid, F.lit("{uuid}"))
+            .when(is_num, F.lit("{n}"))
+            .when(is_hex, F.lit("{hex}"))
+            .otherwise(s)
+        )
+
+    tpath = F.array_join(F.transform(segs, classify), "/")
+    qnames = F.array_join(
+        F.array_sort(
+            F.regexp_extract_all(
+                F.regexp_extract(col, r"\?([^#]*)", 1),
+                F.lit(r"(?:^|&)([^&=]+)="),
+                F.lit(1),
+            )
+        ),
+        "&",
+    )
+    tpl = F.concat(
+        host,
+        tpath,
+        F.when(qnames != "", F.concat(F.lit("?"), qnames)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(host != "", tpl).otherwise(F.lit(None).cast("string"))
+
+
+def url_template_stats(
+    urls: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-template roll-up: (template, n_urls, n_distinct, example)
+    — example pinned to the MIN url for determinism. One map-only
+    template projection + one hash aggregate (map-side combined);
+    bounded output (templates, not URLs) like domain_stats."""
+    t = urls.select(
+        url_template(F.col(url_col)).alias("template"),
+        F.col(url_col).alias("_u"),
+    ).filter(F.col("template").isNotNull())
+    return t.groupBy("template").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("_u").alias("n_distinct"),
+        F.min("_u").alias("example"),
+    )
+
+
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 
 

@@ -1177,3 +1177,47 @@ def test_phrase_search_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_url_template_segment_rules(spark):
+    from serd_spark.operators.corpus import url_template
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("https://a.ex/page/1234",),
+        ("https://a.ex/u/00000000-1111-2222-3333-444444444444/x",),
+        ("https://a.ex/blob/deadbeef01cafe",),
+        ("https://a.ex/word/deadbeef",),       # no digit -> verbatim
+        ("https://a.ex/p?b=2&a=1&b=3",),       # sorted names, dup kept
+        ("https://a.ex/",),
+        ("not a url",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [
+        r.t for r in df.select(
+            url_template(F.col("url")).alias("t")
+        ).collect()
+    ]
+    assert got == [
+        "a.ex/page/{n}",
+        "a.ex/u/{uuid}/x",
+        "a.ex/blob/{hex}",
+        "a.ex/word/deadbeef",
+        "a.ex/p?a&b&b",
+        "a.ex/",
+        None,
+    ]
+
+
+def test_url_template_stats_rollup(spark):
+    from serd_spark.operators.corpus import url_template_stats
+
+    rows = [(f"https://a.ex/page/{i}",) for i in (1, 2, 3)]
+    rows += [("https://a.ex/page/2",), ("https://a.ex/about",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        r.template: (r.n_urls, r.n_distinct, r.example)
+        for r in url_template_stats(df).collect()
+    }
+    assert got["a.ex/page/{n}"] == (4, 3, "https://a.ex/page/1")
+    assert got["a.ex/about"] == (1, 1, "https://a.ex/about")
