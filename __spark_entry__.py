@@ -2517,6 +2517,24 @@ def q_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased deterministic top-k sampling per language
+    (corpus.py::priority_sample — integer md5-priority div weight,
+    the quality-aware sibling of q_stratified_sample). Weight =
+    character length + 1. The oracle replays the priority arithmetic
+    and the per-stratum rank with its own window."""
+    from serd_spark.operators.corpus import priority_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.length("text") + 1).cast("long").alias("w")
+    )
+    return (
+        priority_sample(d, 5, "w", stratum_col="lang")
+        .select("lang", "doc_id", "w")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL path-template mining (corpus.py::url_template_stats —
     segment-level {n}/{uuid}/{hex} classification + sorted query
@@ -5331,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feeds": q_feeds,
         "q_apportion": q_apportion,
         "q_url_templates": q_url_templates,
+        "q_priority_sample": q_priority_sample,
         "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
@@ -6701,6 +6720,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(loc), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM fin GROUP BY kind ORDER BY kind
+        """,
+        # Priority arithmetic + per-stratum rank replayed with
+        # DuckDB's own window.
+        "q_priority_sample": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(length(text) + 1 AS BIGINT) AS w
+              FROM documents
+            ), p AS (
+              SELECT doc_id, lang, w,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 15) AS BIGINT) // w AS prio
+              FROM d WHERE w > 0
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY prio, doc_id) AS rn
+              FROM p
+            )
+            SELECT lang, doc_id, w FROM r WHERE rn <= 5
+            ORDER BY lang, doc_id
         """,
         # Variants regenerated and the segment classifier replayed
         # with DuckDB's own list_transform + regexp_matches — same

@@ -34,7 +34,7 @@ oracles in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -456,6 +456,61 @@ def stratified_sample(
     for s, t in sorted(thresholds.items()):
         thr = F.when(F.col(stratum_col) == s, F.lit(t)).otherwise(thr)
     return docs.filter(bucket < thr)
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic WEIGHT-BIASED top-k sample — the quality-aware
+    sibling of ``stratified_sample`` (which is rate-based and
+    weight-blind): keep the k rows per stratum (or globally) with the
+    smallest priority ``p = H(id) div w``, where H is a 60-bit
+    md5-derived integer. A row with twice the weight halves its
+    priority, so selection probability rises with weight, yet
+    membership stays a pure function of the row: retry-invariant,
+    layout-invariant, engine-reproducible, and STABLE under corpus
+    growth (adding rows can only displace, never reshuffle, the
+    chosen set — the property hash-priority sampling is used for in
+    bottom-k sketches).
+
+    This is deliberately integer priority-order sampling, not an
+    exact Efraimidis–Spirakis draw: E-S needs u^(1/w) floats whose
+    cross-engine determinism this repo's discipline forbids; the
+    div-by-weight rank preserves the monotone weight bias with
+    arithmetic both engines replay bit-for-bit (documented
+    approximation).
+
+    Plan shape: global mode compiles to TakeOrderedAndProject
+    (distributed top-k, no global sort); per-stratum mode is one
+    window shuffle keyed by stratum. Rows with null/non-positive
+    weight are excluded. Ties broken by id.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = (
+        docs.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("_ph", h)
+        .withColumn(
+            "_prio", F.expr(f"_ph div CAST({weight_col} AS BIGINT)")
+        )
+    )
+    if stratum_col is None:
+        return base.orderBy("_prio", id_col).limit(k).drop("_ph", "_prio")
+    w = Window.partitionBy(stratum_col).orderBy("_prio", id_col)
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_ph", "_prio", "_rn")
+    )
 
 
 def _rate_hex(rate: float) -> str:

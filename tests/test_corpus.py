@@ -1221,3 +1221,60 @@ def test_url_template_stats_rollup(spark):
     }
     assert got["a.ex/page/{n}"] == (4, 3, "https://a.ex/page/1")
     assert got["a.ex/about"] == (1, 1, "https://a.ex/about")
+
+
+def test_priority_sample_weight_bias_and_determinism(spark):
+    from serd_spark.operators.corpus import priority_sample
+    import hashlib
+
+    rows = [(i, "en" if i % 2 == 0 else "de", (i % 7) + 1)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got = sorted(
+        r.doc_id for r in priority_sample(df, 10, "w").collect()
+    )
+    # reference: p = int(md5(str(id))[:15], 16) // w, k smallest
+    ref = sorted(
+        rows,
+        key=lambda x: (
+            int(hashlib.md5(str(x[0]).encode()).hexdigest()[:15], 16)
+            // x[2],
+            x[0],
+        ),
+    )[:10]
+    assert got == sorted(i for i, _, _ in ref)
+    # deterministic across runs
+    again = sorted(
+        r.doc_id for r in priority_sample(df, 10, "w").collect()
+    )
+    assert got == again
+
+
+def test_priority_sample_per_stratum_and_guards(spark):
+    from serd_spark.operators.corpus import priority_sample
+    import pytest as _pytest
+
+    rows = [(1, "en", 5), (2, "en", 5), (3, "en", 5),
+            (4, "de", 5), (5, "de", 0), (6, "de", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = priority_sample(df, 2, "w", stratum_col="lang")
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 2
+    assert by_lang["de"] == [4]  # zero/null weights excluded
+    with _pytest.raises(ValueError):
+        priority_sample(df, 0, "w")
+
+
+def test_priority_sample_growth_stability(spark):
+    from serd_spark.operators.corpus import priority_sample
+
+    rows = [(i, (i % 5) + 1) for i in range(40)]
+    small = spark.createDataFrame(rows[:30], "doc_id long, w long")
+    big = spark.createDataFrame(rows, "doc_id long, w long")
+    s = set(r.doc_id for r in priority_sample(small, 8, "w").collect())
+    b = set(r.doc_id for r in priority_sample(big, 8, "w").collect())
+    # growing the corpus can displace members but never admit a row
+    # the smaller corpus rejected at the same priority rank
+    assert b & set(range(30)) <= s
