@@ -2517,6 +2517,23 @@ def q_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (stats.py::rollup_cascade):
+    hourly from raw events (the only full scan), daily from hourly,
+    weekly from daily — decomposable count/integer-cents measures, so
+    the cascade is exactly the direct aggregate at every grain. The
+    oracle derives each grain from the PREVIOUS one with chained
+    CTEs, replaying the cascade itself."""
+    from serd_spark.operators.stats import rollup_cascade
+
+    e = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", _cents(F.col("value")).alias("value_cents")
+    )
+    return rollup_cascade(e).orderBy(
+        "grain", "bucket_start", "event_type"
+    )
+
+
 def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-biased deterministic top-k sampling per language
     (corpus.py::priority_sample — integer md5-priority div weight,
@@ -5350,6 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_apportion": q_apportion,
         "q_url_templates": q_url_templates,
         "q_priority_sample": q_priority_sample,
+        "q_rollup_cascade": q_rollup_cascade,
         "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
@@ -6720,6 +6738,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST('0x' || substr(md5(loc), 1, 10)
                                  AS BIGINT)) AS BIGINT) AS pin
             FROM fin GROUP BY kind ORDER BY kind
+        """,
+        # The cascade replayed as chained CTEs: daily FROM hourly,
+        # weekly FROM daily — never from raw twice.
+        "q_rollup_cascade": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS b, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ), d AS (
+              SELECT date_trunc('day', b) AS b, event_type,
+                     CAST(SUM(n) AS BIGINT) AS n,
+                     CAST(SUM(v) AS BIGINT) AS v
+              FROM h GROUP BY 1, 2
+            ), wk AS (
+              SELECT date_trunc('week', b) AS b, event_type,
+                     CAST(SUM(n) AS BIGINT) AS n,
+                     CAST(SUM(v) AS BIGINT) AS v
+              FROM d GROUP BY 1, 2
+            ), unioned AS (
+              SELECT 'hour' AS grain, b, event_type, n, v FROM h
+              UNION ALL
+              SELECT 'day', b, event_type, n, v FROM d
+              UNION ALL
+              SELECT 'week', b, event_type, n, v FROM wk
+            )
+            SELECT grain,
+                   strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   event_type,
+                   n AS n_events,
+                   v AS value
+            FROM unioned ORDER BY grain, bucket_start, event_type
         """,
         # Priority arithmetic + per-stratum rank replayed with
         # DuckDB's own window.

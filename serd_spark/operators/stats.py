@@ -642,3 +642,75 @@ def profile_table(
         "min_norm",
         "max_norm",
     )
+
+
+def rollup_cascade(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value_cents",
+) -> DataFrame:
+    """Multi-resolution time rollup as a CASCADE of continuous
+    aggregates — the hypertable pattern: hourly buckets aggregate the
+    RAW events (the only corpus-sized pass), daily buckets aggregate
+    the hourly rows (24× smaller), weekly buckets aggregate the daily
+    rows. Correct because count and integer sum are decomposable
+    (the same partial-merge law Spark's own map-side combine uses);
+    the win at 100 TB is that coarser grains never re-scan raw data —
+    re-deriving weekly straight from events would cost three full
+    scans instead of one.
+
+    The hourly level is localCheckpointed: all three grains hang off
+    it, and without the cut Spark would recompute the raw aggregate
+    once per branch of the output union.
+
+    ``value_col`` must already be an integer measure (cents/micros
+    discipline — float sums are not associativity-stable across
+    partitionings). Returns
+    (grain 'hour'|'day'|'week', bucket_start, key, n_events, value)
+    with bucket_start formatted 'yyyy-MM-dd HH:mm:ss'.
+    """
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def lvl(df, trunc_to, src_ts):
+        return df.groupBy(
+            F.date_trunc(trunc_to, F.col(src_ts)).alias("_b"),
+            F.col(key_col),
+        ).agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("_v").cast("long").alias("_v"),
+        )
+
+    base = events.select(
+        F.col(ts_col).alias("_ts"),
+        F.col(key_col),
+        F.lit(1).cast("long").alias("n_events"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    hourly = (
+        base.groupBy(
+            F.date_trunc("hour", "_ts").alias("_b"), F.col(key_col)
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("_v").cast("long").alias("_v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    daily = lvl(hourly, "day", "_b").localCheckpoint(eager=False)
+    weekly = lvl(daily, "week", "_b")
+
+    def out(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("_b", fmt).alias("bucket_start"),
+            F.col(key_col),
+            "n_events",
+            F.col("_v").alias("value"),
+        )
+
+    return (
+        out(hourly, "hour")
+        .unionByName(out(daily, "day"))
+        .unionByName(out(weekly, "week"))
+    )

@@ -517,3 +517,55 @@ def test_profile_table_normalization_and_nulls(spark):
     assert got["ts"].min_norm == "2024-03-01 09:00:00"
     assert got["ts"].max_norm == "2024-03-02 11:30:00"
     assert got["ts"].n_nonnull == 3
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """Cascade (day from hour, week from day) must equal aggregating
+    raw events directly at every grain — the partial-merge law."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from serd_spark.operators.stats import rollup_cascade
+
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                datetime(2026, 1, 1 + i % 20, i % 24, (i * 7) % 60),
+                "a" if i % 3 else "b",
+                (i * 13) % 1000,
+            )
+        )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value_cents long")
+    out = rollup_cascade(df)
+    got = {
+        (r.grain, r.bucket_start, r.event_type): (r.n_events, r.value)
+        for r in out.collect()
+    }
+    for grain in ("hour", "day", "week"):
+        direct = (
+            df.groupBy(
+                F.date_format(
+                    F.date_trunc(grain, "ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("b"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value_cents").alias("v"),
+            )
+            .collect()
+        )
+        for r in direct:
+            assert got[(grain, r.b, r.event_type)] == (r.n, r.v), (
+                grain, r.b, r.event_type
+            )
+    # row counts match too (no phantom buckets)
+    n_direct = sum(
+        df.select(
+            F.date_trunc(g, "ts").alias("b"), "event_type"
+        ).distinct().count()
+        for g in ("hour", "day", "week")
+    )
+    assert out.count() == n_direct
