@@ -167,6 +167,18 @@ def main() -> None:
         "stream_hll": entrymod.stream_hll,
         "q_sparql_star": entrymod.q_sparql_star,
         "q_span_strip": entrymod.q_span_strip,
+        # round-4 session-13 additions
+        "q_sniff": entrymod.q_sniff,
+        "q_transcode": entrymod.q_transcode,
+        "q_fuzzy_join": entrymod.q_fuzzy_join,
+        "q_setsim": entrymod.q_setsim,
+        "q_phrase": entrymod.q_phrase,
+        "q_sssp": entrymod.q_sssp,
+        "q_feeds": entrymod.q_feeds,
+        "q_apportion": entrymod.q_apportion,
+        "q_url_templates": entrymod.q_url_templates,
+        "q_priority_sample": entrymod.q_priority_sample,
+        "q_rollup_cascade": entrymod.q_rollup_cascade,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
