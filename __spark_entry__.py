@@ -996,6 +996,17 @@ def q_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC snippets for the phrase "table hash", 3 context tokens
+    each side (corpus.py::phrase_snippets — row-local, bounded
+    output). The oracle rebuilds each snippet with list_slice over
+    the same token arrays."""
+    from serd_spark.operators.corpus import phrase_snippets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_snippets(d, "table hash", window=3).orderBy("doc_id")
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 similarity join WITHOUT a cartesian product:
     SymSpell deletion-neighborhood blocking (exact recall at k=1 by
@@ -5368,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_templates": q_url_templates,
         "q_priority_sample": q_priority_sample,
         "q_rollup_cascade": q_rollup_cascade,
+        "q_snippets": q_snippets,
         "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
@@ -7875,6 +7887,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ver
             WHERE 1000 * inter >= 800 * (na + nb - inter)
             ORDER BY id_a, id_b
+        """,
+        # Snippet slices rebuilt with list_slice over the same token
+        # arrays (inclusive-end vs Spark's start+length — same span).
+        "q_snippets": """
+            WITH tok AS (
+              SELECT doc_id, list_filter(string_split(
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                       ' '), x -> x <> '') AS arr
+              FROM documents
+            ), m AS (
+              SELECT doc_id, arr,
+                     list_filter(range(1, len(arr)),
+                       i -> arr[i] = 'table' AND arr[i+1] = 'hash')
+                       AS hits
+              FROM tok WHERE len(arr) >= 2
+            )
+            SELECT doc_id,
+                   CAST(hits[1] AS BIGINT) AS first_pos,
+                   array_to_string(list_slice(arr,
+                     GREATEST(hits[1] - 3, 1), hits[1] + 4), ' ')
+                     AS snippet
+            FROM m WHERE len(hits) > 0
+            ORDER BY doc_id
         """,
         # Token array + start-offset filter replayed with list ops —
         # same 1-based positions, same overlapping-match semantics.

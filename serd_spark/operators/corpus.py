@@ -637,12 +637,32 @@ def phrase_search(
     Returns (id_col, n_matches, first_pos) for matching documents,
     positions 1-based over the whitespace-normalized token sequence.
     """
+    terms = _phrase_terms(phrase)
+    arr = F.split(_norm(F.col(text_col)), " ")
+    positions = _phrase_positions(arr, terms)
+    return (
+        docs.select(F.col(id_col), positions.alias("_pos"))
+        .filter(F.size("_pos") > 0)
+        .select(
+            id_col,
+            F.size("_pos").cast("long").alias("n_matches"),
+            F.element_at("_pos", 1).cast("long").alias("first_pos"),
+        )
+    )
+
+
+def _phrase_terms(phrase: list[str] | str) -> list[str]:
     terms = phrase.split() if isinstance(phrase, str) else list(phrase)
     terms = [t.lower() for t in terms if t]
     if not terms:
         raise ValueError("empty phrase")
+    return terms
+
+
+def _phrase_positions(arr: Column, terms: list[str]) -> Column:
+    """1-based start offsets where ``terms`` occur consecutively in
+    the token array — shared by phrase_search and phrase_snippets."""
     k = len(terms)
-    arr = F.split(_norm(F.col(text_col)), " ")
 
     def _hit(i):
         cond = None
@@ -651,7 +671,7 @@ def phrase_search(
             cond = c if cond is None else cond & c
         return cond
 
-    positions = F.when(
+    return F.when(
         F.size(arr) >= k,
         F.filter(
             # sequence() DESCENDS when start > stop — the size guard
@@ -660,13 +680,41 @@ def phrase_search(
             _hit,
         ),
     ).otherwise(F.array().cast("array<int>"))
+
+
+def phrase_snippets(
+    docs: DataFrame,
+    phrase: list[str] | str,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KWIC (keyword-in-context) snippets: for each matching document
+    the ``window`` tokens either side of the FIRST phrase occurrence,
+    joined with single spaces — what a search result page shows.
+    Same row-local shape as phrase_search (no corpus-side shuffle);
+    the snippet is a bounded slice, so output rows stay tiny however
+    large the documents are. Returns (id_col, first_pos, snippet)."""
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    terms = _phrase_terms(phrase)
+    k = len(terms)
+    arr = F.split(_norm(F.col(text_col)), " ")
+    positions = _phrase_positions(arr, terms)
+    first = F.element_at("_pos", 1)
+    start = F.greatest(first - window, F.lit(1))
+    # slice length runs from the clamped start through match end +
+    # window, clamped to the array end by slice() itself
+    length = (first + F.lit(k - 1 + window)) - start + 1
     return (
-        docs.select(F.col(id_col), positions.alias("_pos"))
+        docs.select(F.col(id_col), arr.alias("_arr"), positions.alias("_pos"))
         .filter(F.size("_pos") > 0)
         .select(
             id_col,
-            F.size("_pos").cast("long").alias("n_matches"),
-            F.element_at("_pos", 1).cast("long").alias("first_pos"),
+            first.cast("long").alias("first_pos"),
+            F.array_join(
+                F.slice("_arr", start, length), " "
+            ).alias("snippet"),
         )
     )
 

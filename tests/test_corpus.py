@@ -1278,3 +1278,31 @@ def test_priority_sample_growth_stability(spark):
     # growing the corpus can displace members but never admit a row
     # the smaller corpus rejected at the same priority rank
     assert b & set(range(30)) <= s
+
+
+def test_phrase_snippets_window(spark):
+    from serd_spark.operators.corpus import phrase_snippets
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c QUICK brown d e f"),
+            (2, "quick brown tail"),          # match at the start
+            (3, "x y z quick brown"),         # match at the end
+            (4, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.first_pos, r.snippet)
+        for r in phrase_snippets(df, "quick brown", window=2).collect()
+    }
+    assert got == {
+        1: (4, "b c quick brown d e"),
+        2: (1, "quick brown tail"),
+        3: (4, "y z quick brown"),
+    }
+    zero = {
+        r.doc_id: r.snippet
+        for r in phrase_snippets(df, "quick brown", window=0).collect()
+    }
+    assert zero[1] == "quick brown"
