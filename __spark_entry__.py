@@ -2605,6 +2605,55 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_template_stats(allu).orderBy("template")
 
 
+def q_page_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-page robots directives (robots.py::page_directives): HTML
+    synthesized in-plan from the page URLs — meta robots class and
+    nofollow-anchor count both md5-derived — then parsed back by the
+    operator's regexes. The oracle never parses HTML: it recomputes
+    the expected flags and counts from the md5 FORMULAS alone, so a
+    hash match certifies the extractor against declared ground
+    truth."""
+    from serd_spark.operators.robots import page_directives
+
+    pages = _pages(spark, sf_dir)
+    _materialize(
+        sf_dir, "pages_meta",
+        lambda: _pages(spark, sf_dir).select("url", "html"),
+    )
+    u = pages.select("url").distinct()
+    d2 = F.conv(F.substring(F.md5("url"), 3, 2), 16, 10).cast("long") % 4
+    nlinks = (
+        F.conv(F.substring(F.md5("url"), 7, 2), 16, 10).cast("long") % 3
+    )
+    meta = (
+        F.when(d2 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(
+            d2 == 1,
+            F.lit('<meta name="robots" content="nofollow, noarchive">'),
+        )
+        .when(d2 == 2, F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit('<meta name="viewport" content="x">'))
+    )
+    anchors = F.concat(
+        F.repeat(F.lit('<a href="/l" rel="nofollow">x</a>'), nlinks.cast("int")),
+        F.lit('<a href="/plain">y</a>'),
+    )
+    html = F.concat(F.lit("<html>"), meta, anchors, F.lit("</html>"))
+    out = page_directives(
+        u.select("url", html.alias("html")), html_col="html"
+    )
+    return (
+        out.groupBy("noindex", "nofollow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_nofollow_links").cast("long")).alias(
+                "n_links"
+            ),
+        )
+        .orderBy("noindex", "nofollow")
+    )
+
+
 def q_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-budget apportionment (frontier.py::apportion_budget —
     Hamilton largest-remainder, all-integer, remainder rank via the
@@ -5380,6 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_priority_sample": q_priority_sample,
         "q_rollup_cascade": q_rollup_cascade,
         "q_snippets": q_snippets,
+        "q_page_directives": q_page_directives,
         "q_graphs": q_graphs,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_json_props": q_json_props,
@@ -6862,6 +6912,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct,
                    MIN(url) AS example
             FROM named GROUP BY template ORDER BY template
+        """,
+        # Declared-formula ground truth: flags and counts recomputed
+        # from the md5 classes without parsing a byte of HTML.
+        "q_page_directives": f"""
+            WITH u AS (
+              SELECT DISTINCT url FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/pages_meta/*.parquet')
+            ), c AS (
+              SELECT CAST('0x' || substr(md5(url), 3, 2) AS BIGINT) % 4
+                       AS d2,
+                     CAST('0x' || substr(md5(url), 7, 2) AS BIGINT) % 3
+                       AS nlinks
+              FROM u
+            ), f AS (
+              SELECT d2 IN (0, 2) AS noindex,
+                     d2 IN (1, 2) AS nofollow,
+                     nlinks
+              FROM c
+            )
+            SELECT noindex, nofollow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(nlinks) AS BIGINT) AS n_links
+            FROM f GROUP BY noindex, nofollow
+            ORDER BY noindex, nofollow
         """,
         # Hamilton largest-remainder replayed with a PLAIN global
         # ROW_NUMBER over (rem DESC, host) — vs the operator's

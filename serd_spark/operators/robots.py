@@ -214,3 +214,51 @@ def robots_filter(
         .drop("_rules", "_best")
     )
     return annotated
+
+
+def page_directives(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """In-PAGE robots directives — the compliance signals robots.txt
+    cannot carry: ``<meta name="robots" content="noindex, nofollow">``
+    and per-anchor ``rel="nofollow"``. An indexing pipeline filters on
+    ``noindex`` before materialization and a link-graph builder drops
+    nofollow edges before PageRank (Google's original nofollow
+    semantics), so both signals belong at ingest, next to the
+    robots.txt gate (robots_filter) rather than after extraction.
+
+    Pure JVM over the lossy binary→string cast (the tags are ASCII —
+    the sniff.py argument): one regexp_extract for the robots meta
+    block, one for its content attribute, one regexp_extract_all for
+    nofollow anchors. Directive tokens are matched word-bounded and
+    case-insensitively; ``none`` implies both noindex and nofollow
+    (the documented Google/Bing equivalence).
+
+    Returns (url_col, noindex boolean, nofollow boolean,
+    n_nofollow_links int).
+    """
+    s = F.col(html_col).cast("string")
+    block = F.regexp_extract(
+        s, r"(?i)<meta\b[^>]*name\s*=\s*[\"']?robots\b[^>]*>", 0
+    )
+    content = F.regexp_extract(
+        block, r"(?i)content\s*=\s*[\"']([^\"']*)", 1
+    )
+    none_tok = content.rlike(r"(?i)(^|[\s,])none([\s,]|$)")
+    noindex = content.rlike(r"(?i)(^|[\s,])noindex([\s,]|$)") | none_tok
+    nofollow = (
+        content.rlike(r"(?i)(^|[\s,])nofollow([\s,]|$)") | none_tok
+    )
+    n_nofollow = F.size(
+        F.regexp_extract_all(
+            s,
+            F.lit(r"(?i)<a\b[^>]*rel\s*=\s*[\"'][^\"']*nofollow"),
+            F.lit(0),
+        )
+    )
+    return pages.select(
+        F.col(url_col),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        n_nofollow.cast("int").alias("n_nofollow_links"),
+    )

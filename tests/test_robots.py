@@ -164,3 +164,33 @@ def test_sitemap_directive_discovery(spark):
         ("h.example", 0, "https://h.example/a.xml"),
         ("h.example", 1, "https://h.example/b.xml"),
     ]
+
+
+def test_page_directives(spark):
+    import pyspark.sql.functions as F
+
+    from serd_spark.operators.robots import page_directives
+
+    rows = [
+        ("u1", b'<html><meta name="robots" content="noindex, nofollow">'),
+        ("u2", b"<html><META NAME='robots' CONTENT='NOINDEX'>x"),
+        ("u3", b'<html><meta name="robots" content="none">'),
+        ("u4", b'<html><meta name="robots" content="noindexing">'),
+        ("u5", b'<html><meta name="description" content="noindex">'),
+        ("u6", b'<a href="/x" rel="nofollow">x</a><a rel="me nofollow" href="/y">y</a><a href="/z">z</a>'),
+        ("u7", b"plain \xff bytes no tags"),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in rows], "url string, html binary"
+    )
+    got = {
+        r.url: (r.noindex, r.nofollow, r.n_nofollow_links)
+        for r in page_directives(df).collect()
+    }
+    assert got["u1"] == (True, True, 0)
+    assert got["u2"] == (True, False, 0)
+    assert got["u3"] == (True, True, 0)     # none implies both
+    assert got["u4"] == (False, False, 0)   # word-bounded: no prefix hit
+    assert got["u5"] == (False, False, 0)   # wrong meta name
+    assert got["u6"] == (False, False, 2)
+    assert got["u7"] == (False, False, 0)   # invalid bytes are safe
