@@ -4475,6 +4475,52 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel view → click → purchase per user
+    (funnel.py::funnel): chained-earliest semantics (each step's
+    timestamp is the earliest occurrence STRICTLY after the previous
+    step), computed with ONE shuffle — filter to the funnel types,
+    group by user, row-local array scan. The oracle replays the
+    chain as three chained min-aggregate CTEs with the identical
+    strict-> tie rule; timestamps emitted as formatted strings with
+    the null chain tail pinned to '' (driver NULL sort rule)."""
+    from serd_spark.operators.funnel import funnel
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    out = funnel(e, ["view", "click", "purchase"])
+    fmt = lambda c, a: F.coalesce(  # noqa: E731
+        F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("")
+    ).alias(a)
+    return out.select(
+        "user_id",
+        "steps_completed",
+        fmt("t_1", "t1"),
+        fmt("t_2", "t2"),
+        fmt("t_3", "t3"),
+    ).orderBy("user_id")
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of parts — Pareto frontier for (minimize price,
+    maximize size), i.e. "no other part is at least as big for less"
+    (skyline.py::skyline2d). Two-level plan: fixed-width price
+    buckets, per-bucket local skyline via one RANGE-framed window,
+    then a prefix-max over the tiny bucket table broadcast back — no
+    global-order window anywhere. Money as integer cents per row.
+    The oracle is the dominance definition itself: NOT EXISTS a
+    strictly-better row — a fully independent formulation."""
+    from serd_spark.operators.skyline import skyline2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        _cents(F.col("p_retailprice")).alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return skyline2d(p, "price_c", "size", bucket_width=5000).orderBy(
+        "p_partkey"
+    )
+
+
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform random walks (graph.py::random_walks,
     the DeepWalk/node2vec corpus generator) over the hash-folded
@@ -5290,6 +5336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setsim": q_setsim,
         "q_sssp": q_sssp,
         "q_transcode": q_transcode,
+        "q_funnel": q_funnel,
+        "q_skyline": q_skyline,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -9794,6 +9842,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(epoch(cts)) - FLOOR(epoch(vts)) AS BIGINT)
                      AS gap_s
             FROM pairs WHERE rn = 1
+        """,
+        "q_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ), s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            ), u AS (SELECT DISTINCT user_id FROM e)
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS INT) AS steps_completed,
+                   COALESCE(strftime(t1, '%Y-%m-%d %H:%M:%S.%f'), '')
+                     AS t1,
+                   COALESCE(strftime(t2, '%Y-%m-%d %H:%M:%S.%f'), '')
+                     AS t2,
+                   COALESCE(strftime(t3, '%Y-%m-%d %H:%M:%S.%f'), '')
+                     AS t3
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY user_id
+        """,
+        "q_skyline": """
+            WITH p AS (
+              SELECT p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT)
+                       AS price_c,
+                     CAST(p_size AS BIGINT) AS size
+              FROM part
+            )
+            SELECT p_partkey, price_c, size FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.price_c <= a.price_c AND b.size >= a.size
+                AND (b.price_c < a.price_c OR b.size > a.size)
+            )
+            ORDER BY p_partkey
         """,
         "q_pagerank": _pagerank_oracle_sql(n_iter=5),
         "q_trustrank": _ppr_oracle_sql(
