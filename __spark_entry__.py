@@ -4521,6 +4521,57 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG snapshot diff (diff.py::triple_diff) certified by a
+    perturb-and-diff harness: the "old" snapshot is derived from the
+    freshly-extracted triple table by two md5-url-class mutations —
+    class-0 urls lose their relatedLink statements (diff must report
+    them ADDED) and class-1 urls get their name literals rewritten to
+    a stale spelling (diff must report the stale form REMOVED and the
+    current form ADDED). One union+groupBy pass, no joins. The oracle
+    replays the class rules, the mutation, and the set diff wholesale
+    from the materialized triple parquet."""
+    from serd_spark.operators.diff import triple_diff
+
+    _materialize_triples(spark, sf_dir)
+    t = _kg_triples(spark, sf_dir)
+    cls = (
+        F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 10
+    )
+    rel_p = "http://schema.org/relatedLink"
+    name_p = "http://schema.org/name"
+    old = (
+        t.withColumn("_cls", cls)
+        .filter(~((F.col("_cls") == 0) & (F.col("p") == rel_p)))
+        .withColumn(
+            "o",
+            F.when(
+                (F.col("_cls") == 1)
+                & (F.col("p") == name_p)
+                & (F.col("o_kind") == 1),
+                F.concat(F.col("o"), F.lit(" (stale)")),
+            ).otherwise(F.col("o")),
+        )
+        .drop("_cls")
+    )
+    d = triple_diff(old, t)
+    pin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\u0001", "g", "s", "p", "o")), 1, 10
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.groupBy("p", "change")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(pin).cast("long").alias("pin"),
+        )
+        .orderBy("p", "change")
+    )
+
+
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform random walks (graph.py::random_walks,
     the DeepWalk/node2vec corpus generator) over the hash-folded
@@ -5338,6 +5389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transcode": q_transcode,
         "q_funnel": q_funnel,
         "q_skyline": q_skyline,
+        "q_kg_diff": q_kg_diff,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -9842,6 +9894,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(epoch(cts)) - FLOOR(epoch(vts)) AS BIGINT)
                      AS gap_s
             FROM pairs WHERE rn = 1
+        """,
+        "q_kg_diff": f"""
+            WITH tr AS (
+              SELECT url, g, s, p, o, o_kind, o_dt, o_lang,
+                     CAST('0x' || substr(md5(url), 1, 4) AS BIGINT)
+                       % 10 AS cls
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), old AS (
+              SELECT g, s, p,
+                     CASE WHEN cls = 1
+                               AND p = 'http://schema.org/name'
+                               AND o_kind = 1
+                          THEN o || ' (stale)' ELSE o END AS o,
+                     o_kind, o_dt, o_lang
+              FROM tr
+              WHERE NOT (cls = 0
+                         AND p = 'http://schema.org/relatedLink')
+            ), new AS (
+              SELECT g, s, p, o, o_kind, o_dt, o_lang FROM tr
+            ), merged AS (
+              SELECT g, s, p, o, o_kind, o_dt, o_lang,
+                     max(so) AS _o, max(sn) AS _n
+              FROM (
+                SELECT *, 1 AS so, 0 AS sn FROM old
+                UNION ALL
+                SELECT *, 0 AS so, 1 AS sn FROM new
+              )
+              GROUP BY g, s, p, o, o_kind, o_dt, o_lang
+            )
+            SELECT p,
+                   CASE WHEN _n = 1 THEN 'added'
+                        ELSE 'removed' END AS change,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST('0x' || substr(md5(
+                     concat_ws(chr(1), g, s, p, o)), 1, 10) AS BIGINT))
+                     AS BIGINT) AS pin
+            FROM merged WHERE _o <> _n
+            GROUP BY p, change
+            ORDER BY p, change
         """,
         "q_funnel": """
             WITH e AS (
