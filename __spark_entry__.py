@@ -4572,6 +4572,47 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (stats.py::hll_sketch/hll_merge):
+    per-hour HLL register tables over distinct (user, event_type),
+    rolled up to an all-time estimate by register-wise MAX — raw
+    events are NEVER rescanned for the coarse grain. The final rows
+    pit the merged estimate against a direct full-scan sketch; max's
+    associativity makes them identical, and the oracle replays hourly
+    registers, the merge, and the direct sketch independently (the
+    q_hll exact-integer harmonic arithmetic per grain)."""
+    from serd_spark.operators.stats import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        F.concat_ws("|", F.col("user_id"), F.col("event_type")).alias(
+            "v"
+        ),
+    )
+    # the register table is hours × 256 rows — checkpoint so the
+    # per-hour and merged branches reuse one events scan
+    hourly = hll_sketch(e, "v", p=8, by=("hour",)).localCheckpoint()
+    tail = ["m", "n_regs", "zero_regs", "denom", "hll_est"]
+    per_hour = hll_estimate(hourly, p=8, by=("hour",)).select(
+        F.col("hour").alias("grain"), *tail
+    )
+    merged = hll_estimate(hll_merge(hourly), p=8).select(
+        F.lit("zz:merged").alias("grain"), *tail
+    )
+    direct = hll_estimate(hll_sketch(e, "v", p=8), p=8).select(
+        F.lit("zz:direct").alias("grain"), *tail
+    )
+    return (
+        per_hour.unionByName(merged)
+        .unionByName(direct)
+        .orderBy("grain")
+    )
+
+
 def q_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform random walks (graph.py::random_walks,
     the DeepWalk/node2vec corpus generator) over the hash-folded
@@ -5390,6 +5431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_skyline": q_skyline,
         "q_kg_diff": q_kg_diff,
+        "q_hll_rollup": q_hll_rollup,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -5567,6 +5609,61 @@ def _lang_case_sql() -> str:
 _TRADE_DIR_EDGES_SQL = """
           SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+
+
+def _hll_rollup_oracle_sql() -> str:
+    """Replays q_hll_rollup: hourly registers, register-max merge,
+    and the direct sketch — the q_hll estimate arithmetic applied
+    once per grain (p=8 → wbits=52, scale=53, m=256)."""
+
+    def est(regs: str, grain: str) -> str:
+        return f"""
+              SELECT {grain} AS grain, CAST(256 AS BIGINT) AS m,
+                     CAST(COUNT(*) AS BIGINT) AS n_regs,
+                     CAST(256 - COUNT(*) AS BIGINT) AS zero_regs,
+                     CAST(SUM(1::BIGINT << CAST(53 - rho AS INTEGER))
+                          + (256 - COUNT(*)) * (1::BIGINT << 53)
+                          AS BIGINT) AS denom
+              FROM {regs} {'GROUP BY grain' if 'hour' in grain else ''}"""
+
+    finish = """
+              SELECT grain, m, n_regs, zero_regs, denom,
+                     CAST(round(CASE
+                       WHEN ((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0
+                             * 256.0 * 9007199254740992.0 / denom)
+                            <= 640.0 AND zero_regs > 0
+                       THEN 256.0 * ln(256.0 / zero_regs)
+                       ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0
+                            * 256.0 * 9007199254740992.0 / denom
+                       END, 0) AS BIGINT) AS hll_est"""
+    return f"""
+            WITH e AS (
+              SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+                     CAST(user_id AS VARCHAR) || '|' || event_type AS v
+              FROM events
+            ), h AS (
+              SELECT hour,
+                     CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+              FROM e
+            ), hr AS (
+              SELECT hour, h >> 52 AS bucket,
+                     MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) = 0
+                              THEN 53
+                              ELSE 53 - length(bin(
+                                h & ((1::BIGINT << 52) - 1)))
+                         END) AS rho
+              FROM h GROUP BY hour, bucket
+            ), mr AS (
+              SELECT bucket, MAX(rho) AS rho FROM hr GROUP BY bucket
+            ), s AS (
+              {est('hr', 'hour')}
+              UNION ALL
+              {est('mr', "'zz:merged'")}
+              UNION ALL
+              {est('mr', "'zz:direct'")}
+            )
+            {finish} FROM s ORDER BY grain
+        """
 
 
 def _pagerank_oracle_sql(
@@ -9895,6 +9992,7 @@ def oracle_sql() -> dict[str, str]:
                      AS gap_s
             FROM pairs WHERE rn = 1
         """,
+        "q_hll_rollup": _hll_rollup_oracle_sql(),
         "q_kg_diff": f"""
             WITH tr AS (
               SELECT url, g, s, p, o, o_kind, o_dt, o_lang,

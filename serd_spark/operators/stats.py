@@ -399,7 +399,12 @@ def hll_bucket_rho(value_col: str, p: int) -> tuple[F.Column, F.Column]:
     return bucket, rho
 
 
-def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    p: int = 8,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
     """HyperLogLog register table (Flajolet et al. 2007): hash each
     value to 60 bits (15 md5 hex chars — comfortably inside a signed
     int64 for both engines), route the top ``p`` bits to one of
@@ -418,13 +423,27 @@ def hll_sketch(df: DataFrame, value_col: str, p: int = 8) -> DataFrame:
     disagree at exact powers of two.
 
     Returns ``(bucket, rho)`` — absent bucket = empty register.
+    ``by`` keeps one independent sketch per group (grain) — the
+    fine-grain side of a mergeable-sketch rollup.
     """
     bucket, rho = hll_bucket_rho(value_col, p)
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        .select(*by, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*by, "bucket")
         .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """HLL union: register-wise MAX. Because max is associative and
+    commutative, ANY partitioning of the inputs (per day, per shard,
+    per stream micro-batch) merges to the identical register table —
+    the property that makes the sketch roll up grain-to-grain without
+    ever rescanning raw data. ``by`` gives the coarse grain to merge
+    INTO (subset of the input's group columns)."""
+    return registers.groupBy(*by, "bucket").agg(
+        F.max("rho").alias("rho")
     )
 
 
@@ -439,7 +458,11 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 8,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
     """Cardinality estimate from an ``hll_sketch`` register table.
 
     The harmonic-mean denominator is accumulated as an EXACT integer:
@@ -456,18 +479,20 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     linear counting m*ln(m/V); the 60-bit hash needs no large-range
     branch at any cardinality this engine will see.
 
-    Returns one row: (m, n_regs, zero_regs, denom, hll_est).
+    Returns one row (per ``by`` group, if given):
+    (m, n_regs, zero_regs, denom, hll_est).
     """
     m = 1 << p
     scale = (60 - p) + 1
     num = hll_alpha(m) * m * m * float(1 << scale)
-    agg = registers.agg(
+    agg = registers.groupBy(*by).agg(
         F.count(F.lit(1)).cast("long").alias("n_regs"),
         F.sum(_shl(F.lit(1).cast("long"), F.lit(scale) - F.col("rho")))
         .cast("long")
         .alias("denom_used"),
     )
     staged = agg.select(
+        *by,
         F.lit(m).cast("long").alias("m"),
         F.col("n_regs"),
         (F.lit(m) - F.col("n_regs")).cast("long").alias("zero_regs"),
@@ -482,6 +507,7 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     small = (raw <= F.lit(2.5 * m)) & (F.col("zero_regs") > 0)
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_regs"))
     return staged.select(
+        *by,
         "m",
         "n_regs",
         "zero_regs",
