@@ -4572,6 +4572,64 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> extraction to (page, table, row, col, cell) long
+    form (tables.py::extract_tables — three chained regex+posexplode
+    stages, pure JVM, map-only). Certified by declared ground truth:
+    the generator renders 7 markup variants to match per-page
+    table/row/cell counts and an md5 cell-content pin; the Spark side
+    recovers all four from markup alone and counts exact matches,
+    while the oracle aggregates only declared columns and asserts
+    n_exact == n per variant."""
+    from serd_spark.operators.tables import (
+        cells_pin,
+        extract_tables,
+        synthesize_table_pages,
+    )
+
+    src = synthesize_table_pages(spark, max(70, _n_pages(sf_dir) // 8))
+    _materialize(
+        sf_dir, "tables_meta",
+        lambda: src.select(
+            "tbl_id", "variant", "n_tables", "n_rows", "n_cells", "pin"
+        ),
+    )
+    ex = extract_tables(src)
+    agg = ex.groupBy("tbl_id").agg(
+        (F.max("t_idx") + 1).cast("long").alias("x_tables"),
+        F.count_distinct(F.struct("t_idx", "r_idx"))
+        .cast("long")
+        .alias("x_rows"),
+        F.count(F.lit(1)).cast("long").alias("x_cells"),
+        cells_pin(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("t_idx", "r_idx", "c_idx", "cell")
+                    )
+                ),
+                lambda s: s["cell"],
+            )
+        ).alias("x_pin"),
+    )
+    j = src.join(agg, "tbl_id", "left")
+    exact = (
+        (F.coalesce(F.col("x_tables"), F.lit(0)) == F.col("n_tables"))
+        & (F.coalesce(F.col("x_rows"), F.lit(0)) == F.col("n_rows"))
+        & (F.coalesce(F.col("x_cells"), F.lit(0)) == F.col("n_cells"))
+        & F.col("x_pin").eqNullSafe(F.col("pin"))
+    )
+    return (
+        j.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(exact.cast("long")).cast("long").alias("n_exact"),
+            F.sum("n_cells").cast("long").alias("cells"),
+        )
+        .orderBy("variant")
+    )
+
+
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (stats.py::hll_sketch/hll_merge):
     per-hour HLL register tables over distinct (user, event_type),
@@ -5432,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skyline": q_skyline,
         "q_kg_diff": q_kg_diff,
         "q_hll_rollup": q_hll_rollup,
+        "q_tables": q_tables,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -9993,6 +10052,14 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE rn = 1
         """,
         "q_hll_rollup": _hll_rollup_oracle_sql(),
+        "q_tables": f"""
+            SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(SUM(n_cells) AS BIGINT) AS cells
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/tables_meta/*.parquet')
+            GROUP BY variant
+            ORDER BY variant
+        """,
         "q_kg_diff": f"""
             WITH tr AS (
               SELECT url, g, s, p, o, o_kind, o_dt, o_lang,
