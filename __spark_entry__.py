@@ -4572,6 +4572,35 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (bitext.py::bitext_mine — the
+    LASER/CCMatrix ratio-margin recipe) across the even/odd halves of
+    the embedding table: coarse-quantizer cells, query-side
+    multi-probe, cell-equi-join candidates (never all-pairs), and
+    exact integer-micros margin scoring. The probe/assignment tables
+    are materialized; the oracle rebuilds candidates from them and
+    replays cosines, both neighborhood rankings, the margin division
+    and the forward-best rule in SQL."""
+    from serd_spark.operators.bitext import bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    pairs, a_probed, b_assigned = bitext_mine(
+        a, b, n_centroids=16, n_probe=3, k=4,
+        margin_threshold_micros=1_020_000,
+    )
+    _materialize(
+        sf_dir, "bitext_probes",
+        lambda: a_probed.select("a_id", "centroid"),
+    )
+    _materialize(
+        sf_dir, "bitext_assign",
+        lambda: b_assigned.select("b_id", "centroid"),
+    )
+    return pairs.orderBy("a_id")
+
+
 def q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML <table> extraction to (page, table, row, col, cell) long
     form (tables.py::extract_tables — three chained regex+posexplode
@@ -5491,6 +5520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_diff": q_kg_diff,
         "q_hll_rollup": q_hll_rollup,
         "q_tables": q_tables,
+        "q_bitext": q_bitext,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -10052,6 +10082,68 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE rn = 1
         """,
         "q_hll_rollup": _hll_rollup_oracle_sql(),
+        "q_bitext": f"""
+            WITH ap AS (
+              SELECT a_id, centroid
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/bitext_probes/*.parquet')
+            ), ba AS (
+              SELECT b_id, centroid
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/bitext_assign/*.parquet')
+            ), av AS (
+              SELECT vec_id AS a_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id % 2 = 0
+            ), bv AS (
+              SELECT vec_id AS b_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id % 2 = 1
+            ), cand AS (
+              SELECT ap.a_id, ba.b_id,
+                     CAST(round(
+                       list_dot_product(av.v, bv.v)
+                       / (sqrt(list_dot_product(av.v, av.v))
+                          * sqrt(list_dot_product(bv.v, bv.v)))
+                       * 1000000) AS BIGINT) AS cos_u
+              FROM ap
+              JOIN ba USING (centroid)
+              JOIN av USING (a_id)
+              JOIN bv USING (b_id)
+            ), pos AS (
+              SELECT * FROM cand WHERE cos_u > 0
+            ), ranked AS (
+              SELECT a_id, b_id, cos_u,
+                     row_number() OVER (
+                       PARTITION BY a_id ORDER BY cos_u DESC, b_id
+                     ) AS ra,
+                     row_number() OVER (
+                       PARTITION BY b_id ORDER BY cos_u DESC, a_id
+                     ) AS rb
+              FROM pos
+            ), sa AS (
+              SELECT a_id, CAST(SUM(cos_u) AS BIGINT) AS da,
+                     CAST(COUNT(*) AS BIGINT) AS na
+              FROM ranked WHERE ra <= 4 GROUP BY a_id
+            ), sb AS (
+              SELECT b_id, CAST(SUM(cos_u) AS BIGINT) AS db,
+                     CAST(COUNT(*) AS BIGINT) AS nb
+              FROM ranked WHERE rb <= 4 GROUP BY b_id
+            ), scored AS (
+              SELECT r.a_id, r.b_id, r.cos_u,
+                     CAST((2 * r.cos_u * 1000000 * sa.na * sb.nb)
+                          // (sa.da * sb.nb + sb.db * sa.na)
+                          AS BIGINT) AS margin_u
+              FROM ranked r
+              JOIN sa USING (a_id)
+              JOIN sb USING (b_id)
+            ), best AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY a_id
+                ORDER BY margin_u DESC, cos_u DESC, b_id
+              ) AS rbest
+              FROM scored
+            )
+            SELECT a_id, b_id, cos_u, margin_u FROM best
+            WHERE rbest = 1 AND margin_u >= 1020000
+            ORDER BY a_id
+        """,
         "q_tables": f"""
             SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(COUNT(*) AS BIGINT) AS n_exact,
