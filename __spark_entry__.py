@@ -4572,6 +4572,40 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation fixpoint (sources/warc.py::write_wet/read_wet):
+    the pages corpus' EXTRACTED TEXT is written as Common-Crawl-style
+    .wet conversion shards and read back; per-url record counts,
+    formatted max timestamp and text md5s must equal the original
+    table — the archival face of the north-star byte-identical-text
+    invariant (one mangled byte anywhere in the record writer, the
+    parser, or the UTF-8 round trip fails the hash)."""
+    import shutil
+
+    from serd_spark.sources.warc import read_wet, write_wet
+
+    src = _pages(spark, sf_dir).select("url", "warc_ts", "text")
+    _materialize(sf_dir, "wet_src", lambda: src)
+    out = os.path.join(
+        "/tmp/serd_spark_wet", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_wet(src, out, n_files=8).collect()
+    return (
+        read_wet(spark, out + "/*.wet")
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.date_format(
+                F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("ts_max"),
+            F.min(F.md5(F.encode("text", "UTF-8"))).alias("h_min"),
+            F.max(F.md5(F.encode("text", "UTF-8"))).alias("h_max"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (bitext.py::bitext_mine — the
     LASER/CCMatrix ratio-margin recipe) across the even/odd halves of
@@ -5521,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_rollup": q_hll_rollup,
         "q_tables": q_tables,
         "q_bitext": q_bitext,
+        "q_wet": q_wet,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7888,6 +7923,15 @@ def oracle_sql() -> dict[str, str]:
         # WARC fixpoint: the roundtrip aggregate recomputed from the
         # materialized source parquet — equality proves the sink and
         # scanner preserve every byte, record and timestamp.
+        "q_wet": f"""
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n,
+                   strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS ts_max,
+                   MIN(md5(text)) AS h_min,
+                   MAX(md5(text)) AS h_max
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/wet_src/*.parquet')
+            GROUP BY url ORDER BY url
+        """,
         "q_warc_roundtrip": f"""
             SELECT url, CAST(COUNT(*) AS BIGINT) AS n,
                    strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f')

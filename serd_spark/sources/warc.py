@@ -83,6 +83,22 @@ def warc_record(url: str, ts: datetime, html: bytes) -> bytes:
     return head + http + _CRLF + _CRLF
 
 
+def wet_record(url: str, ts: datetime, text: str) -> bytes:
+    """One WET conversion record (the Common-Crawl .wet artifact):
+    the EXTRACTED TEXT of a page as a ``WARC-Type: conversion``
+    record with a plain-text identity payload — no HTTP envelope."""
+    body = text.encode("utf-8")
+    head = (
+        WARC_VERSION + _CRLF
+        + b"WARC-Type: conversion" + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Date: " + _warc_date(ts).encode() + _CRLF
+        + b"Content-Type: text/plain" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _HDR_END
+    )
+    return head + body + _CRLF + _CRLF
+
+
 def warcinfo_record(filename: str) -> bytes:
     """The file-head warcinfo record real crawls carry — readers must
     skip non-response records, so the writer always emits one."""
@@ -98,9 +114,10 @@ def warcinfo_record(filename: str) -> bytes:
 
 
 def parse_warc(
-    buf: bytes, lax: bool = True
+    buf: bytes, lax: bool = True, want_type: str = "response"
 ) -> tuple[list[tuple[str, datetime, bytes]], list[tuple[int, str]]]:
-    """Parse one WARC file buffer into response records.
+    """Parse one WARC file buffer into ``want_type`` records
+    (``response`` for .warc, ``conversion`` for .wet).
 
     Returns ``(records, errors)`` — records as (url, warc_ts, html),
     errors as (byte_offset, message).  Strict mode raises on the
@@ -162,7 +179,7 @@ def parse_warc(
             continue
         payload = buf[payload_at : payload_at + length]
         pos = payload_at + length
-        if headers.get("warc-type") == "response":
+        if headers.get("warc-type") == want_type:
             url = headers.get("warc-target-uri")
             date = headers.get("warc-date")
             if not url or not date:
@@ -179,7 +196,7 @@ def parse_warc(
             else:  # identity payload (no HTTP envelope)
                 body = payload
             records.append((url, ts, body))
-        # non-response types (warcinfo, request, metadata): skipped
+        # other record types (warcinfo, request, metadata): skipped
     return records, errors
 
 
@@ -208,6 +225,84 @@ def read_warc(
             )
 
     return files.mapInPandas(gen, schema=_READ_SCHEMA)
+
+
+def read_wet(
+    spark: SparkSession, path: str, lax: bool = True
+) -> DataFrame:
+    """Scan WET shard files into (url, warc_ts, text) — conversion
+    records with the identity plain-text payload decoded as UTF-8.
+    Same by-file parallelism as ``read_warc``."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_url: list[str] = []
+            c_ts: list[datetime] = []
+            c_text: list[str] = []
+            for content in pdf["content"]:
+                recs, _errs = parse_warc(
+                    bytes(content), lax=lax, want_type="conversion"
+                )
+                for url, ts, body in recs:
+                    c_url.append(url)
+                    c_ts.append(ts)
+                    c_text.append(body.decode("utf-8", errors="replace"))
+            yield pd.DataFrame(
+                {"url": c_url, "warc_ts": c_ts, "text": c_text}
+            )
+
+    return files.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, text string"
+    )
+
+
+def write_wet(
+    pages: DataFrame, out_dir: str, n_files: int = 8
+) -> DataFrame:
+    """Write (url, warc_ts, text) rows as WET conversion shards —
+    the Common-Crawl text-artifact derivation, with ``write_warc``'s
+    deterministic md5-url sharding and in-shard (url, warc_ts)
+    ordering. Returns the same (file, n_records, n_bytes) manifest
+    shape."""
+    os.makedirs(out_dir, exist_ok=True)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast("long")
+        % n_files
+    )
+    df = (
+        pages.select("url", "warc_ts", "text")
+        .withColumn("_shard", shard)
+        .repartition(n_files, "_shard")
+        .sortWithinPartitions("_shard", "url", "warc_ts")
+    )
+
+    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bufs: dict[int, list[bytes]] = {}
+        for pdf in batches:
+            for url, ts, text, sh in zip(
+                pdf["url"], pdf["warc_ts"], pdf["text"], pdf["_shard"]
+            ):
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                bufs.setdefault(int(sh), []).append(
+                    wet_record(str(url), ts, str(text))
+                )
+        c_file, c_recs, c_bytes = [], [], []
+        for sh, recs in sorted(bufs.items()):
+            name = f"shard-{sh:05d}.warc.wet"
+            data = warcinfo_record(name) + b"".join(recs)
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(data)
+            c_file.append(name)
+            c_recs.append(len(recs))
+            c_bytes.append(len(data))
+        yield pd.DataFrame(
+            {"file": c_file, "n_records": c_recs, "n_bytes": c_bytes}
+        )
+
+    return df.mapInPandas(
+        write_parts, schema="file string, n_records long, n_bytes long"
+    )
 
 
 def write_warc(

@@ -109,3 +109,34 @@ def test_write_is_deterministic(spark, tmp_path):
             }
         )
     assert outs[0] == outs[1]
+
+
+def test_wet_record_roundtrip_and_type_filter():
+    from serd_spark.sources.warc import parse_warc, wet_record
+
+    text = 'Multi-line — «ünïcode 漢字»\n"quotes"\nlines that must\nsurvive.'
+    buf = warcinfo_record("x.wet") + wet_record("http://a/1", TS, text)
+    recs, errs = parse_warc(buf, want_type="conversion")
+    assert errs == []
+    assert recs == [("http://a/1", TS, text.encode("utf-8"))]
+    # a response-mode read of the same buffer yields nothing
+    assert parse_warc(buf)[0] == []
+
+
+def test_wet_write_read_fixpoint(spark, tmp_path):
+    from serd_spark.sources.warc import read_wet, write_wet
+
+    rows = [
+        (f"http://h/{i}", TS, f"text {i} — ünïcode\nsecond line {i}")
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    out = str(tmp_path / "wet")
+    manifest = write_wet(pages, out, n_files=3).collect()
+    assert sum(m.n_records for m in manifest) == 40
+    back = read_wet(spark, out + "/*.wet")
+    a = sorted((r.url, r.warc_ts, r.text) for r in back.collect())
+    want = sorted((u, t.replace(tzinfo=None), x) for u, t, x in rows)
+    assert a == want
