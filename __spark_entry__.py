@@ -4572,6 +4572,18 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch–Kincaid readability per document
+    (text.py::readability) — integer-micros formulas over pinned
+    word/sentence/syllable heuristics, pure JVM map-only. The oracle
+    recomputes every row from the documents table with the identical
+    regex counts and integer divisions."""
+    from serd_spark.operators.text import readability
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability(d).orderBy("doc_id")
+
+
 def q_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET derivation fixpoint (sources/warc.py::write_wet/read_wet):
     the pages corpus' EXTRACTED TEXT is written as Common-Crawl-style
@@ -5556,6 +5568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tables": q_tables,
         "q_bitext": q_bitext,
         "q_wet": q_wet,
+        "q_readability": q_readability,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7923,6 +7936,34 @@ def oracle_sql() -> dict[str, str]:
         # WARC fixpoint: the roundtrip aggregate recomputed from the
         # materialized source parquet — equality proves the sink and
         # scanner preserve every byte, record and timestamp.
+        "q_readability": """
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS BIGINT) AS words,
+                     greatest(1::BIGINT, CAST(len(regexp_extract_all(
+                       text, '[.!?]+')) AS BIGINT)) AS sentences,
+                     CAST(len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')) AS BIGINT) AS vruns
+              FROM documents
+            ), s AS (
+              SELECT doc_id, words, sentences,
+                     greatest(words, vruns) AS syllables
+              FROM f
+            )
+            SELECT doc_id, words, sentences, syllables,
+                   CAST(206835000 - (1015000 * words) // sentences
+                        - (84600000 * syllables)
+                          // greatest(words, 1::BIGINT)
+                     AS BIGINT) AS flesch_u,
+                   CAST((390000 * words) // sentences
+                        + (11800000 * syllables)
+                          // greatest(words, 1::BIGINT)
+                        - 15590000 AS BIGINT) AS grade_u
+            FROM s ORDER BY doc_id
+        """,
         "q_wet": f"""
             SELECT url, CAST(COUNT(*) AS BIGINT) AS n,
                    strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f')

@@ -344,3 +344,54 @@ def nfc_normalize(
         )
 
     return docs.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade level per document
+    — the classic corpus-quality signals, as EXACT integer micros so
+    the DuckDB mirror reproduces every row bit-for-bit.
+
+    Pinned heuristic (identical on both engines, documented rather
+    than dictionary-perfect): words = whitespace tokens; sentences =
+    ``[.!?]+`` runs, floored at 1; syllables = ``[aeiouy]+`` runs of
+    the lowercased text, floored at the word count (every word
+    counts at least one syllable in aggregate — vowel-free tokens
+    like numerals are compensated globally, not per word). All
+    divisions are integer ``div`` on micro-scaled constants:
+    flesch_u = 206.835e6 - 1.015e6·W/S - 84.6e6·Syl/W. Map-only,
+    pure JVM, no shuffle."""
+    t = F.col(text_col)
+    words = token_count(t).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)).cast(
+            "long"
+        ),
+    )
+    vruns = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    d = df.select(
+        F.col(id_col),
+        words.alias("words"),
+        sentences.alias("sentences"),
+        F.greatest(words, vruns).alias("syllables"),
+    )
+    return d.select(
+        id_col,
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206835000).cast("long")
+            - F.expr("(1015000 * words) div sentences")
+            - F.expr("(84600000 * syllables) div greatest(words, 1L)")
+        ).alias("flesch_u"),
+        (
+            F.expr("(390000 * words) div sentences")
+            + F.expr("(11800000 * syllables) div greatest(words, 1L)")
+            - F.lit(15590000).cast("long")
+        ).alias("grade_u"),
+    )

@@ -1300,3 +1300,34 @@ def test_nfc_normalize(spark):
     assert got["b"] == "가"
     assert got["c"] == "plain ascii"
     assert got["d"] is None
+
+
+def test_readability_matches_python_replay(spark):
+    import re
+
+    from serd_spark.operators.text import readability
+
+    rows = [
+        (0, "The cat sat. On a mat!"),
+        (1, ""),
+        (2, "mhm 123"),
+        (3, "One two three four five six seven? Yes. No!"),
+        (4, "Syllables in queueing and cooperation are counted"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in readability(df).collect()}
+    for i, text in rows:
+        w = 0 if not text.strip() else len(re.split(r"\s+", text.strip()))
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = max(w, len(re.findall(r"[aeiouy]+", text.lower())))
+        flesch = (
+            206835000 - (1015000 * w) // s
+            - (84600000 * syl) // max(w, 1)
+        )
+        grade = (
+            (390000 * w) // s + (11800000 * syl) // max(w, 1)
+            - 15590000
+        )
+        r = got[i]
+        assert (r["words"], r["sentences"], r["syllables"]) == (w, s, syl), i
+        assert (r["flesch_u"], r["grade_u"]) == (flesch, grade), i
