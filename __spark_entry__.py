@@ -4572,6 +4572,27 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (corpus.py::c4_line_filters —
+    terminal punctuation, min-words, curly braces, lorem ipsum) over
+    the latest-crawl page text, entirely row-local (split + HOF
+    filter + re-join, no explode/shuffle). The oracle replays every
+    predicate with DuckDB list_filter lambdas over the materialized
+    page text and pins the kept text by md5."""
+    from serd_spark.operators.corpus import c4_line_filters
+    from serd_spark.sources.pages import latest_crawl
+
+    p = latest_crawl(_pages(spark, sf_dir)).select("url", "text")
+    _materialize(sf_dir, "pages_text", lambda: p)
+    out = c4_line_filters(p, text_col="text", id_col="url")
+    return out.select(
+        "url",
+        "n_lines",
+        "n_kept",
+        F.md5("kept_text").alias("kept_md5"),
+    ).orderBy("url")
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch / Flesch–Kincaid readability per document
     (text.py::readability) — integer-micros formulas over pinned
@@ -5569,6 +5590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext": q_bitext,
         "q_wet": q_wet,
         "q_readability": q_readability,
+        "q_c4_filters": q_c4_filters,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7936,6 +7958,29 @@ def oracle_sql() -> dict[str, str]:
         # WARC fixpoint: the roundtrip aggregate recomputed from the
         # materialized source parquet — equality proves the sink and
         # scanner preserve every byte, record and timestamp.
+        "q_c4_filters": f"""
+            WITH p AS (
+              SELECT url, string_split(text, chr(10)) AS lines
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_text/*.parquet')
+            ), k AS (
+              SELECT url, lines,
+                     list_filter(lines, x ->
+                       regexp_matches(trim(x), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(x),
+                                                     '\\s+')) >= 3
+                       AND NOT contains(trim(x), '{{')
+                       AND NOT contains(trim(x), '}}')
+                       AND NOT contains(lower(trim(x)), 'lorem ipsum')
+                     ) AS kept
+              FROM p
+            )
+            SELECT url, CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   md5(array_to_string(
+                     list_transform(kept, x -> trim(x)), chr(10)))
+                     AS kept_md5
+            FROM k ORDER BY url
+        """,
         "q_readability": """
             WITH f AS (
               SELECT doc_id,

@@ -179,6 +179,14 @@ def main() -> None:
         "q_url_templates": entrymod.q_url_templates,
         "q_priority_sample": entrymod.q_priority_sample,
         "q_rollup_cascade": entrymod.q_rollup_cascade,
+        # round-4 session-14 additions
+        "q_funnel": entrymod.q_funnel,
+        "q_skyline": entrymod.q_skyline,
+        "q_kg_diff": entrymod.q_kg_diff,
+        "q_hll_rollup": entrymod.q_hll_rollup,
+        "q_tables": entrymod.q_tables,
+        "q_bitext": entrymod.q_bitext,
+        "q_readability": entrymod.q_readability,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

@@ -2385,3 +2385,57 @@ def strip_duplicated_spans(
         schema=f"{id_col} long, n_tokens long, n_removed long, "
         "kept_text string",
     )
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the
+    rule set the original "Colossal Clean Crawled Corpus" applied to
+    every Common-Crawl page before document-level filtering:
+
+    - keep only lines ending in terminal punctuation (. ! ? or a
+      closing double quote),
+    - drop lines with fewer than ``min_words`` whitespace words,
+    - drop lines containing a curly brace (code markup),
+    - drop lines whose lowercase contains "lorem ipsum".
+
+    Entirely row-local: one ``split`` on newline + a HOF ``filter``
+    with pure predicates + ``array_join`` back — no explode, no
+    shuffle, WholeStageCodegen end to end (the line table never
+    materializes, unlike the explode+filter+re-group formulation
+    which pays two shuffles for the same answer). At 100 TB this is
+    a scan-speed map pass, and every predicate is in the Java∩RE2
+    regex subset so the DuckDB mirror replays it with list_filter.
+
+    Returns ``(id_col, n_lines, n_kept, kept_text)`` — kept lines
+    re-joined with newline; no-surviving-line documents keep ''.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.size(F.split(t, r"\s+"))
+        return (
+            t.rlike('[.!?"]$')
+            & (F.length(t) > 0)
+            & (words >= min_words)
+            & ~t.contains("{")
+            & ~t.contains("}")
+            & ~F.lower(t).contains("lorem ipsum")
+        )
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        # explicit unary lambda: F.transform would otherwise feed the
+        # element INDEX into trim's two-parameter (str, trimStr) form
+        F.array_join(
+            F.transform(kept, lambda x: F.trim(x)), "\n"
+        ).alias("kept_text"),
+    )

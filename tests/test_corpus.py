@@ -1306,3 +1306,38 @@ def test_phrase_snippets_window(spark):
         for r in phrase_snippets(df, "quick brown", window=0).collect()
     }
     assert zero[1] == "quick brown"
+
+
+def test_c4_line_filters_rules(spark):
+    from serd_spark.operators.corpus import c4_line_filters
+
+    text = "\n".join(
+        [
+            "A good sentence stays here.",      # kept
+            "Short one.",                        # < 3 words
+            "No terminal punctuation at all",    # no [.!?"]
+            'He said "quoted words end well."',  # kept (quote rule)
+            "code block { return 1; }",          # braces
+            "Lorem Ipsum dolor sit amet.",       # lorem ipsum
+            "",                                  # empty
+            "Is this kept as well?",             # kept
+            "   padded line survives trim!   ",  # kept, trimmed
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = c4_line_filters(df).collect()[0]
+    assert r["n_lines"] == 9 and r["n_kept"] == 4
+    assert r["kept_text"].split("\n") == [
+        "A good sentence stays here.",
+        'He said "quoted words end well."',
+        "Is this kept as well?",
+        "padded line survives trim!",
+    ]
+
+
+def test_c4_line_filters_empty_doc(spark):
+    from serd_spark.operators.corpus import c4_line_filters
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = c4_line_filters(df).collect()[0]
+    assert (r["n_lines"], r["n_kept"], r["kept_text"]) == (1, 0, "")
