@@ -187,6 +187,7 @@ def main() -> None:
         "q_tables": entrymod.q_tables,
         "q_bitext": entrymod.q_bitext,
         "q_readability": entrymod.q_readability,
+        "q_c4_filters": entrymod.q_c4_filters,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
