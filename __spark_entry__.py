@@ -4572,6 +4572,34 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (packing.py::length_batches): docs
+    grouped into fixed-count batches of similar token length so
+    padding-to-batch-max stays small; rank windows are PARTITIONED
+    by length bucket, never global. Output is per-batch padding
+    accounting; the oracle replays the bucket/rank/batch derivation
+    with a plain SQL window and the identical (n_tokens, doc_id)
+    tie-break."""
+    from serd_spark.operators.packing import length_batches
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lb = length_batches(d, batch_size=8, bucket_width=16)
+    return (
+        lb.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_tok"),
+            F.sum("n_tokens").cast("long").alias("sum_tok"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("max_tok") * F.col("n_docs") - F.col("sum_tok"))
+            .cast("long"),
+        )
+        .orderBy("bucket", "batch_idx")
+    )
+
+
 def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning (corpus.py::c4_line_filters —
     terminal punctuation, min-words, curly braces, lorem ipsum) over
@@ -5591,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet": q_wet,
         "q_readability": q_readability,
         "q_c4_filters": q_c4_filters,
+        "q_length_batches": q_length_batches,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7958,6 +7987,31 @@ def oracle_sql() -> dict[str, str]:
         # WARC fixpoint: the roundtrip aggregate recomputed from the
         # materialized source parquet — equality proves the sink and
         # scanner preserve every byte, record and timestamp.
+        "q_length_batches": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS BIGINT) AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+                     (row_number() OVER (
+                        PARTITION BY n_tokens // 16
+                        ORDER BY n_tokens, doc_id) - 1) // 8
+                       AS batch_idx
+              FROM t
+            )
+            SELECT bucket, batch_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MAX(n_tokens) AS BIGINT) AS max_tok,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tok,
+                   CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens)
+                     AS BIGINT) AS padding_waste
+            FROM b GROUP BY bucket, batch_idx
+            ORDER BY bucket, batch_idx
+        """,
         "q_c4_filters": f"""
             WITH p AS (
               SELECT url, string_split(text, chr(10)) AS lines

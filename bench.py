@@ -188,6 +188,7 @@ def main() -> None:
         "q_bitext": entrymod.q_bitext,
         "q_readability": entrymod.q_readability,
         "q_c4_filters": entrymod.q_c4_filters,
+        "q_length_batches": entrymod.q_length_batches,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query

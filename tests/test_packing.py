@@ -71,3 +71,42 @@ def test_pack_sequences_validates(spark):
         pack_sequences(df, budget_tokens=0)
     with pytest.raises(ValueError):
         pack_sequences(df, budget_tokens=4, block=0)
+
+
+def test_length_batches_brute_force(spark):
+    from serd_spark.operators.packing import length_batches
+
+    rows = [(i, "w " * ((i * 37) % 100 + 1)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bucket"], r["batch_idx"], r["pos"])
+        for r in length_batches(df, batch_size=4, bucket_width=10).collect()
+    }
+    # python replay: bucket then rank by (n_tokens, id)
+    toks = {i: (i * 37) % 100 + 1 for i, _ in rows}
+    by_bucket = {}
+    for i, n in toks.items():
+        by_bucket.setdefault(n // 10, []).append((n, i))
+    want = {}
+    for b, docs in by_bucket.items():
+        for r, (n, i) in enumerate(sorted(docs)):
+            want[i] = (n, b, r // 4, r % 4)
+    assert got == want
+    # padding waste within a full batch is bounded by bucket width
+    for b, docs in by_bucket.items():
+        docs = sorted(docs)
+        for k in range(0, len(docs) - 3, 4):
+            batch = docs[k : k + 4]
+            assert batch[-1][0] - batch[0][0] < 10
+
+
+def test_length_batches_validation(spark):
+    import pytest
+
+    from serd_spark.operators.packing import length_batches
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        length_batches(df, batch_size=0)
+    with pytest.raises(ValueError):
+        length_batches(df, batch_size=4, bucket_width=0)
