@@ -4572,6 +4572,62 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING funnel driven end-to-end: events flow through an
+    availableNow stream into the chained-earliest funnel state
+    (streaming/incremental.streaming_funnel); a user's completion
+    row is emitted exactly once, in the batch where the purchase
+    fires. One data batch by design (the stream_sessions argument:
+    multi-file batch assignment is not event-time-ordered, and the
+    operator's exactness premise is in-order arrival — cross-batch
+    chaining is certified by a controlled-arrival-order unit test).
+    The oracle replays the chain as q_funnel's min-aggregate CTEs
+    restricted to completed users."""
+    import shutil
+
+    from serd_spark.streaming.incremental import streaming_funnel
+
+    base = os.path.join(
+        "/tmp/serd_spark_stream_funnel",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    in_dir = os.path.join(base, "events")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    ).repartition(6).write.parquet(in_dir)
+
+    ev = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(in_dir)
+    fun = streaming_funnel(ev, ["view", "click", "purchase"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        fun.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        F.date_format("t_1", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t1"),
+        F.date_format("t_2", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t2"),
+        F.date_format("t_3", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t3"),
+    ).orderBy("user_id")
+
+
 def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching (packing.py::length_batches): docs
     grouped into fixed-count batches of similar token length so
@@ -5620,6 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_c4_filters": q_c4_filters,
         "q_length_batches": q_length_batches,
+        "stream_funnel": stream_funnel,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -7987,6 +8044,31 @@ def oracle_sql() -> dict[str, str]:
         # WARC fixpoint: the roundtrip aggregate recomputed from the
         # materialized source parquet — equality proves the sink and
         # scanner preserve every byte, record and timestamp.
+        "stream_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ), s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+                   strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+                   strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t3
+            FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+            ORDER BY user_id
+        """,
         "q_length_batches": """
             WITH t AS (
               SELECT doc_id,

@@ -572,3 +572,94 @@ def streaming_interval_join(
         & (F.col(f"r_{right_ts}") <= F.col(left_ts))
     )
     return lw.join(rw, cond, "inner")
+
+
+def streaming_funnel(
+    events_stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered-step funnel — the cross-batch face of
+    ``operators/funnel.funnel``: per-user chained-earliest step
+    matching with the chain state (the prefix of achieved step
+    timestamps, epoch micros) in the streaming state store via
+    ``applyInPandasWithState``. A user's completion row is emitted
+    EXACTLY ONCE, in the micro-batch where the final step fires;
+    users stuck mid-chain keep their prefix in state and emit
+    nothing.
+
+    Semantics contract: equals the batch operator's completed-user
+    rows whenever events arrive in event-time order across batches
+    (the first-seen step-1 event IS the global earliest, and so on
+    down the chain — an induction the in-order premise makes exact;
+    certified by stream_funnel's cross-engine oracle and a
+    controlled-arrival-order test). Out-of-order arrival degrades
+    gracefully: the chain locks to the earliest seen so far, the
+    standard streaming-funnel approximation.
+
+    Step classification happens JVM-side BEFORE the stateful UDF
+    (the stream filters to the funnel's event types — at 100 TB the
+    state store holds only users who entered the funnel, and each
+    holds at most len(steps) longs). Inside the UDF the batch replay
+    is one numpy lexsort + scan over the user's batch events."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    idx = F.lit(None).cast("int")
+    for k, s in enumerate(steps):
+        idx = F.when(F.col(type_col) == s, F.lit(k)).otherwise(idx)
+    src = (
+        events_stream.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col),
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            idx.alias("_k"),
+        )
+    )
+    out_schema = f"{user_col} long, " + ", ".join(
+        f"t_{k + 1} timestamp" for k in range(n)
+    )
+
+    def advance(key, pdfs, state: GroupState):
+        got = list(state.get[0]) if state.exists else []
+        if len(got) >= n:  # completed and emitted in a prior batch
+            for _ in pdfs:
+                pass
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        allp = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ts_us = allp["_ts"].values.astype("datetime64[us]").astype("int64")
+        ks = allp["_k"].to_numpy()
+        order = np.lexsort((ks, ts_us))
+        prev = got[-1] if got else None
+        for i in order:
+            if int(ks[i]) == len(got) and (
+                prev is None or int(ts_us[i]) > prev
+            ):
+                prev = int(ts_us[i])
+                got.append(prev)
+                if len(got) == n:
+                    break
+        state.update((got,))
+        if len(got) == n:
+            row = {user_col: [key[0]]}
+            for k, us in enumerate(got):
+                row[f"t_{k + 1}"] = [pd.Timestamp(us, unit="us")]
+            yield pd.DataFrame(row)
+
+    return src.groupBy(user_col).applyInPandasWithState(
+        advance,
+        outputStructType=out_schema,
+        stateStructType="got array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

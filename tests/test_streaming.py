@@ -601,3 +601,70 @@ def test_streaming_hll_merges_late_and_evicts(spark, tmp_path):
         ).collect()
         expect = {(day, r["bucket"]): r["rho"] for r in batch}
         assert {k: v for k, v in got.items() if k[0] == day} == expect
+
+
+def test_streaming_funnel_chains_across_batches(spark, tmp_path):
+    """The funnel chain must advance across micro-batches (view in
+    batch 0, click in batch 1, purchase in batch 2 → ONE completion
+    row emitted, in the purchase's batch), match the batch operator's
+    chained-earliest timestamps under in-order arrival, and emit
+    nothing for users stuck mid-chain."""
+    import os
+    import time as _time
+
+    from datetime import datetime
+
+    from serd_spark.streaming.incremental import streaming_funnel
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    batches = [
+        # click before any view must NOT advance; noise type ignored
+        [
+            (1, _ts("2024-01-01 09:00:00"), "click"),
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (2, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 10:01:00"), "error"),
+        ],
+        [(1, _ts("2024-01-01 10:30:00"), "click")],
+        [
+            (1, _ts("2024-01-01 11:00:00"), "purchase"),
+            (1, _ts("2024-01-01 11:30:00"), "purchase"),  # after done
+        ],
+    ]
+    for k, rows in enumerate(batches):
+        p = str(in_dir / f"b{k}.parquet")
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        t = 1_700_000_000 + 1000 * k
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    _time.sleep(0.01)
+
+    ev = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(in_dir) + "/*")
+    fun = streaming_funnel(ev, ["view", "click", "purchase"])
+    q = (
+        fun.writeStream.format("memory")
+        .queryName("funnel_chain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from funnel_chain").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert (r["t_1"], r["t_2"], r["t_3"]) == (
+        _ts("2024-01-01 10:00:00"),
+        _ts("2024-01-01 10:30:00"),
+        _ts("2024-01-01 11:00:00"),
+    )
