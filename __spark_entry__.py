@@ -4572,6 +4572,20 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.py::assortativity) over the
+    undirected hash-folded trade graph — exact-integer Pearson
+    moments (the certificate pins all five sums, not just the
+    rounded ratio; the one float division runs on identical operands
+    in both engines). One degree hash-agg + two co-partitioned
+    joins + one final aggregate."""
+    from serd_spark.operators.graph import assortativity
+
+    return assortativity(
+        _trade_edges(spark, sf_dir), undirected=True
+    )
+
+
 def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING funnel driven end-to-end: events flow through an
     availableNow stream into the chained-earliest funnel state
@@ -5677,6 +5691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filters": q_c4_filters,
         "q_length_batches": q_length_batches,
         "stream_funnel": stream_funnel,
+        "q_assortativity": q_assortativity,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -8044,6 +8059,44 @@ def oracle_sql() -> dict[str, str]:
         # WARC fixpoint: the roundtrip aggregate recomputed from the
         # materialized source parquet — equality proves the sink and
         # scanner preserve every byte, record and timestamp.
+        "q_assortativity": """
+            WITH e0 AS (
+              SELECT o_custkey % 9973 AS src, l_suppkey % 9973 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), e AS (
+              SELECT src, dst FROM e0
+              UNION ALL
+              SELECT dst AS src, src AS dst FROM e0
+            ), degx AS (
+              SELECT src AS n_, CAST(COUNT(*) AS BIGINT) AS dx
+              FROM e GROUP BY src
+            ), degy AS (
+              SELECT dst AS n_, CAST(COUNT(*) AS BIGINT) AS dy
+              FROM e GROUP BY dst
+            ), p AS (
+              SELECT dx, dy FROM e
+              JOIN degx ON e.src = degx.n_
+              JOIN degy ON e.dst = degy.n_
+            ), m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dx) AS BIGINT) AS sx,
+                     CAST(SUM(dy) AS BIGINT) AS sy,
+                     CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                     CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                     CAST(SUM(dy * dy) AS BIGINT) AS syy
+              FROM p
+            )
+            SELECT n, sx, sy, sxy, sxx, syy,
+                   CAST(round(
+                     (n::DOUBLE * sxy::DOUBLE
+                      - sx::DOUBLE * sy::DOUBLE)
+                     / (sqrt(n::DOUBLE * sxx::DOUBLE
+                             - sx::DOUBLE * sx::DOUBLE)
+                        * sqrt(n::DOUBLE * syy::DOUBLE
+                               - sy::DOUBLE * sy::DOUBLE))
+                     * 1e6) AS BIGINT) AS r_micro
+            FROM m
+        """,
         "stream_funnel": """
             WITH e AS (
               SELECT user_id, ts, event_type FROM events

@@ -1203,3 +1203,78 @@ def scc(
     if assigned is None:
         return nodes.select("node", F.col("node").alias("scc")).limit(0)
     return assigned
+
+
+def assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of the
+    endpoint degrees over all edges — do hubs link hubs (r > 0, e.g.
+    collaboration graphs) or leaves (r < 0, the web's typical shape)?
+
+    Exact-integer discipline: the five Pearson moments (Σx, Σy, Σxy,
+    Σx², Σy²) are accumulated as BIGINT sums of exact degree
+    products, so both engines agree bit-for-bit regardless of
+    aggregation order; the only float step is the one final Pearson
+    division on identical operands, rounded to micros. Returned
+    alongside r so the certificate pins the exact moments, not just
+    the rounded ratio.
+
+    Plan at scale: one hash-agg degree table (map-side combine),
+    joined to the edge list on each endpoint — co-partitioned equi
+    joins, AQE broadcasts the degree table when small — and ONE final
+    aggregate. Parallel edges count once per occurrence (multigraph
+    semantics, the standard convention). ``undirected`` mirrors every
+    edge so (x, y) and (y, x) both contribute and r is symmetric.
+    """
+    e = edges.select(src, dst)
+    if undirected:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias(src), F.col(src).alias(dst)
+            )
+        )
+    # endpoint-degree tables: with the undirected mirror both equal
+    # the full degree; directed keeps the standard out→in convention
+    deg_x = e.groupBy(src).agg(
+        F.count(F.lit(1)).cast("long").alias("dx")
+    ).withColumnRenamed(src, "_sn")
+    deg_y = e.groupBy(dst).agg(
+        F.count(F.lit(1)).cast("long").alias("dy")
+    ).withColumnRenamed(dst, "_dn")
+    paired = (
+        e.join(deg_x, F.col(src) == F.col("_sn"))
+        .drop("_sn")
+        .join(deg_y, F.col(dst) == F.col("_dn"))
+        .drop("_dn")
+    )
+    m = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(num / (F.sqrt(varx) * F.sqrt(vary)) * 1e6),
+        )
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("r_micro"),
+    )

@@ -181,3 +181,40 @@ def test_sssp_multi_source_and_negative_filtered(spark):
     out = {r.node: r.dist for r in sssp(edges, seeds, n_rounds=3).collect()}
     # nearest seed wins; the negative edge is dropped, not traversed
     assert out == {0: 0, 9: 0, 1: 1}
+
+
+def test_assortativity_known_graphs(spark):
+    from serd_spark.operators.graph import assortativity
+
+    # star graph: hub degree 4, leaves degree 1 -> strongly negative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    r = assortativity(star).collect()[0]
+    assert r["n"] == 8 and r["r_micro"] == -1_000_000
+    # two disjoint equal-degree cliques (triangles): every endpoint
+    # degree equal -> zero variance -> r undefined (null)
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)],
+        "src long, dst long",
+    )
+    r2 = assortativity(tri).collect()[0]
+    assert r2["r_micro"] is None and r2["n"] == 12
+    # python replay on a mixed graph
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5)]
+    mixed = spark.createDataFrame(edges, "src long, dst long")
+    got = assortativity(mixed).collect()[0]
+    und = edges + [(b, a) for a, b in edges]
+    from collections import Counter
+
+    deg = Counter(a for a, _ in und)
+    xs = [deg[a] for a, b in und]
+    ys = [deg[b] for a, b in und]
+    n = len(und)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) ** 0.5) * ((n * syy - sy * sy) ** 0.5)
+    assert got["r_micro"] == round(num / den * 1e6)
+    assert (got["sx"], got["sxy"], got["sxx"]) == (sx, sxy, sxx)
