@@ -4737,6 +4737,43 @@ def q_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT derivation fixpoint (sources/warc.py::wat_payload +
+    write_wat/read_wat): per-page metadata JSON — url, title, href
+    links — derived entirely JVM-side, written as Common-Crawl-style
+    .wat metadata shards and read back. Per url the round-tripped
+    JSON must md5-match the freshly-derived table (determinism +
+    writer/parser integrity) and re-parse as JSON with the declared
+    shape (links count extracted via from_json)."""
+    import shutil
+
+    from serd_spark.sources.warc import read_wat, wat_payload, write_wat
+
+    src = _pages(spark, sf_dir).select(
+        "url", "warc_ts", wat_payload().alias("wat")
+    )
+    _materialize(sf_dir, "wat_src", lambda: src)
+    out = os.path.join(
+        "/tmp/serd_spark_wat", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_wat(src, out, n_files=8).collect()
+    back = read_wat(spark, out + "/*.wat")
+    links = F.from_json(
+        "wat", "struct<url:string,title:string,links:array<string>>"
+    )["links"]
+    return (
+        back.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.md5(F.encode("wat", "UTF-8"))).alias("h_min"),
+            F.max(F.md5(F.encode("wat", "UTF-8"))).alias("h_max"),
+            F.sum(F.size(links)).cast("long").alias("n_links"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (bitext.py::bitext_mine — the
     LASER/CCMatrix ratio-margin recipe) across the even/odd halves of
@@ -5692,6 +5729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_length_batches": q_length_batches,
         "stream_funnel": stream_funnel,
         "q_assortativity": q_assortativity,
+        "q_wat": q_wat,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -8197,6 +8235,16 @@ def oracle_sql() -> dict[str, str]:
                           // greatest(words, 1::BIGINT)
                         - 15590000 AS BIGINT) AS grade_u
             FROM s ORDER BY doc_id
+        """,
+        "q_wat": f"""
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(md5(wat)) AS h_min,
+                   MAX(md5(wat)) AS h_max,
+                   CAST(SUM(len(CAST(
+                     json_extract(wat, '$.links') AS VARCHAR[]
+                   ))) AS BIGINT) AS n_links
+            FROM read_parquet('{ORACLE_DIR}/sf0.01/wat_src/*.parquet')
+            GROUP BY url ORDER BY url
         """,
         "q_wet": f"""
             SELECT url, CAST(COUNT(*) AS BIGINT) AS n,

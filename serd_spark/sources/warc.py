@@ -358,3 +358,116 @@ def write_warc(
     return df.mapInPandas(
         write_parts, schema="file string, n_records long, n_bytes long"
     )
+
+
+def wat_payload(url_col: str = "url", html_col: str = "html"):
+    """The WAT metadata JSON for a page, derived entirely JVM-side:
+    ``{"url", "title", "links"}`` with the title from the first
+    <title> block and links from every href attribute (the
+    corpus.host_graph regex — ASCII markup survives the lossy binary
+    cast byte-exactly). ``to_json`` over a struct gives a
+    deterministic field order and escaping, so the artifact is a
+    pure function of (url, page bytes)."""
+    page = F.col(html_col).cast("string")
+    return F.to_json(
+        F.struct(
+            F.col(url_col).alias("url"),
+            F.regexp_extract(page, r"(?s)<title>(.*?)</title>", 1).alias(
+                "title"
+            ),
+            F.regexp_extract_all(
+                page, F.lit(r'href="([^"]*)"'), 1
+            ).alias("links"),
+        )
+    )
+
+
+def wat_record(url: str, ts: datetime, wat_json: str) -> bytes:
+    """One WAT metadata record: per-page derived metadata JSON as a
+    ``WARC-Type: metadata`` record (identity JSON payload)."""
+    body = wat_json.encode("utf-8")
+    head = (
+        WARC_VERSION + _CRLF
+        + b"WARC-Type: metadata" + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Date: " + _warc_date(ts).encode() + _CRLF
+        + b"Content-Type: application/json" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _HDR_END
+    )
+    return head + body + _CRLF + _CRLF
+
+
+def read_wat(
+    spark: SparkSession, path: str, lax: bool = True
+) -> DataFrame:
+    """Scan WAT shard files into (url, warc_ts, wat) — metadata
+    records with the JSON payload decoded as UTF-8."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_url: list[str] = []
+            c_ts: list[datetime] = []
+            c_wat: list[str] = []
+            for content in pdf["content"]:
+                recs, _errs = parse_warc(
+                    bytes(content), lax=lax, want_type="metadata"
+                )
+                for url, ts, body in recs:
+                    c_url.append(url)
+                    c_ts.append(ts)
+                    c_wat.append(body.decode("utf-8", errors="replace"))
+            yield pd.DataFrame(
+                {"url": c_url, "warc_ts": c_ts, "wat": c_wat}
+            )
+
+    return files.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, wat string"
+    )
+
+
+def write_wat(
+    pages: DataFrame, out_dir: str, n_files: int = 8
+) -> DataFrame:
+    """Write (url, warc_ts, wat) rows as WAT metadata shards —
+    ``write_warc``'s deterministic sharding/ordering over the
+    derived-metadata artifact. Callers derive ``wat`` with
+    ``wat_payload`` (or any deterministic JSON column)."""
+    os.makedirs(out_dir, exist_ok=True)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast("long")
+        % n_files
+    )
+    df = (
+        pages.select("url", "warc_ts", "wat")
+        .withColumn("_shard", shard)
+        .repartition(n_files, "_shard")
+        .sortWithinPartitions("_shard", "url", "warc_ts")
+    )
+
+    def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bufs: dict[int, list[bytes]] = {}
+        for pdf in batches:
+            for url, ts, wat, sh in zip(
+                pdf["url"], pdf["warc_ts"], pdf["wat"], pdf["_shard"]
+            ):
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                bufs.setdefault(int(sh), []).append(
+                    wat_record(str(url), ts, str(wat))
+                )
+        c_file, c_recs, c_bytes = [], [], []
+        for sh, recs in sorted(bufs.items()):
+            name = f"shard-{sh:05d}.warc.wat"
+            data = warcinfo_record(name) + b"".join(recs)
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(data)
+            c_file.append(name)
+            c_recs.append(len(recs))
+            c_bytes.append(len(data))
+        yield pd.DataFrame(
+            {"file": c_file, "n_records": c_recs, "n_bytes": c_bytes}
+        )
+
+    return df.mapInPandas(
+        write_parts, schema="file string, n_records long, n_bytes long"
+    )

@@ -140,3 +140,40 @@ def test_wet_write_read_fixpoint(spark, tmp_path):
     a = sorted((r.url, r.warc_ts, r.text) for r in back.collect())
     want = sorted((u, t.replace(tzinfo=None), x) for u, t, x in rows)
     assert a == want
+
+
+def test_wat_payload_and_fixpoint(spark, tmp_path):
+    import json
+
+    from serd_spark.sources.warc import read_wat, wat_payload, write_wat
+
+    html = (
+        '<html><head><title>Pagé «42»</title></head><body>'
+        '<a href="http://a.example/x">x</a>'
+        '<a class="z" href="/rel?q=1&r=2">rel</a></body></html>'
+    ).encode("utf-8")
+    pages = spark.createDataFrame(
+        [("http://h/1", TS, html), ("http://h/2", TS, b"<p>no links</p>")],
+        "url string, warc_ts timestamp, html binary",
+    )
+    src = pages.select("url", "warc_ts", wat_payload().alias("wat"))
+    rows = {r["url"]: json.loads(r["wat"]) for r in src.collect()}
+    assert rows["http://h/1"] == {
+        "url": "http://h/1",
+        "title": "Pagé «42»",
+        "links": ["http://a.example/x", "/rel?q=1&r=2"],
+    }
+    assert rows["http://h/2"] == {
+        "url": "http://h/2", "title": "", "links": [],
+    }
+
+    out = str(tmp_path / "wat")
+    write_wat(src, out, n_files=2).collect()
+    back = sorted(
+        (r.url, r.warc_ts, r.wat)
+        for r in read_wat(spark, out + "/*.wat").collect()
+    )
+    want = sorted(
+        (r.url, TS.replace(tzinfo=None), r.wat) for r in src.collect()
+    )
+    assert back == want
