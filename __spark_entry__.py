@@ -2271,6 +2271,41 @@ def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql_query(_kg_triples(spark, sf_dir), q)
 
 
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update (plans/sparql.py::sparql_update): rename
+    every relatedLink edge to seeAlso in one DELETE/INSERT/WHERE —
+    WHERE solutions instantiate both templates via the CONSTRUCT
+    machinery (evaluated against the ORIGINAL graph, per spec), then
+    one anti-join removes the delete set and one dedup'd union
+    appends the inserts. Output is the updated store's per-predicate
+    counts + content pin; the oracle replays the whole rewrite
+    set-wise in SQL from the materialized triples."""
+    from serd_spark.plans.sparql import sparql_update
+
+    _materialize_triples(spark, sf_dir)
+    store = _kg_triples(spark, sf_dir).select("s", "p", "o").distinct()
+    q = """
+    PREFIX s: <http://schema.org/>
+    DELETE { ?x s:relatedLink ?y }
+    INSERT { ?x <http://www.w3.org/2000/01/rdf-schema#seeAlso> ?y }
+    WHERE { ?x s:relatedLink ?y }
+    """
+    out = sparql_update(store, q)
+    pin = F.conv(
+        F.substring(F.md5(F.concat_ws("\u0001", "s", "o")), 1, 10),
+        16,
+        10,
+    ).cast("long")
+    return (
+        out.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(pin).cast("long").alias("pin"),
+        )
+        .orderBy("p")
+    )
+
+
 def q_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-graph (quad) semantics: TriG islands put their triples
     in per-document named graphs while every other syntax lands in
@@ -5730,6 +5765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": stream_funnel,
         "q_assortativity": q_assortativity,
         "q_wat": q_wat,
+        "q_sparql_update": q_sparql_update,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -8235,6 +8271,42 @@ def oracle_sql() -> dict[str, str]:
                           // greatest(words, 1::BIGINT)
                         - 15590000 AS BIGINT) AS grade_u
             FROM s ORDER BY doc_id
+        """,
+        "q_sparql_update": f"""
+            WITH store AS (
+              SELECT DISTINCT s, p, o
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/triples/*.parquet')
+            ), sol AS (
+              SELECT s AS x, o AS y FROM store
+              WHERE p = 'http://schema.org/relatedLink'
+            ), kept AS (
+              SELECT st.s, st.p, st.o FROM store st
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sol
+                WHERE st.s = sol.x
+                  AND st.p = 'http://schema.org/relatedLink'
+                  AND st.o = sol.y
+              )
+            ), ins AS (
+              SELECT DISTINCT x AS s,
+                     'http://www.w3.org/2000/01/rdf-schema#seeAlso'
+                       AS p,
+                     y AS o
+              FROM sol
+            ), fresh AS (
+              SELECT i.s, i.p, i.o FROM ins i
+              WHERE NOT EXISTS (
+                SELECT 1 FROM kept k
+                WHERE k.s = i.s AND k.p = i.p AND k.o = i.o
+              )
+            ), updated AS (
+              SELECT * FROM kept UNION ALL SELECT * FROM fresh
+            )
+            SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST('0x' || substr(md5(
+                     concat_ws(chr(1), s, o)), 1, 10) AS BIGINT))
+                     AS BIGINT) AS pin
+            FROM updated GROUP BY p ORDER BY p
         """,
         "q_wat": f"""
             SELECT url, CAST(COUNT(*) AS BIGINT) AS n,

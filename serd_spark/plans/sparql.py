@@ -1280,3 +1280,65 @@ def sparql_query(triples: DataFrame, q: str) -> DataFrame:
     if ast["limit"] is not None:
         plan = plan.limit(ast["limit"])
     return plan
+
+
+def sparql_update(triples: DataFrame, q: str) -> DataFrame:
+    """SPARQL 1.1 Update, the ``DELETE {} INSERT {} WHERE {}`` family
+    (either template block optional, at least one required) — the
+    graph-maintenance face of the compiler: WHERE solutions
+    instantiate the delete/insert templates exactly as CONSTRUCT
+    does, then the store is rewritten set-wise.
+
+    Compilation is BY COMPOSITION: each template block is compiled as
+    a ``CONSTRUCT { tmpl } WHERE { … }`` over the same WHERE text, so
+    every pattern feature the query compiler supports (OPTIONAL,
+    FILTER, MINUS, property paths, …) works in updates for free, and
+    the update inherits the compiler's scope/determinism rules.
+
+    Application plan at scale: one left-anti join removes the delete
+    set (solution-set-sized build side — AQE broadcasts it), one
+    left-anti dedups the insert set against the surviving store, one
+    union appends. The store itself is NEVER distinct'd or re-sorted;
+    a set-valued store stays a set (callers with multiset stores
+    dedup first — documented).
+
+    ``INSERT DATA { … }``/``DELETE DATA { … }`` (constant triples, no
+    WHERE) are not parsed — express them as a union/anti-join with a
+    literal DataFrame; the WHERE forms are the distributed-rewrite
+    case this operator exists for.
+
+    Returns the updated (s, p, o) DataFrame.
+    """
+    import re as _re
+
+    text = q.strip()
+    m = _re.match(
+        r"(?is)^\s*((?:PREFIX\s+[^\s]+\s+<[^>]*>\s*)*)"
+        r"(?:DELETE\s*\{(?P<d>[^{}]*)\})?\s*"
+        r"(?:INSERT\s*\{(?P<i>[^{}]*)\})?\s*"
+        r"WHERE\s*(?P<w>\{.*\})\s*$",
+        text,
+    )
+    if not m:
+        raise SparqlError(
+            "unsupported update form (expected [PREFIX…] "
+            "[DELETE {tmpl}] [INSERT {tmpl}] WHERE {…})"
+        )
+    prefixes = m.group(1) or ""
+    d_tmpl, i_tmpl, where = m.group("d"), m.group("i"), m.group("w")
+    if d_tmpl is None and i_tmpl is None:
+        raise SparqlError("update needs a DELETE or INSERT template")
+
+    def inst(tmpl: str) -> DataFrame:
+        return sparql_query(
+            triples, f"{prefixes} CONSTRUCT {{ {tmpl} }} WHERE {where}"
+        )
+
+    keys = ["s", "p", "o"]
+    store = triples.select(*keys)
+    if d_tmpl is not None:
+        store = store.join(inst(d_tmpl), keys, "left_anti")
+    if i_tmpl is not None:
+        fresh = inst(i_tmpl).join(store, keys, "left_anti")
+        store = store.unionByName(fresh)
+    return store

@@ -976,3 +976,74 @@ def test_subselect_inherits_outer_prefixes(spark):
     }"""
     got = [r.x for r in sparql_query(_triples(spark), q).collect()]
     assert got == ["http://ex.org/b"]
+
+
+def test_sparql_update_delete_insert(spark):
+    from serd_spark.plans.sparql import SparqlError, sparql_update
+
+    store = spark.createDataFrame(
+        [
+            ("a", "http://x/rel", "b"),
+            ("a", "http://x/name", "A"),
+            ("c", "http://x/rel", "d"),
+            # pre-existing seeAlso: insert must not duplicate it
+            ("a", "http://x/see", "b"),
+        ],
+        "s string, p string, o string",
+    )
+    q = """
+    DELETE { ?x <http://x/rel> ?y }
+    INSERT { ?x <http://x/see> ?y }
+    WHERE { ?x <http://x/rel> ?y }
+    """
+    got = sorted(map(tuple, sparql_update(store, q).collect()))
+    assert got == sorted(
+        [
+            ("a", "http://x/name", "A"),
+            ("a", "http://x/see", "b"),
+            ("c", "http://x/see", "d"),
+        ]
+    )
+    # DELETE-only and INSERT-only forms
+    only_del = sparql_update(
+        store, "DELETE { ?x <http://x/rel> ?y } WHERE { ?x <http://x/rel> ?y }"
+    )
+    assert only_del.count() == 2
+    only_ins = sparql_update(
+        store, "INSERT { ?y <http://x/invrel> ?x } WHERE { ?x <http://x/rel> ?y }"
+    )
+    assert only_ins.count() == 6
+    # WHERE evaluated against the ORIGINAL graph: a delete that would
+    # erase its own WHERE matches still applies to all of them
+    import pytest
+
+    with pytest.raises(SparqlError):
+        sparql_update(store, "WHERE { ?x ?p ?y }")
+
+
+def test_sparql_update_where_features_compose(spark):
+    from serd_spark.plans.sparql import sparql_update
+
+    store = spark.createDataFrame(
+        [
+            ("a", "http://x/rel", "b"),
+            ("b", "http://x/flag", "1"),
+            ("c", "http://x/rel", "d"),
+        ],
+        "s string, p string, o string",
+    )
+    # FILTER/second-pattern constraints flow through: only edges whose
+    # target carries the flag are rewritten
+    q = """
+    DELETE { ?x <http://x/rel> ?y }
+    INSERT { ?x <http://x/frel> ?y }
+    WHERE { ?x <http://x/rel> ?y . ?y <http://x/flag> ?f }
+    """
+    got = sorted(map(tuple, sparql_update(store, q).collect()))
+    assert got == sorted(
+        [
+            ("a", "http://x/frel", "b"),
+            ("b", "http://x/flag", "1"),
+            ("c", "http://x/rel", "d"),
+        ]
+    )
