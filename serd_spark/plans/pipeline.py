@@ -85,10 +85,35 @@ def committed_runs(warehouse: str) -> list[str]:
     )
 
 
+def visible_runs(
+    warehouse: str, as_of_run: str | None = None
+) -> list[str]:
+    """Committed snapshots minus those REPLACED by a later committed
+    compaction manifest (``expire_snapshots``) — the Iceberg snapshot
+    model: a base manifest's ``replaces`` list supersedes old runs the
+    instant its one manifest file lands, so replace-then-vacuum needs
+    no multi-file atomicity. ``as_of_run`` time-travels: only
+    manifests committed at-or-before it count, including for
+    replacement (a compaction committed later cannot hide runs from
+    an earlier as-of view)."""
+    runs = committed_runs(warehouse)
+    if as_of_run is not None:
+        runs = [r for r in runs if r <= as_of_run]
+    replaced: set[str] = set()
+    for r in runs:
+        try:
+            with open(_manifest_path(warehouse, r)) as f:
+                replaced.update(json.load(f).get("replaces", []))
+        except (OSError, json.JSONDecodeError):
+            # unreadable manifest: treat as non-replacing, not fatal
+            continue
+    return [r for r in runs if r not in replaced]
+
+
 def done_urls(spark: SparkSession, warehouse: str) -> DataFrame | None:
     """Urls already processed by committed snapshots (the resume
     high-water mark)."""
-    runs = committed_runs(warehouse)
+    runs = visible_runs(warehouse)
     if not runs:
         return None
     paths = [
@@ -268,8 +293,8 @@ def run_pipeline(
             f,
         )
 
-    # --- graph materialization over ALL committed snapshots ------------
-    runs = committed_runs(warehouse)
+    # --- graph materialization over all VISIBLE snapshots --------------
+    runs = visible_runs(warehouse)
     all_ext = spark.read.parquet(
         *[os.path.join(warehouse, "extracted", f"snapshot={r}") for r in runs]
     )
@@ -318,9 +343,7 @@ def read_extracted(
     warehouse's manifest layout: only snapshots whose manifest was
     committed at-or-before ``as_of_run`` (run ids sort
     chronologically) are visible."""
-    runs = committed_runs(warehouse)
-    if as_of_run is not None:
-        runs = [r for r in runs if r <= as_of_run]
+    runs = visible_runs(warehouse, as_of_run)
     if not runs:
         raise FileNotFoundError(f"no committed snapshots in {warehouse}")
     return spark.read.parquet(
@@ -333,3 +356,100 @@ def read_triples(
 ) -> DataFrame:
     """Triples as of a committed snapshot (time travel)."""
     return triples_only(read_extracted(spark, warehouse, as_of_run))
+
+
+def expire_snapshots(
+    spark: SparkSession, warehouse: str, keep_last: int
+) -> str | None:
+    """Snapshot expiration with data preservation — the Iceberg
+    rewrite-then-replace maintenance op: the oldest visible snapshots
+    (all but the newest ``keep_last``) are consolidated into ONE base
+    snapshot whose manifest lists them in ``replaces``. The visible
+    table is IDENTICAL before and after (extracted rows and lineage
+    both travel to the base); what's traded away is per-run time
+    travel into the replaced range, once ``vacuum`` reclaims it.
+
+    Crash safety inherits the warehouse's single-commit-point rule:
+    base data and lineage land first, the base manifest is written
+    LAST — a crash before that leaves only orphan base files (invisible
+    and harmless, re-written by a retry); the moment the manifest
+    lands, the old runs are superseded atomically. The replaced runs'
+    files stay on disk for as-of reads until ``vacuum``.
+
+    Returns the base run id, or None when there is nothing to expire.
+    The base id is ``<newest-replaced>-c`` — run ids are equal-width
+    timestamps, so it sorts after everything it replaces and before
+    every kept run, keeping as-of semantics monotone.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    runs = visible_runs(warehouse)
+    if len(runs) <= keep_last:
+        return None
+    old = runs[: len(runs) - keep_last]
+    base_id = old[-1] + "-c"
+
+    ext = spark.read.parquet(
+        *[os.path.join(warehouse, "extracted", f"snapshot={r}") for r in old]
+    )
+    ext.write.mode("overwrite").parquet(
+        os.path.join(warehouse, "extracted", f"snapshot={base_id}")
+    )
+    lin_paths = [
+        p
+        for r in old
+        if os.path.isdir(
+            p := os.path.join(warehouse, "lineage", f"snapshot={r}")
+        )
+    ]
+    if lin_paths:
+        spark.read.parquet(*lin_paths).write.mode("overwrite").parquet(
+            os.path.join(warehouse, "lineage", f"snapshot={base_id}")
+        )
+
+    totals = {"pages_in": 0, "triples_out": 0, "bad_docs": 0}
+    for r in old:
+        try:
+            with open(_manifest_path(warehouse, r)) as f:
+                m = json.load(f)
+            for k in totals:
+                totals[k] += int(m.get(k, 0))
+        except (OSError, json.JSONDecodeError):
+            continue
+    # commit point — written only after base data + lineage landed
+    with open(_manifest_path(warehouse, base_id), "w") as f:
+        json.dump(
+            {"run_id": base_id, "replaces": old, **totals}, f
+        )
+    return base_id
+
+
+def vacuum(warehouse: str) -> list[str]:
+    """Reclaim replaced snapshots: delete the data, lineage and
+    manifest of every run superseded by a committed compaction
+    manifest. Irreversible — as-of reads into the replaced range stop
+    resolving (the documented Iceberg expire-snapshots trade). Safe
+    to run any time: only runs whose replacement is already committed
+    are touched."""
+    import shutil
+
+    runs = committed_runs(warehouse)
+    replaced: set[str] = set()
+    for r in runs:
+        try:
+            with open(_manifest_path(warehouse, r)) as f:
+                replaced.update(json.load(f).get("replaces", []))
+        except (OSError, json.JSONDecodeError):
+            continue
+    gone = sorted(replaced & set(runs))
+    for r in gone:
+        for sub in ("extracted", "lineage"):
+            shutil.rmtree(
+                os.path.join(warehouse, sub, f"snapshot={r}"),
+                ignore_errors=True,
+            )
+        try:
+            os.remove(_manifest_path(warehouse, r))
+        except OSError:
+            pass
+    return gone

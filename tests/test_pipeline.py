@@ -184,3 +184,83 @@ def test_convert_files_roundtrip(spark, tmp_path):
     assert len(rows) == 2
     all_nt = "\n".join(r.nt for r in rows)
     assert "</script> stays" in all_nt
+
+
+def test_expire_snapshots_and_vacuum(spark, warehouse):
+    from serd_spark.plans.pipeline import (
+        expire_snapshots,
+        read_triples,
+        vacuum,
+        visible_runs,
+    )
+
+    for k, n in (("r1", 60), ("r2", 120), ("r3", 160)):
+        run_pipeline(
+            spark,
+            synthesize_pages(spark, n, seed=42),
+            warehouse,
+            k,
+            n_buckets=4,
+            min_hub_refs=3,
+            link=False,
+        )
+    before = sorted(
+        map(tuple, read_triples(spark, warehouse).collect())
+    )
+    as_of_r1 = sorted(
+        map(tuple, read_triples(spark, warehouse, as_of_run="r1").collect())
+    )
+
+    base = expire_snapshots(spark, warehouse, keep_last=1)
+    assert base == "r2-c"
+    assert visible_runs(warehouse) == ["r2-c", "r3"]
+    # full committed history still on disk until vacuum
+    assert committed_runs(warehouse) == ["r1", "r2", "r2-c", "r3"]
+
+    # the visible table is IDENTICAL after consolidation
+    after = sorted(map(tuple, read_triples(spark, warehouse).collect()))
+    assert after == before
+    # as-of BEFORE the compaction still resolves (manifests retained)
+    still_r1 = sorted(
+        map(tuple, read_triples(spark, warehouse, as_of_run="r1").collect())
+    )
+    assert still_r1 == as_of_r1
+    # the base participates in as-of at its own id
+    base_view = sorted(
+        map(
+            tuple,
+            read_triples(spark, warehouse, as_of_run="r2-c").collect(),
+        )
+    )
+    assert base_view == sorted(
+        map(
+            tuple,
+            read_triples(spark, warehouse, as_of_run="r2").collect(),
+        )
+    )
+
+    # lineage traveled: totals over visible snapshots are unchanged
+    lin = spark.read.parquet(
+        os.path.join(warehouse, "lineage/snapshot=r2-c")
+    )
+    assert lin.agg(F.sum("triples_out")).collect()[0][0] > 0
+
+    # resume sees the consolidated urls (no re-extraction)
+    r4 = run_pipeline(
+        spark,
+        synthesize_pages(spark, 160, seed=42),
+        warehouse,
+        "r4",
+        n_buckets=4,
+        min_hub_refs=3,
+        link=False,
+    )
+    assert r4.pages_in == 0
+
+    gone = vacuum(warehouse)
+    assert gone == ["r1", "r2"]
+    assert committed_runs(warehouse) == ["r2-c", "r3", "r4"]
+    final = sorted(map(tuple, read_triples(spark, warehouse).collect()))
+    assert final == before
+    # nothing left to expire at keep_last=3
+    assert expire_snapshots(spark, warehouse, keep_last=3) is None
