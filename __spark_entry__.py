@@ -4677,6 +4677,71 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE driven end-to-end
+    (streaming/incremental.streaming_upsert_sink): raw pages with
+    re-crawl duplicates flow through a multi-batch availableNow
+    stream whose foreachBatch body upserts latest-wins winners into
+    a bucket-partitioned keyed table. Files are NOT url-colocated —
+    a url's re-crawls may land in different micro-batches in either
+    order, and the conditional merge (max (warc_ts, xxhash64) over
+    existing ∪ batch) makes the final table equal batch latest_crawl
+    anyway. The oracle replays arg_max per url over the materialized
+    raw pages."""
+    import shutil
+
+    from serd_spark.sources.pages import synthesize_pages
+    from serd_spark.streaming.incremental import (
+        stream_pages,
+        streaming_upsert_sink,
+    )
+
+    n = max(100, _n_pages(sf_dir) // 4)
+    base = os.path.join(
+        "/tmp/serd_spark_stream_upsert",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    pages_dir = os.path.join(base, "pages")
+    tbl = os.path.join(base, "tbl")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    _ensure_shipped(spark)
+    synthesize_pages(spark, n, seed=42).repartition(6).write.parquet(
+        pages_dir
+    )
+
+    src = stream_pages(
+        spark, pages_dir, max_files_per_trigger=2
+    ).withColumn("_h", F.xxhash64("html"))
+    sink = streaming_upsert_sink(
+        spark, tbl, key="url", order_cols=["warc_ts", "_h"], n_buckets=8
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _materialize(
+        sf_dir, "upsert_raw_pages",
+        lambda: spark.read.parquet(pages_dir).select(
+            "url", "warc_ts", F.md5("html").alias("hmd5")
+        ),
+    )
+    return (
+        spark.read.parquet(tbl)
+        .select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "ts"
+            ),
+            F.md5("html").alias("hmd5"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching (packing.py::length_batches): docs
     grouped into fixed-count batches of similar token length so
@@ -5766,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assortativity": q_assortativity,
         "q_wat": q_wat,
         "q_sparql_update": q_sparql_update,
+        "stream_upsert": stream_upsert,
         # SQL-oracled relational + training-data ops
         "q_filter_project": q_filter_project,
         "q_agg_pricing": q_agg_pricing,
@@ -8271,6 +8337,15 @@ def oracle_sql() -> dict[str, str]:
                           // greatest(words, 1::BIGINT)
                         - 15590000 AS BIGINT) AS grade_u
             FROM s ORDER BY doc_id
+        """,
+        "stream_upsert": f"""
+            SELECT url,
+                   strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS ts,
+                   ARG_MAX(hmd5, warc_ts) AS hmd5
+            FROM read_parquet(
+              '{ORACLE_DIR}/sf0.01/upsert_raw_pages/*.parquet')
+            GROUP BY url ORDER BY url
         """,
         "q_sparql_update": f"""
             WITH store AS (

@@ -663,3 +663,65 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_upsert_sink(
+    spark,
+    path: str,
+    key: str,
+    order_cols: list[str],
+    n_buckets: int = 16,
+):
+    """foreachBatch body that MERGEs each micro-batch into a keyed
+    parquet table (operators/materialize.upsert_keyed_table) with
+    LATEST-WINS conflict resolution: per key, the surviving row is
+    the max of ``order_cols`` over (existing row ∪ batch rows) — so
+    the final table equals the batch ``latest_crawl`` answer
+    REGARDLESS of arrival order (unlike first-arrival stateful dedup,
+    a late re-delivery of an old crawl can never clobber a newer row).
+
+    Exactly-once comes from idempotence, not fencing: winners are a
+    deterministic pure function of (existing, batch) rows — replaying
+    a checkpointed batch after a crash merges the identical winners
+    onto an identical-or-newer table, a no-op. Cost per batch is the
+    upsert's O(delta + affected buckets), never O(table).
+
+    Callers pass ``order_cols`` per the repo's dedup-key rule —
+    e.g. ["warc_ts", "_h"] with ``_h = xxhash64(html)`` computed
+    JVM-side upstream (CLAUDE.md: the streaming/batch dedup key must
+    be identical on both paths).
+    """
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    from serd_spark.operators.materialize import (
+        upsert_keyed_table,
+        write_keyed_table,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = _W.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        winners = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not _os.path.isdir(path):
+            write_keyed_table(winners, path, key, n_buckets=n_buckets)
+            return
+        existing = spark.read.parquet(path).drop("kbucket")
+        relevant = existing.join(
+            winners.select(key).distinct(), key, "left_semi"
+        )
+        merged = (
+            relevant.unionByName(winners)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upsert_keyed_table(spark, path, merged, key, n_buckets=n_buckets)
+
+    return sink

@@ -668,3 +668,71 @@ def test_streaming_funnel_chains_across_batches(spark, tmp_path):
         _ts("2024-01-01 10:30:00"),
         _ts("2024-01-01 11:00:00"),
     )
+
+
+def test_streaming_upsert_latest_wins_out_of_order(spark, tmp_path):
+    """Conditional streaming MERGE: the NEWER crawl arrives in an
+    EARLIER micro-batch; the old crawl's later re-delivery must not
+    clobber it — and a brand-new key in the later batch inserts."""
+    import os
+    import time as _time
+
+    from datetime import datetime
+
+    from serd_spark.streaming.incremental import streaming_upsert_sink
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    in_dir = tmp_path / "pg"
+    in_dir.mkdir()
+    batches = [
+        [("u1", _ts("2024-01-02 00:00:00"), b"new", "n", "en")],
+        [
+            ("u1", _ts("2024-01-01 00:00:00"), b"old", "o", "en"),
+            ("u2", _ts("2024-01-01 00:00:00"), b"x", "x", "en"),
+        ],
+    ]
+    for k, rows in enumerate(batches):
+        p = str(in_dir / f"b{k}.parquet")
+        spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        t = 1_700_000_000 + 1000 * k
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    _time.sleep(0.01)
+
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+        .withColumn("_h", F.xxhash64("html"))
+    )
+    tbl = str(tmp_path / "tbl")
+    sink = streaming_upsert_sink(
+        spark, tbl, key="url", order_cols=["warc_ts", "_h"], n_buckets=4
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]))
+        for r in spark.read.parquet(tbl).collect()
+    }
+    assert got == {
+        "u1": (_ts("2024-01-02 00:00:00"), b"new"),
+        "u2": (_ts("2024-01-01 00:00:00"), b"x"),
+    }
