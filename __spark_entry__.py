@@ -4794,7 +4794,7 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serd_spark.sources.pages import latest_crawl
 
     p = latest_crawl(_pages(spark, sf_dir)).select("url", "text")
-    _materialize(sf_dir, "pages_text", lambda: p)
+    _materialize(sf_dir, "pages_text_latest", lambda: p)
     out = c4_line_filters(p, text_col="text", id_col="url")
     return out.select(
         "url",
@@ -8307,7 +8307,7 @@ def oracle_sql() -> dict[str, str]:
         "q_c4_filters": f"""
             WITH p AS (
               SELECT url, string_split(text, chr(10)) AS lines
-              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_text/*.parquet')
+              FROM read_parquet('{ORACLE_DIR}/sf0.01/pages_text_latest/*.parquet')
             ), k AS (
               SELECT url, lines,
                      list_filter(lines, x ->
