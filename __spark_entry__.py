@@ -3610,39 +3610,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 (local-supplier volume) expressed through the
-    spark.sql ENTRY POINT over temp views — the SQL-API surface of
-    the engine, and the only contract query touching supplier. Six-
-    way star join with the c_nationkey = s_nationkey locality
-    predicate; revenue in per-row integer cents (the q_agg_pricing
-    money discipline). Catalyst broadcast-joins the dimension chain
-    (region → nation → supplier/customer) and shuffles only the two
-    fact tables — at 100 TB the same plan holds with lineitem/orders
-    co-bucketed on orderkey."""
-    for t in ("region", "nation", "customer", "orders", "lineitem",
-              "supplier"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
-        SELECT n_name,
-               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
-                    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-               COUNT(*) AS n_items
-        FROM v_customer
-        JOIN v_orders   ON c_custkey = o_custkey
-        JOIN v_lineitem ON l_orderkey = o_orderkey
-        JOIN v_supplier ON l_suppkey = s_suppkey
-                       AND c_nationkey = s_nationkey
-        JOIN v_nation   ON s_nationkey = n_nationkey
-        JOIN v_region   ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY n_name
-        ORDER BY revenue_cents DESC, n_name
-    """)
-
-
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl snapshot diff (corpus.py::crawl_delta — the
     delta-only-reprocessing planner). Snapshots are url-UNIQUE by
@@ -3693,6 +3660,35 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_urls"),
         F.sum(F.length("url")).cast("long").alias("sum_len"),
     ).orderBy("status")
+
+
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the spark.sql entry
+    point: top-10 highest-revenue orders not yet fully shipped as of
+    the cutoff for one market segment. The canonical
+    filter-join-aggregate-topk SQL shape: segment and date predicates
+    push to the scans, the orders→lineitem join shuffles only
+    filtered fact rows, and the ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject. Money in integer cents; explicit
+    (revenue DESC, orderkey) tie-break so top-10 is total-ordered."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM v_customer
+        JOIN v_orders   ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate <  TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate  >= TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_cents DESC, l_orderkey
+        LIMIT 10
+    """)
 
 
 def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5885,6 +5881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder": q_zorder,
         "q_stratified_sample": q_stratified_sample,
         "q_sql_q5": q_sql_q5,
+        "q_sql_q3": q_sql_q3,
         "q_crawl_delta": q_crawl_delta,
         "q_profile": q_profile,
         "stream_enrich": stream_enrich,
@@ -10225,6 +10222,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The identical SQL text modulo view names — two engines, one
         # query, per-row integer cents.
+        "q_sql_q3": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice
+                        * (1 - l_discount) * 100) AS BIGINT))
+                     AS BIGINT) AS revenue_cents,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate <  TIMESTAMP '1997-06-01 00:00:00'
+              AND l_shipdate  >= TIMESTAMP '1997-06-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, l_orderkey
+            LIMIT 10
+        """,
         "q_sql_q5": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)

@@ -189,6 +189,7 @@ def main() -> None:
         "q_readability": entrymod.q_readability,
         "q_c4_filters": entrymod.q_c4_filters,
         "q_length_batches": entrymod.q_length_batches,
+        "q_sql_q3": entrymod.q_sql_q3,
     }
 
     # warm the JVM AND the per-core Python workers once so per-query
