@@ -4732,10 +4732,15 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # _h (xxhash64, JVM-only) is materialized so the oracle can mirror
+    # the sink's FULL (warc_ts, _h) tie-break — ARG_MAX(hmd5, warc_ts)
+    # alone is nondeterministic if two crawls of one url ever share a
+    # timestamp (ADVICE r4). Fresh name: the deriving lambda changed.
     _materialize(
-        sf_dir, "upsert_raw_pages",
+        sf_dir, "upsert_raw_pages_h",
         lambda: spark.read.parquet(pages_dir).select(
-            "url", "warc_ts", F.md5("html").alias("hmd5")
+            "url", "warc_ts", F.xxhash64("html").alias("_h"),
+            F.md5("html").alias("hmd5"),
         ),
     )
     return (
@@ -8353,13 +8358,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "stream_upsert": f"""
-            SELECT url,
-                   strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f')
-                     AS ts,
-                   ARG_MAX(hmd5, warc_ts) AS hmd5
-            FROM read_parquet(
-              '{ORACLE_DIR}/sf0.01/upsert_raw_pages/*.parquet')
-            GROUP BY url ORDER BY url
+            SELECT url, ts, hmd5 FROM (
+              SELECT url,
+                     strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                     hmd5,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, _h DESC
+                     ) AS rn
+              FROM read_parquet(
+                '{ORACLE_DIR}/sf0.01/upsert_raw_pages_h/*.parquet')
+            ) WHERE rn = 1 ORDER BY url
         """,
         "q_sparql_update": f"""
             WITH store AS (

@@ -76,6 +76,24 @@ def _manifest_path(warehouse: str, run_id: str) -> str:
     return os.path.join(warehouse, "manifests", f"{run_id}.json")
 
 
+def _commit_manifest(warehouse: str, run_id: str, obj: dict) -> None:
+    """Atomically publish a manifest: write to a dot-prefixed temp file
+    (invisible to ``committed_runs``, which lists only ``*.json``) and
+    ``os.replace`` into place. A crash mid-write can therefore never
+    leave a half-written manifest that ``committed_runs`` treats as
+    committed — the commit point is the rename, which POSIX guarantees
+    atomic on one filesystem."""
+    final = _manifest_path(warehouse, run_id)
+    tmp = os.path.join(
+        os.path.dirname(final), f".{run_id}.json.tmp.{os.getpid()}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+
+
 def committed_runs(warehouse: str) -> list[str]:
     mdir = os.path.join(warehouse, "manifests")
     if not os.path.isdir(mdir):
@@ -104,9 +122,16 @@ def visible_runs(
         try:
             with open(_manifest_path(warehouse, r)) as f:
                 replaced.update(json.load(f).get("replaces", []))
-        except (OSError, json.JSONDecodeError):
-            # unreadable manifest: treat as non-replacing, not fatal
-            continue
+        except (OSError, json.JSONDecodeError) as e:
+            # A manifest that LISTS as committed but cannot be read is
+            # warehouse corruption: silently treating it as
+            # non-replacing would resurrect every run it replaces
+            # alongside the base snapshot (silent row duplication).
+            # Atomic publication (_commit_manifest) means this can only
+            # happen from post-commit damage — fail loudly.
+            raise RuntimeError(
+                f"corrupt committed manifest for run {r!r}: {e}"
+            ) from e
     return [r for r in runs if r not in replaced]
 
 
@@ -280,18 +305,19 @@ def run_pipeline(
     bad_docs = int(m["bad_docs"] or 0)
     skipped = int(m["skipped"] or 0)
 
-    # commit point: manifest written only after data+lineage landed
-    with open(_manifest_path(warehouse, run_id), "w") as f:
-        json.dump(
-            {
-                "run_id": run_id,
-                "pages_in": pages_in,
-                "triples_out": triples_n,
-                "bad_docs": bad_docs,
-                "resumed_skipped": skipped,
-            },
-            f,
-        )
+    # commit point: manifest published (atomic rename) only after
+    # data+lineage landed
+    _commit_manifest(
+        warehouse,
+        run_id,
+        {
+            "run_id": run_id,
+            "pages_in": pages_in,
+            "triples_out": triples_n,
+            "bad_docs": bad_docs,
+            "resumed_skipped": skipped,
+        },
+    )
 
     # --- graph materialization over all VISIBLE snapshots --------------
     runs = visible_runs(warehouse)
@@ -416,11 +442,12 @@ def expire_snapshots(
                 totals[k] += int(m.get(k, 0))
         except (OSError, json.JSONDecodeError):
             continue
-    # commit point — written only after base data + lineage landed
-    with open(_manifest_path(warehouse, base_id), "w") as f:
-        json.dump(
-            {"run_id": base_id, "replaces": old, **totals}, f
-        )
+    # commit point — published (atomic rename) only after base data +
+    # lineage landed; a crash mid-write can never leave a truncated
+    # manifest that makes base AND replaced runs visible together
+    _commit_manifest(
+        warehouse, base_id, {"run_id": base_id, "replaces": old, **totals}
+    )
     return base_id
 
 

@@ -190,7 +190,10 @@ def parse_warc(
             except ValueError:
                 pos = fail(start, f"unparseable WARC-Date {date!r}")
                 continue
-            if payload.startswith(b"HTTP/"):
+            # Only 'response' records carry an HTTP envelope; WET
+            # conversion / WAT metadata payloads are identity even when
+            # their text happens to start with "HTTP/".
+            if want_type == "response" and payload.startswith(b"HTTP/"):
                 cut = payload.find(_HDR_END)
                 body = payload[cut + len(_HDR_END) :] if cut != -1 else b""
             else:  # identity payload (no HTTP envelope)

@@ -623,7 +623,11 @@ def streaming_funnel(
             idx.alias("_k"),
         )
     )
-    out_schema = f"{user_col} long, " + ", ".join(
+    # Key column keeps the stream's own type (string user ids are as
+    # valid as longs) — hardcoding `long` here broke any non-Long key
+    # at the applyInPandasWithState schema check.
+    user_dt = events_stream.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {user_dt}, " + ", ".join(
         f"t_{k + 1} timestamp" for k in range(n)
     )
 

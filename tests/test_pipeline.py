@@ -264,3 +264,53 @@ def test_expire_snapshots_and_vacuum(spark, warehouse):
     assert final == before
     # nothing left to expire at keep_last=3
     assert expire_snapshots(spark, warehouse, keep_last=3) is None
+
+
+def test_corrupt_committed_manifest_raises(spark, warehouse):
+    """ADVICE r4: a manifest that LISTS as committed but cannot be
+    parsed is warehouse corruption — visible_runs must fail loudly,
+    not silently resurrect runs an unreadable compaction replaced."""
+    import pytest as _pytest
+
+    from serd_spark.plans.pipeline import visible_runs
+
+    run_pipeline(
+        spark, synthesize_pages(spark, 40, seed=42), warehouse, "r1",
+        n_buckets=4, min_hub_refs=3, link=False,
+    )
+    assert visible_runs(warehouse) == ["r1"]
+    mpath = os.path.join(warehouse, "manifests", "r1.json")
+    with open(mpath, "w") as f:
+        f.write('{"run_id": "r1", "replaces": ["r0')  # truncated
+    with _pytest.raises(RuntimeError, match="corrupt committed manifest"):
+        visible_runs(warehouse)
+
+
+def test_manifest_commit_is_atomic_rename(warehouse):
+    """_commit_manifest publishes via temp + os.replace: mid-write
+    temp files are never listed as committed, and the landed manifest
+    parses whole."""
+    import json as _json
+
+    from serd_spark.plans.pipeline import (
+        _commit_manifest,
+        committed_runs,
+    )
+
+    os.makedirs(os.path.join(warehouse, "manifests"), exist_ok=True)
+    # a stray temp file from a crashed writer must be invisible
+    with open(
+        os.path.join(warehouse, "manifests", ".rX.json.tmp.999"), "w"
+    ) as f:
+        f.write("{ half writ")
+    assert committed_runs(warehouse) == []
+    _commit_manifest(warehouse, "rA", {"run_id": "rA", "replaces": []})
+    assert committed_runs(warehouse) == ["rA"]
+    with open(os.path.join(warehouse, "manifests", "rA.json")) as f:
+        assert _json.load(f)["run_id"] == "rA"
+    # no temp droppings from the successful commit
+    left = [
+        f for f in os.listdir(os.path.join(warehouse, "manifests"))
+        if ".tmp." in f and not f.startswith(".rX")
+    ]
+    assert left == []

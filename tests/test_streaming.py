@@ -736,3 +736,53 @@ def test_streaming_upsert_latest_wins_out_of_order(spark, tmp_path):
         "u1": (_ts("2024-01-02 00:00:00"), b"new"),
         "u2": (_ts("2024-01-01 00:00:00"), b"x"),
     }
+
+
+def test_streaming_funnel_string_user_ids(spark, tmp_path):
+    """ADVICE r4: the funnel output schema must take the key column's
+    type from the stream (string user ids), not hardcode long."""
+    import os as _os
+    import time as _time
+
+    from datetime import datetime
+
+    from serd_spark.streaming.incremental import streaming_funnel
+
+    def _ts(s):
+        return datetime.fromisoformat(s)
+
+    in_dir = tmp_path / "ev"
+    in_dir.mkdir()
+    rows = [
+        ("alice", _ts("2024-01-01 10:00:00"), "view"),
+        ("alice", _ts("2024-01-01 10:30:00"), "click"),
+        ("bob", _ts("2024-01-01 10:00:00"), "view"),
+    ]
+    p = str(in_dir / "b0.parquet")
+    spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    t = 1_700_000_000
+    for root, _, files in _os.walk(p):
+        for f in files:
+            _os.utime(_os.path.join(root, f), (t, t))
+    _time.sleep(0.01)
+
+    ev = spark.readStream.schema(
+        "user_id string, ts timestamp, event_type string"
+    ).parquet(str(in_dir) + "/*")
+    fun = streaming_funnel(ev, ["view", "click"])
+    assert dict(fun.dtypes)["user_id"] == "string"
+    q = (
+        fun.writeStream.format("memory")
+        .queryName("funnel_str_uid")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from funnel_str_uid").collect()
+    assert [(r["user_id"], r["t_1"], r["t_2"]) for r in out] == [
+        ("alice", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"))
+    ]

@@ -177,3 +177,27 @@ def test_wat_payload_and_fixpoint(spark, tmp_path):
         (r.url, TS.replace(tzinfo=None), r.wat) for r in src.collect()
     )
     assert back == want
+
+
+def test_wet_text_starting_with_http_survives():
+    # ADVICE r4: the HTTP-envelope sniff must only apply to 'response'
+    # records — a WET conversion payload whose text begins "HTTP/" is
+    # identity-encoded and must round-trip byte-identical.
+    from serd_spark.sources.warc import parse_warc, wet_record
+
+    text = "HTTP/1.1 considered harmful\r\n\r\nbody-like text survives"
+    buf = wet_record("http://a/h", TS, text)
+    recs, errs = parse_warc(buf, want_type="conversion")
+    assert errs == []
+    assert recs == [("http://a/h", TS, text.encode("utf-8"))]
+
+
+def test_response_http_envelope_still_stripped():
+    # warc_record wraps html in the Common-Crawl HTTP envelope; the
+    # response path must still strip exactly that envelope — even when
+    # the html itself begins "HTTP/" (no double-strip).
+    body = b"HTTP/ is the first text of this page <p>x</p>"
+    rec = warc_record("http://a/r", TS, body)
+    records, errors = parse_warc(rec)
+    assert errors == []
+    assert records == [("http://a/r", TS, body)]
