@@ -954,17 +954,23 @@ def q_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # the 2 MB split cap leaves this small parquet on ~2 input
+    # splits — spread the (interpreted) shingle HOF across ALL cores
+    # (cores-derived, not a baked local constant: 2× parallelism is
+    # the floor that keeps every core busy through the stragglers)
+    # and pin the arrays ONCE for the join's multiple consumers
+    n_parts = 2 * spark.sparkContext.defaultParallelism
     sets = (
         d.unionAll(twins)
-        # the 2 MB split cap leaves this small parquet on ~2 input
-        # splits — spread the (interpreted) shingle HOF across cores
-        # and pin the arrays ONCE for the join's multiple consumers
-        .repartition(64, "id")
+        .repartition(n_parts, "id")
         .select("id", arr.alias("_a"))
         .select("id", grams.alias("toks"))
         .filter(F.col("toks").isNotNull())
         .localCheckpoint()
     )
+    assert sets.rdd.getNumPartitions() >= (
+        spark.sparkContext.defaultParallelism
+    ), "shingle stage must not collapse below one partition per core"
     return set_similarity_join(sets, t_permille=800).orderBy(
         "id_a", "id_b"
     )

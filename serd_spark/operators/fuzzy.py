@@ -117,6 +117,7 @@ def set_similarity_join(
     id_col: str = "id",
     set_col: str = "toks",
     t_permille: int = 800,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering — every
     pair with jaccard ≥ t, no LSH false negatives, no cartesian
@@ -145,9 +146,22 @@ def set_similarity_join(
     Input rows: (id, array<string>). Arrays are treated as SETS
     (deduplicated here). Returns (id_a, id_b, inter, uni,
     jac_permille), id_a < id_b, each qualifying pair exactly once.
+
+    ``max_posting`` is the stated bound for low-entropy corpora (the
+    LSH-bucket-cap discipline): when set, each prefix token's posting
+    list is capped at the ``max_posting`` smallest set ids
+    (deterministic), bounding the join at
+    O(Σ_tok min(|posting|, cap)²) regardless of how hot the hottest
+    token gets. The trade is exactness: a pair whose EVERY shared
+    prefix token is capped away is missed — identical semantics to
+    ``linking.candidate_pairs``'s ``max_bucket``. ``None`` (default)
+    keeps the exact-recall guarantee; the positional filter alone
+    already prunes most hot-token candidates.
     """
     if not 0 < t_permille <= 1000:
         raise ValueError("t_permille must be in (0, 1000]")
+    if max_posting is not None and max_posting < 1:
+        raise ValueError("max_posting must be >= 1 when set")
     t = F.lit(int(t_permille)).cast("long")
     base = sets.select(
         F.col(id_col).alias("_sid"),
@@ -188,6 +202,24 @@ def set_similarity_join(
         "_n",
         F.posexplode(F.slice("_arr", F.lit(1), p)).alias("_p", "_tok"),
     )
+    if max_posting is not None:
+        from pyspark.sql import Window as _W
+
+        # deterministic cap: keep the max_posting smallest set ids per
+        # token. row_number ≤ k compiles to WindowGroupLimit — a
+        # map-side partial top-k per shuffle partition before the full
+        # sort, so a hot token never accumulates an unbounded posting
+        # list on one task (the anchor_text/cap_per_domain pattern).
+        pref = (
+            pref.withColumn(
+                "_rk",
+                F.row_number().over(
+                    _W.partitionBy("_tok").orderBy("_sid")
+                ),
+            )
+            .filter(F.col("_rk") <= max_posting)
+            .drop("_rk")
+        )
     a = pref.select(
         F.col("_tok"),
         F.col("_sid").alias("id_a"),

@@ -377,10 +377,13 @@ def link_entities(
         candidate_pairs(lsh_bands(sigs), max_bucket=max_bucket, dedup=False),
         sigs,
         threshold=threshold,
-    ).localCheckpoint(eager=True)
-    # links materialized ONCE here: connected_components, the caller's
-    # links.write, and any oracle materialization all reuse it instead
-    # of re-running the band self-join + verify joins per action
+    ).localCheckpoint(eager=False)
+    # links checkpointed LAZILY: the first action (CC's collect on the
+    # driver path, or round 0 of pointer jumping) materializes it, and
+    # the caller's links.write / oracle materialization then reuse the
+    # checkpoint instead of re-running the band self-join + verify
+    # joins. eager=True cost one extra full materialization job per
+    # run (measured ~0.4 s at sf0.1) for no extra sharing.
     entities = connected_components(
         links, driver_threshold=driver_threshold, pre_materialized=True
     )

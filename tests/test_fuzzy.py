@@ -207,3 +207,41 @@ def test_setsim_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_setsim_posting_cap_subset_and_loose_cap_exact(spark):
+    """max_posting (the stated low-entropy bound): a cap larger than
+    every posting list changes nothing; a tight cap yields a SUBSET
+    of the exact pairs (never a wrong pair), and a pair sharing any
+    uncapped prefix token survives."""
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "x"]),
+        (3, ["a", "b", "c", "d", "e"]),
+        (4, ["q", "r", "s"]),
+    ]
+    df = _sets(spark, rows)
+    exact = _spairs(set_similarity_join(df, t_permille=600))
+    loose = _spairs(
+        set_similarity_join(df, t_permille=600, max_posting=100)
+    )
+    assert loose == exact
+    capped = _spairs(
+        set_similarity_join(df, t_permille=600, max_posting=1)
+    )
+    assert set(capped) <= set(exact)
+    # every surviving pair is verified-exact (values identical)
+    for p in capped:
+        assert p in exact
+
+
+def test_setsim_posting_cap_validation(spark):
+    import pytest as _pytest
+
+    from serd_spark.operators.fuzzy import set_similarity_join
+
+    df = _sets(spark, [(1, ["a"])])
+    with _pytest.raises(ValueError, match="max_posting"):
+        set_similarity_join(df, max_posting=0)
