@@ -303,20 +303,43 @@ def connected_components(
             }
         )
         return spark.createDataFrame(out, schema="entity string, canon string")
+    # The symmetrized edge list is checkpointed once and reused every
+    # round. A pinned hash-partitioning would be even better, but
+    # localCheckpoint erases outputPartitioning (verified: the plan
+    # shows UnknownPartitioning), so rounds rely on AQE instead: once
+    # the frontier delta drops under the broadcast threshold the
+    # per-round join becomes a BroadcastHashJoin and the E-sized table
+    # never shuffles again. At cluster scale: a bucketed edge table
+    # gives the pinned layout localCheckpoint can't.
     sym = edges.select(
         F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
     ).union(
         edges.select(
             F.col("entity_b").alias("src"), F.col("entity_a").alias("dst")
         )
-    )
+    ).localCheckpoint(eager=False)
     nodes = sym.select(F.col("src").alias("entity")).distinct()
-    labels = nodes.withColumn("canon", F.col("entity"))
+    labels = nodes.withColumn("canon", F.col("entity")).localCheckpoint(
+        eager=False
+    )
 
+    # SEMI-NAIVE (frontier-delta) min-label propagation: round k+1
+    # joins the edge list only against labels that CHANGED in round k.
+    # Exact because labels are monotone non-increasing and groupBy(min)
+    # over (own label ∪ delivered deltas) keeps every delivered min: a
+    # neighbor whose label did not change this round already delivered
+    # that label the round it last changed (round 0 delivers all
+    # initial labels), so re-delivering it cannot lower anything.
+    # Dense near-dup graphs collapse the frontier within 2-3 rounds,
+    # turning the per-round E-sized shuffle into a frontier-sized one —
+    # the same frontier-active discipline as the graph.py family. The
+    # delta table doubles as the convergence signal (empty ⇒ done), so
+    # no separate changed-check join/action per round.
+    delta = labels  # round 0: every node announces its initial label
     for _ in range(max_iter):
-        # (1) candidate label per node = min over neighbors' labels ∪ own
+        # (1) deliveries from the frontier: neighbors' changed labels
         nbr = (
-            sym.join(labels, sym["dst"] == labels["entity"])
+            sym.join(delta, sym["dst"] == delta["entity"])
             .select(F.col("src").alias("entity"), "canon")
         )
         stepped = (
@@ -324,27 +347,38 @@ def connected_components(
             .groupBy("entity")
             .agg(F.min("canon").alias("canon"))
         )
-        # (2) pointer jump: canon := canon's canon (labels are node
-        # ids, so every canon value exists as an entity)
+        # (2) carry the PREVIOUS label alongside (entity-keyed join —
+        # same key as the agg, n-sized) so the frontier falls out of
+        # this round's one materialization instead of needing its own
+        # join + checkpoint + action afterwards
+        withold = stepped.join(
+            labels.select(
+                F.col("entity").alias("_eo"), F.col("canon").alias("_old")
+            ),
+            stepped["entity"] == F.col("_eo"),
+        ).select("entity", "canon", "_old")
+        # (3) pointer jump: canon := canon's canon (labels are node
+        # ids, so every canon value exists as an entity), doubling
+        # propagation distance per round
         jump = stepped.select(
             F.col("entity").alias("_e2"), F.col("canon").alias("_c2")
         )
-        new_labels = (
-            stepped.join(jump, stepped["canon"] == jump["_e2"], "left")
+        state = (
+            withold.join(jump, withold["canon"] == jump["_e2"], "left")
             .select(
-                "entity", F.coalesce("_c2", "canon").alias("canon")
+                "entity",
+                F.coalesce("_c2", "canon").alias("canon"),
+                "_old",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # ONE materialization per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "entity")
-            .filter(F.col("n.canon") != F.col("o.canon"))
-            .limit(1)
-            .count()
+        labels = state.select("entity", "canon")
+        # next frontier = nodes whose label strictly dropped; reading
+        # it off the checkpointed state costs no extra join
+        delta = state.filter(F.col("canon") < F.col("_old")).select(
+            "entity", "canon"
         )
-        labels = new_labels
-        if changed == 0:
+        if delta.limit(1).count() == 0:
             break
     return labels
 

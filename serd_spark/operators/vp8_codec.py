@@ -27,7 +27,12 @@ Spec-faithful (RFC 6386, implemented from the published layout):
 
 Documented approximations (this sandbox has NO copy of the spec's
 numeric appendices and no reference decoder to diff against — see
-OPERATORS.md):
+OPERATORS.md). ``install_default_tables()`` accepts the real §13.4 /
+§13.5 / §11.5 constants the moment a copy materializes (they are
+data, not code); every consumer reads through that hook, and
+``tests/test_vp8.py::test_thirdparty_fixture_decodes_if_provided``
+documents the drop-in fixture path that then certifies
+reference-identical decode of third-party streams. Until then:
 - the 1,056-entry default token probability table (§13.5) and the
   update-flag probability table (§13.4) are flat (128 / 252): the
   bool coder is correct for ANY probability table as long as both
@@ -117,6 +122,93 @@ PLANE_Y_NO_DC, PLANE_Y2, PLANE_UV, PLANE_Y_WITH_DC = 0, 1, 2, 3
 # flat default token probabilities (see module docstring)
 FLAT_COEF_PROB = 128
 FLAT_UPDATE_PROB = 252
+
+# ------------------------------------------------ table injection
+# The spec's numeric probability appendices (§13.4, §13.5, §11.5) are
+# DATA, not code, and no offline copy exists in this sandbox. Every
+# consumer below reads through these hooks, so dropping in the real
+# constants is a runtime call — no structural change:
+#   install_default_tables(coef_probs=..., coef_update_probs=...,
+#                          kf_bmode_probs=...)
+# With real tables installed, third-party (libwebp-encoded) lossy
+# streams decode with the reference probabilities; without, the
+# documented flat approximation applies (closed-loop encode→decode
+# stays bit-exact either way, because encoder and decoder read the
+# same hooks).
+_COEF_PROBS_DEFAULT: tuple | None = None  # [4][8][3][11]
+_COEF_UPDATE_PROBS: tuple | None = None   # [4][8][3][11]
+_KF_BMODE_PROBS: tuple | None = None      # [10][10][9]
+
+
+def _check_table(t, shape, name):
+    def rec(x, dims):
+        if not dims:
+            if not (isinstance(x, int) and 1 <= x <= 255):
+                raise ValueError(
+                    f"{name}: probabilities must be ints in [1, 255]"
+                )
+            return x
+        if len(x) != dims[0]:
+            raise ValueError(
+                f"{name}: expected axis of length {dims[0]}, got {len(x)}"
+            )
+        return tuple(rec(e, dims[1:]) for e in x)
+
+    return rec(t, shape)
+
+
+def install_default_tables(
+    coef_probs=None, coef_update_probs=None, kf_bmode_probs=None
+) -> None:
+    """Install the spec's default probability tables (a constants
+    swap — see module docstring). Each argument is optional; ``None``
+    leaves that table on the flat approximation. Shapes:
+    coef_probs / coef_update_probs [4][8][3][11] (§13.5 / §13.4),
+    kf_bmode_probs [10][10][9] (§11.5). Values are 1..255."""
+    global _COEF_PROBS_DEFAULT, _COEF_UPDATE_PROBS, _KF_BMODE_PROBS
+    if coef_probs is not None:
+        _COEF_PROBS_DEFAULT = _check_table(
+            coef_probs, (4, N_BANDS, N_CTX, N_PROBS), "coef_probs"
+        )
+    if coef_update_probs is not None:
+        _COEF_UPDATE_PROBS = _check_table(
+            coef_update_probs, (4, N_BANDS, N_CTX, N_PROBS),
+            "coef_update_probs",
+        )
+    if kf_bmode_probs is not None:
+        _KF_BMODE_PROBS = _check_table(
+            kf_bmode_probs, (10, 10, 9), "kf_bmode_probs"
+        )
+
+
+def reset_default_tables() -> None:
+    """Back to the documented flat approximation (test isolation)."""
+    global _COEF_PROBS_DEFAULT, _COEF_UPDATE_PROBS, _KF_BMODE_PROBS
+    _COEF_PROBS_DEFAULT = None
+    _COEF_UPDATE_PROBS = None
+    _KF_BMODE_PROBS = None
+
+
+def tables_installed() -> dict:
+    return {
+        "coef_probs": _COEF_PROBS_DEFAULT is not None,
+        "coef_update_probs": _COEF_UPDATE_PROBS is not None,
+        "kf_bmode_probs": _KF_BMODE_PROBS is not None,
+    }
+
+
+def _update_prob(i: int, j: int, k: int, m: int) -> int:
+    """§13.4 coefficient-update-flag probability at one position."""
+    if _COEF_UPDATE_PROBS is None:
+        return FLAT_UPDATE_PROB
+    return _COEF_UPDATE_PROBS[i][j][k][m]
+
+
+def _kf_bmode(above: int, left: int):
+    """§11.5 context-conditioned 4x4 submode probabilities."""
+    if _KF_BMODE_PROBS is None:
+        return KF_BMODE_PROB_FLAT
+    return _KF_BMODE_PROBS[above][left]
 
 # dequantization lookups (§14.1, reconstructed from the published
 # tables; monotone, 128 entries each)
@@ -580,8 +672,12 @@ def encode_coeffs(be: BoolEncoder, probs, plane: int, ctx: int,
 # ------------------------------------------------------ frame header
 def _default_coef_probs():
     """probs[plane][band][ctx] -> list of 11 interior-node probs.
-    Flat table (module docstring); mutated in place by in-stream
-    updates."""
+    Installed §13.5 table when present, else the flat approximation
+    (module docstring); mutated in place by in-stream updates."""
+    if _COEF_PROBS_DEFAULT is not None:
+        return [[[list(_COEF_PROBS_DEFAULT[i][j][k])
+                  for k in range(N_CTX)] for j in range(N_BANDS)]
+                for i in range(4)]
     return [[[ [FLAT_COEF_PROB] * N_PROBS
                for _ in range(N_CTX)] for _ in range(N_BANDS)]
             for _ in range(4)]
@@ -654,7 +750,7 @@ def _parse_header(bd: BoolDecoder, w: int, h: int) -> _FrameHeader:
         for j in range(N_BANDS):
             for k in range(N_CTX):
                 for m in range(N_PROBS):
-                    if bd.read_bool(FLAT_UPDATE_PROB):
+                    if bd.read_bool(_update_prob(i, j, k, m)):
                         hdr.coef_probs[i][j][k][m] = bd.read_literal(8)
     hdr.mb_no_skip = bd.read_literal(1)
     hdr.prob_skip = bd.read_literal(8) if hdr.mb_no_skip else 0
@@ -690,11 +786,10 @@ def _read_modes(bd: BoolDecoder, hdr: _FrameHeader):
                     for c in range(4):
                         a = sub[r - 1, c] if r else above_sub[mx, c]
                         l = sub[r, c - 1] if c else left_sub[r]
-                        # real [above][left] context indexing over the
-                        # flat table (kept for spec shape)
-                        _ = (a, l)
+                        # real [above][left] context indexing; resolves
+                        # to the installed §11.5 table or the flat row
                         sub[r, c] = bd.read_tree(
-                            BMODE_TREE, KF_BMODE_PROB_FLAT)
+                            BMODE_TREE, _kf_bmode(int(a), int(l)))
                 submodes[(my, mx)] = sub
                 above_sub[mx] = sub[3]
                 left_sub[:] = sub[:, 3]
@@ -1138,19 +1233,43 @@ def encode_vp8(rgb: np.ndarray, qi: int = 12, ymode: int = DC_PRED,
     for _ in range(5):
         be.write_literal(0, 1)  # no quantizer deltas
     be.write_literal(1, 1)  # refresh entropy probs
-    for _ in range(4 * N_BANDS * N_CTX * N_PROBS):
-        be.write_bool(FLAT_UPDATE_PROB, 0)  # keep flat token probs
+    # "no update" flags, written with the SAME per-position §13.4
+    # probabilities the decoder reads them with (installed or flat) —
+    # token coding then uses the default table on both sides
+    for pi in range(4):
+        for pj in range(N_BANDS):
+            for pk in range(N_CTX):
+                for pm in range(N_PROBS):
+                    be.write_bool(_update_prob(pi, pj, pk, pm), 0)
     be.write_literal(1, 1)  # mb_no_coeff_skip on
     be.write_literal(128, 8)  # prob_skip_false
     i = 0
+    # mirror the decoder's above/left 4x4-submode context tracking
+    # (§11.5) so context-conditioned tables stay closed-loop
+    above_sub = np.full((mw, 4), B_DC_PRED, np.int32)
     for my in range(mh):
+        left_sub = np.full(4, B_DC_PRED, np.int32)
         for mx in range(mw):
             be.write_bool(128, 1 if mode_bits[i] else 0)
             i += 1
             be.write_tree(KF_YMODE_TREE, KF_YMODE_PROB, ymode)
             if ymode == B_PRED:
-                for _ in range(16):
-                    be.write_tree(BMODE_TREE, KF_BMODE_PROB_FLAT, sub_mode)
+                sub = np.full((4, 4), sub_mode, np.int32)
+                for r in range(4):
+                    for c in range(4):
+                        a = sub[r - 1, c] if r else above_sub[mx, c]
+                        l = sub[r, c - 1] if c else left_sub[r]
+                        be.write_tree(
+                            BMODE_TREE, _kf_bmode(int(a), int(l)),
+                            sub_mode,
+                        )
+                above_sub[mx] = sub[3]
+                left_sub[:] = sub[:, 3]
+            else:
+                implied = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED,
+                           H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}[ymode]
+                above_sub[mx] = implied
+                left_sub[:] = implied
             be.write_tree(UV_MODE_TREE, KF_UV_MODE_PROB, uvmode)
     part1 = be.finish()
     toks = tokens.finish()

@@ -5,16 +5,33 @@ No real cluster exists in this sandbox, so cluster size is emulated
 by CPU affinity: the N-core run is pinned to N cores (taskset), the
 4N-core run to 4N — otherwise the small run's JVM helper threads
 spill onto the idle cores and flatter the baseline. Each
-configuration repeats the SAME job (scan pages parquet → fused
-extract+canonicalize+dedup → count) R times in one session; the MIN
+configuration repeats the SAME job R times in one session; the MIN
 wall time is used (the host is a shared VM with ±20% interference
 noise; min is the least-contended estimate).
 
-Usage:
-  python tools/scaling_bench.py            # orchestrates both runs
-  python tools/scaling_bench.py --worker N # internal (pinned child)
+Two stages cover the pipeline's two execution regimes:
 
-Writes JSON to BENCH/scaling.json and a readable section to stdout.
+- ``extract`` (default): scan pages parquet → fused
+  extract+canonicalize+dedup → count. Map-side; one Python crossing;
+  no shuffle. The original record.
+- ``linking``: read the triple table (pre-derived once from the same
+  corpus) → minhash signatures → LSH band self-join → verify joins →
+  distributed pointer-jumping connected components
+  (driver_threshold=0) → count canonical entities. This is the
+  pipeline's shuffle-heavy regime — the band join is its one
+  potentially-skewed shuffle and CC runs O(log d) shuffle rounds —
+  so its efficiency number is the one a 100×-scale reviewer probes.
+
+Usage:
+  python tools/scaling_bench.py                    # extract stage
+  python tools/scaling_bench.py --stage linking    # shuffle stage
+  python tools/scaling_bench.py --worker N ...     # internal (pinned)
+
+Output file is keyed by stage AND basis so records never overwrite
+each other (CLAUDE.md: the 4→16 and 8→32 bases measure different
+things): extract → BENCH/scaling.json (N=4) / scaling_8_32.json
+(N=8); linking → BENCH/scaling_linking.json /
+scaling_linking_8_32.json.
 """
 
 from __future__ import annotations
@@ -33,6 +50,12 @@ RICHNESS = int(os.environ.get("SPARK_GRAFT_SCALE_RICHNESS", "8"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
 BIG = 4 * SMALL
+STAGE = os.environ.get("SPARK_GRAFT_SCALE_STAGE", "extract")
+
+
+def _out_name(stage: str, small: int) -> str:
+    base = "scaling" if stage == "extract" else f"scaling_{stage}"
+    return f"{base}.json" if small == 4 else f"{base}_{small}_{small * 4}.json"
 
 
 def _default_corpus() -> str:
@@ -51,6 +74,19 @@ def _default_corpus() -> str:
 CORPUS = os.environ.get("SPARK_GRAFT_SCALE_CORPUS") or _default_corpus()
 
 
+def _triples_corpus() -> str:
+    """Triple-table path for the linking stage, keyed by the pages
+    corpus AND the extraction-code hash (editing the extractor can
+    never silently re-measure stale triples)."""
+    import hashlib
+
+    import serd_spark.operators.extract as _ex_mod
+
+    with open(_ex_mod.__file__, "rb") as fh:
+        ex_hash = hashlib.blake2b(fh.read(), digest_size=6).hexdigest()
+    return f"{CORPUS}_triples_{ex_hash}"
+
+
 def ensure_corpus() -> None:
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         return
@@ -65,12 +101,41 @@ def ensure_corpus() -> None:
     spark.stop()
 
 
-def worker(cores: int) -> None:
-    from serd_spark.session import get_spark
+def ensure_triples() -> None:
+    """Derive the triple table once (not timed — the extract stage
+    already measures that regime; the linking stage times only the
+    shuffle-heavy job over an identical input)."""
+    out = _triples_corpus()
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    ensure_corpus()
     from serd_spark.operators.extract import extract_triples, triples_only
+    from serd_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"scale-{cores}",
+        app_name="scale-triples",
+        master=f"local[{BIG}]",
+        extra_conf={
+            "spark.local.dir": "/dev/shm/spark-local",
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    triples_only(
+        extract_triples(
+            spark.read.parquet(CORPUS), canonicalize=True, dedup=True
+        )
+    ).repartition(3 * BIG).write.mode("overwrite").parquet(out)
+    spark.stop()
+
+
+def worker(cores: int, stage: str) -> None:
+    from serd_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale-{stage}-{cores}",
         master=f"local[{cores}]",
         extra_conf={
             "spark.local.dir": "/dev/shm/spark-local",
@@ -87,34 +152,61 @@ def worker(cores: int) -> None:
         yield from batches
 
     spark.range(0, 10000, 1, cores).mapInPandas(warm, schema="id long").count()
-    pages = spark.read.parquet(CORPUS)
     times = []
     n = 0
-    for _ in range(REPEATS):
-        t0 = time.time()
-        n = triples_only(
-            extract_triples(pages, canonicalize=True, dedup=True)
-        ).count()
-        times.append(round(time.time() - t0, 2))
-    print(json.dumps({"cores": cores, "times": times, "n_triples": n}))
+    if stage == "extract":
+        from serd_spark.operators.extract import (
+            extract_triples,
+            triples_only,
+        )
+
+        pages = spark.read.parquet(CORPUS)
+        for _ in range(REPEATS):
+            t0 = time.time()
+            n = triples_only(
+                extract_triples(pages, canonicalize=True, dedup=True)
+            ).count()
+            times.append(round(time.time() - t0, 2))
+    elif stage == "linking":
+        from serd_spark.operators.linking import link_entities
+
+        triples = spark.read.parquet(_triples_corpus())
+        for _ in range(REPEATS):
+            t0 = time.time()
+            # driver_threshold=0 forces the distributed pointer-jumping
+            # CC — the code path a real 100 TB link graph runs
+            _links, entities = link_entities(
+                triples, threshold=0.6, driver_threshold=0
+            )
+            n = entities.count()
+            times.append(round(time.time() - t0, 2))
+    else:
+        raise SystemExit(f"unknown stage {stage!r}")
+    print(json.dumps({"cores": cores, "times": times, "n_out": n}))
     spark.stop()
 
 
 def main() -> None:
+    stage = STAGE
+    if "--stage" in sys.argv:
+        stage = sys.argv[sys.argv.index("--stage") + 1]
     if "--worker" in sys.argv:
-        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]), stage)
         return
     ensure_corpus()
+    if stage == "linking":
+        ensure_triples()
     # the host is a shared VM with epoch-scale interference (±30%
     # observed): INTERLEAVE the two configurations so drift hits both
     # equally, and take the min across all sessions per config
-    results = {SMALL: {"times": [], "n_triples": 0},
-               BIG: {"times": [], "n_triples": 0}}
+    results = {SMALL: {"times": [], "n_out": 0},
+               BIG: {"times": [], "n_out": 0}}
     for _round in range(2):
         for cores in (SMALL, BIG):
             aff = ["taskset", "-c", f"0-{cores - 1}"]
             cmd = aff + [
-                sys.executable, os.path.abspath(__file__), "--worker", str(cores)
+                sys.executable, os.path.abspath(__file__),
+                "--worker", str(cores), "--stage", stage,
             ]
             out = subprocess.run(
                 cmd, capture_output=True, text=True, cwd=REPO,
@@ -123,7 +215,7 @@ def main() -> None:
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             results[cores]["times"].extend(r["times"])
-            results[cores]["n_triples"] = r["n_triples"]
+            results[cores]["n_out"] = r["n_out"]
             print(line)
     # merge with any previous invocation of the SAME configuration AND
     # the same engine code (pkg content hash): the host has
@@ -134,7 +226,7 @@ def main() -> None:
     from __spark_entry__ import _pkg_hash
 
     pkg_hash = _pkg_hash()
-    out_path = os.path.join(REPO, "BENCH", "scaling.json")
+    out_path = os.path.join(REPO, "BENCH", _out_name(stage, SMALL))
     if os.path.exists(out_path):
         try:
             prev = json.load(open(out_path))
@@ -152,6 +244,7 @@ def main() -> None:
     t_big = min(results[BIG]["times"])
     eff = (t_small / t_big) / (BIG / SMALL)
     summary = {
+        "stage": stage,
         "protocol": f"pinned local[{SMALL}] (taskset 0-{SMALL-1}) vs "
         f"pinned local[{BIG}] (taskset 0-{BIG-1}), same job+input, "
         f"interleaved, min of {REPEATS} repeats per session merged "
@@ -159,7 +252,7 @@ def main() -> None:
         "n_pages": N_PAGES,
         "richness": RICHNESS,
         "pkg_hash": pkg_hash,
-        "n_triples": results[BIG]["n_triples"],
+        "n_out": results[BIG]["n_out"],
         "wall_small_s": t_small,
         "wall_big_s": t_big,
         "pages_per_sec_small": round(N_PAGES / t_small, 1),
