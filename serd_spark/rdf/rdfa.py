@@ -36,7 +36,20 @@ Subset of the Core processing rules (documented divergences):
 - bare terms with no in-scope ``@vocab`` are ignored (per Core);
 - elements whose property value is an IRI (or a typed node) pass that
   node to their descendants as the new subject, so nested
-  ``resource``/``typeof`` markup chains the way publishers expect.
+  ``resource``/``typeof`` markup chains the way publishers expect;
+- ``@about``/``@resource`` take the full SafeCURIEorCURIEorIRI
+  grammar (Core §5): safe CURIEs unwrap (unknown-prefix safe CURIEs
+  ignore the attribute, per Core), CURIEs with declared prefixes
+  expand, ``_:label`` names document-scoped blank nodes, anything
+  else resolves as an IRI reference; ``@href``/``@src`` stay
+  IRI-only per their host-language definitions.
+
+Explicitly out of scope (not divergences — unimplemented Core
+features no mainstream publisher markup uses): ``@inlist``
+(rdf:List generation), ``rdf:XMLLiteral`` datatypes (XML content is
+flattened to text), RDFa 1.0 ``@xmlns:*`` prefix declarations, and
+the HTML+RDFa host-language rule that hoists ``@about`` from
+``<html>`` onto ``<head>``/``<body>``.
 
 Blank labels are ``r=1, r=2, …`` — disjoint from the parser labels
 and microdata's ``m=…`` by construction; the caller island-scopes
@@ -74,6 +87,7 @@ class _RdfaToRdf:
     def __init__(self, base_iri: str):
         self.base = base_iri
         self.blank_n = 0
+        self.named_blanks: dict[str, Term] = {}
         self.statements: list[Statement] = []
 
     def _new_blank(self) -> Term:
@@ -82,6 +96,46 @@ class _RdfaToRdf:
 
     def _resolve(self, ref: str) -> str:
         return urimod.resolve(self.base, ref) if self.base else ref
+
+    def _node_ref(
+        self, value: str, prefixes: dict[str, str]
+    ) -> Term | None:
+        """SafeCURIEorCURIEorIRI (Core §5, @about/@resource): safe
+        CURIEs unwrap (unknown safe-CURIE prefix ⇒ the attribute is
+        ignored, per Core — returns None), ``_:label`` names a
+        document-scoped blank node (mapped onto the parser's own
+        ``r=N`` labels so island scoping stays uniform), a known
+        CURIE prefix expands, anything else resolves as an IRI ref."""
+        v = value.strip()
+        safe = v.startswith("[") and v.endswith("]")
+        if safe:
+            v = v[1:-1].strip()
+        if v.startswith("_:"):
+            t = self.named_blanks.get(v)
+            if t is None:
+                t = self._new_blank()
+                self.named_blanks[v] = t
+            return t
+        if ":" in v:
+            pfx, rest = v.split(":", 1)
+            if not rest.startswith("//") and pfx in prefixes:
+                return Term(IRI, prefixes[pfx] + rest)
+            if safe:
+                return None  # unknown prefix in a safe CURIE: ignored
+        return Term(IRI, self._resolve(v))
+
+    def _obj_node(
+        self, a: dict[str, str], prefixes: dict[str, str]
+    ) -> Term | None:
+        """The element's object resource: @resource (full
+        SafeCURIEorCURIEorIRI) wins over @href/@src (IRI-only, per
+        their host-language definitions)."""
+        if "resource" in a:
+            return self._node_ref(a["resource"], prefixes)
+        for k in ("href", "src"):
+            if k in a:
+                return Term(IRI, self._resolve(a[k]))
+        return None
 
     def _expand(
         self, term: str, vocab: str, prefixes: dict[str, str]
@@ -157,9 +211,11 @@ class _RdfaToRdf:
             for t in a.get("typeof", "").split()
             if (t2 := self._expand(t, vocab, prefixes))
         ]
-        res_attr = next(
-            (a[k] for k in ("resource", "href", "src") if k in a), None
+        obj_node = self._obj_node(a, prefixes)
+        about_t = (
+            self._node_ref(a["about"], prefixes) if "about" in a else None
         )
+        has_about = about_t is not None
 
         # rel/rev links (Core). The RDFa 1.1 rule: bare terms in
         # @rel/@rev are IGNORED when @property coexists — it exists
@@ -176,25 +232,21 @@ class _RdfaToRdf:
 
         rels, revs = _links("rel"), _links("rev")
 
-        cur_subj = (
-            Term(IRI, self._resolve(a["about"])) if "about" in a else subj
-        )
+        cur_subj = about_t if has_about else subj
         new_subj = cur_subj
 
         if rels or revs:
             self._walk_linking(
-                el, a, cur_subj, props, types, res_attr, rels, revs,
-                vocab, prefixes, lang, pending,
+                el, a, cur_subj, has_about, props, types, obj_node,
+                rels, revs, vocab, prefixes, lang, pending,
             )
             return
 
         if props:
-            if types and "about" not in a:
+            if types and not has_about:
                 # property + typeof: the value is a NEW typed node
                 node = (
-                    Term(IRI, self._resolve(res_attr))
-                    if res_attr is not None
-                    else self._new_blank()
+                    obj_node if obj_node is not None else self._new_blank()
                 )
                 for p in props:
                     self.statements.append(
@@ -207,7 +259,7 @@ class _RdfaToRdf:
                 new_subj = node
             else:
                 value, is_iri = self._prop_value(
-                    el, a, res_attr, vocab, prefixes, lang
+                    el, a, obj_node, vocab, prefixes, lang
                 )
                 for p in props:
                     self.statements.append(
@@ -224,11 +276,9 @@ class _RdfaToRdf:
         elif types:
             node = (
                 cur_subj
-                if "about" in a
+                if has_about
                 else (
-                    Term(IRI, self._resolve(res_attr))
-                    if res_attr is not None
-                    else self._new_blank()
+                    obj_node if obj_node is not None else self._new_blank()
                 )
             )
             for t in types:
@@ -236,16 +286,16 @@ class _RdfaToRdf:
                     Statement(node, Term(IRI, RDF_TYPE), Term(IRI, t))
                 )
             new_subj = node
-        elif "about" in a:
+        elif has_about:
             new_subj = cur_subj
-        elif "resource" in a:
+        elif "resource" in a and obj_node is not None:
             # bare @resource re-points the subject for descendants
-            new_subj = Term(IRI, self._resolve(a["resource"]))
+            new_subj = obj_node
 
         # a node established here completes the nearest ancestor's
         # pending @rel/@rev links (one completion per descendant
         # branch: siblings each receive their own copy)
-        if pending is not None and ("about" in a or new_subj != subj):
+        if pending is not None and (has_about or new_subj != subj):
             p_rels, p_revs, p_subj = pending
             for r in p_rels:
                 self.statements.append(
@@ -266,9 +316,10 @@ class _RdfaToRdf:
         el: _El,
         a: dict[str, str],
         cur_subj: Term,
+        has_about: bool,
         props: list[str],
         types: list[str],
-        res_attr: str | None,
+        obj: Term | None,
         rels: list[str],
         revs: list[str],
         vocab: str,
@@ -281,12 +332,7 @@ class _RdfaToRdf:
         the links go pending until a descendant establishes a node.
         @property on the same element takes the literal path (the
         resource is consumed by the links)."""
-        obj: Term | None = (
-            Term(IRI, self._resolve(res_attr))
-            if res_attr is not None
-            else None
-        )
-        if obj is None and types and "about" not in a:
+        if obj is None and types and not has_about:
             # @typeof with no @about and no resource: the typed blank
             # node is the links' object (Core's "typed resource")
             obj = self._new_blank()
@@ -300,9 +346,9 @@ class _RdfaToRdf:
         # subject; completing there would mint degenerate
         # (gp, rel, parent) triples — the Core step-10 behavior this
         # parser diverges from.
-        if pending is not None and ("about" in a or obj is not None):
+        if pending is not None and (has_about or obj is not None):
             p_rels, p_revs, p_subj = pending
-            target = cur_subj if "about" in a else obj
+            target = cur_subj if has_about else obj
             for r in p_rels:
                 self.statements.append(
                     Statement(p_subj, Term(IRI, r), target)
@@ -312,14 +358,14 @@ class _RdfaToRdf:
                     Statement(target, Term(IRI, r), p_subj)
                 )
 
-        type_target = cur_subj if "about" in a else obj
+        type_target = cur_subj if has_about else obj
         if type_target is not None:
             for t in types:
                 self.statements.append(
                     Statement(type_target, Term(IRI, RDF_TYPE), Term(IRI, t))
                 )
         if props:
-            # literal path only: res_attr belongs to the links
+            # literal path only: the object resource belongs to the links
             value, _ = self._prop_value(
                 el, a, None, vocab, prefixes, lang
             )
@@ -345,7 +391,7 @@ class _RdfaToRdf:
         self,
         el: _El,
         a: dict[str, str],
-        res_attr: str | None,
+        obj: Term | None,
         vocab: str,
         prefixes: dict[str, str],
         lang: str,
@@ -365,8 +411,8 @@ class _RdfaToRdf:
             )
         if "content" in a:
             return Term(LITERAL, a["content"], lang=lang), False
-        if res_attr is not None:
-            return Term(IRI, self._resolve(res_attr)), True
+        if obj is not None:
+            return obj, True
         return Term(LITERAL, _text_content(el), lang=lang), False
 
 

@@ -146,10 +146,11 @@ def _page_for(
             )
         else:
             # RDFa (schema.org-in-RDFa): same triple shape as the
-            # microdata variant — type + name + relatedLink. Every
-            # third page links via @rel chaining (the Core form) so
-            # both link spellings are exercised; the bare rel term
-            # expands through the in-scope @vocab, SAME triples.
+            # microdata variant — type + name + relatedLink, spelled
+            # three ways so the Core grammar is exercised end-to-end:
+            # @rel chaining (bare term through @vocab), the safe-CURIE
+            # / CURIE form (@prefix + about="[e:i]" + resource="e:…"),
+            # and the plain Lite form. All three emit the SAME triples.
             if i % 3 == 0:
                 parts.append(
                     f'<div vocab="http://schema.org/" typeof="Thing" '
@@ -157,6 +158,15 @@ def _page_for(
                     f'<span property="name">{name}</span>'
                     f'<a rel="relatedLink" href="{obj}">rel</a>'
                     "</div>"
+                )
+            elif i % 3 == 1:
+                ent_pfx = f"http://site{site}.example/thing/"
+                parts.append(
+                    f'<div prefix="s: http://schema.org/ e: {ent_pfx}" '
+                    f'typeof="s:Thing" about="[e:{i}]">'
+                    f'<span property="s:name">{name}</span>'
+                    f'<span property="s:relatedLink" resource="{obj}">'
+                    "rel</span></div>"
                 )
             else:
                 parts.append(

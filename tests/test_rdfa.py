@@ -336,3 +336,55 @@ def test_pending_completes_at_linking_descendant_object():
     assert (me, "http://xmlns.com/foaf/0.1/knows", bob) in got
     assert (me, "http://xmlns.com/foaf/0.1/homepage", bob) in got
     assert len(stmts) == 2
+
+
+def test_about_and_resource_take_curies():
+    """Core §5 SafeCURIEorCURIEorIRI on @about/@resource: plain
+    CURIEs with declared prefixes expand; @href stays IRI-only."""
+    html = (
+        '<div prefix="ex: http://ex.org/ns#" about="ex:alice">'
+        '<span property="ex:knows" resource="ex:bob"></span></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    assert (
+        (IRI, "http://ex.org/ns#alice"),
+        "http://ex.org/ns#knows",
+        (IRI, "http://ex.org/ns#bob", "", ""),
+    ) in got
+
+
+def test_safe_curie_unwraps_and_unknown_prefix_ignored():
+    html = (
+        '<div prefix="ex: http://ex.org/ns#" about="[ex:a]">'
+        '<span property="ex:p" resource="[nope:b]">text</span></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    got = _set(stmts)
+    # subject is the unwrapped safe CURIE; the unknown-prefix safe
+    # CURIE resource is IGNORED, so the property falls back to the
+    # text-content literal (step-11 precedence with no resource)
+    assert (
+        (IRI, "http://ex.org/ns#a"),
+        "http://ex.org/ns#p",
+        (LITERAL, "text", "", ""),
+    ) in got
+
+
+def test_blank_node_about_and_resource_are_scoped():
+    html = (
+        '<div prefix="ex: http://ex.org/ns#" about="_:n1">'
+        '<span property="ex:p" resource="_:n2"></span>'
+        '<span property="ex:q" resource="_:n1"></span></div>'
+    )
+    stmts, _ = parse_rdfa(html, BASE)
+    by_pred = {s.predicate.value: s for s in stmts}
+    p = by_pred["http://ex.org/ns#p"]
+    q = by_pred["http://ex.org/ns#q"]
+    assert p.subject.kind == BLANK and p.object.kind == BLANK
+    # _:n1 maps to ONE parser blank label wherever it appears …
+    assert q.object.value == p.subject.value == q.subject.value
+    # … distinct from _:n2's
+    assert p.object.value != p.subject.value
+    # labels use the parser's own r=N family (island scoping intact)
+    assert p.subject.value.startswith("r=")
