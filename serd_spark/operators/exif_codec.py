@@ -176,7 +176,10 @@ def parse_tiff_ifds(tiff: bytes) -> list[tuple[str, int, str, str]]:
                 if voff + nbytes > len(tiff):
                     continue
                 raw = tiff[voff:voff + nbytes]
-            if tag == EXIF_IFD_TAG and typ == 4:
+            # count must be exactly 1 for the sub-IFD pointer: a
+            # fuzzed count=0 entry leaves raw empty and the unpack
+            # would throw (hypothesis-found, round 5)
+            if tag == EXIF_IFD_TAG and typ == 4 and count == 1:
                 (sub,) = struct.unpack(order + "I", raw)
                 todo.append((sub, "exif"))
                 continue

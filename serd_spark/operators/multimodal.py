@@ -1120,7 +1120,11 @@ def decode_image(payload: bytes) -> np.ndarray:
             # decoded for real, but the spec's numeric probability
             # tables are offline-unavailable (vp8_codec.py docstring)
             # so pixels from encoders that rely on the defaults are
-            # deterministic-but-not-reference-identical.
+            # deterministic-but-not-reference-identical — until the
+            # real constants are injected via
+            # vp8_codec.install_default_tables() (round 5; see
+            # test_vp8.py::test_thirdparty_fixture_decodes_if_provided
+            # for the drop-in fixture path).
             return decode_webp_vp8(payload)
         from serd_spark.operators.vp8l_codec import decode_vp8l
 
